@@ -1,0 +1,178 @@
+"""Flagship extraction pipeline (reference `extract` entry point,
+/root/reference/src/cli.py:17-130 + src/pipeline.py:149-363, rebuilt
+Ray-Data-first per SURVEY §3.4):
+
+    read_parquet(lake)                         # pruned columns
+      → map_batches(TurnExtractor actor pool)  # per-turn parse, raw text dropped
+      → groupby(conv_id).map_groups(...)       # stitch + resolve (THE shuffle)
+      → sort(conv_id, turn_idx, parsed id)     # stable output ordering (O1)
+      → write_parquet + per-partition manifests
+
+Streaming end-to-end: nothing materializes the full dataset; the only
+wide operations are the conv_id hash shuffle and the final ordering
+sort (optional for throughput runs).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..config import DEFAULT_CONFIG, DEFAULT_RUN, ExtractorConfig, RunConfig
+from ..functions.ids import parse_unit_id
+from ..sources.transcripts import lake_files, read_transcripts
+from ..stages.conversation import stitch_conversations
+from ..stages.turn_extract import TurnExtractor
+from ..state import manifest as mf
+
+
+def _default_concurrency() -> tuple[int, int]:
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, cpus))
+
+
+def add_sort_keys(batch: pa.Table) -> pa.Table:
+    """Derived numeric sort-key columns from unit_id (reference
+    parse_qa_id, /root/reference/src/pipeline.py:92-127) so the global
+    sort orders 2.9 < 2.10 and 2.18 < 2.18a."""
+    ids = batch.column("unit_id").to_pylist()
+    keys = [parse_unit_id(u) for u in ids]
+    return (
+        batch.append_column("_chapter", pa.array([k[0] for k in keys], pa.int32()))
+        .append_column("_qnum", pa.array([k[1] for k in keys], pa.int32()))
+        .append_column("_suffix", pa.array([k[2] for k in keys], pa.string()))
+    )
+
+
+def extraction_pipeline(
+    source: str | list[str] | ray.data.Dataset,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    run: RunConfig = DEFAULT_RUN,
+    *,
+    salt_turns: int | None = None,
+    ordered: bool = True,
+) -> ray.data.Dataset:
+    """Build the (lazy) extraction Dataset from a lake path / file list
+    / pre-built Dataset."""
+    if isinstance(source, ray.data.Dataset):
+        ds = source
+    else:
+        ds = read_transcripts(source)
+
+    concurrency = run.extract_concurrency or _default_concurrency()
+    ds = ds.map_batches(
+        TurnExtractor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_size=run.batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=run.num_cpus_per_actor,
+    )
+
+    ds = stitch_conversations(ds, salt_turns=salt_turns)
+
+    if ordered:
+        ds = ds.map_batches(add_sort_keys, batch_format="pyarrow")
+        ds = ds.sort(["conv_id", "turn_idx", "_chapter", "_qnum", "_suffix"])
+        ds = ds.drop_columns(["_chapter", "_qnum", "_suffix"])
+    return ds
+
+
+def run_with_checkpoint(
+    lake_path: str,
+    out_dir: str,
+    *,
+    num_partitions: int = 4,
+    force_restart: bool = False,
+    cfg: ExtractorConfig = DEFAULT_CONFIG,
+    run: RunConfig = DEFAULT_RUN,
+    salt_turns: int | None = None,
+) -> dict:
+    """Resumable run: lake files → ``num_partitions`` groups; each
+    group is one streaming pipeline whose output lands atomically with
+    a manifest (state/manifest.py).  A re-run skips partitions whose
+    lineage matches — zero reprocessing (reference resume semantics,
+    /root/reference/src/pipeline.py:185-211, partition-granular).
+
+    Conversations must not span lake files (the conv-partitioned
+    layout ``datagen.write_lake`` produces; any production lake
+    bucketed by conv hash satisfies this).
+    """
+    files = lake_files(lake_path)
+    config_tag = f"v1|salt={salt_turns}|{cfg.html_min_block_chars}|{cfg.html_max_link_ratio}"
+    partitions = [files[i::num_partitions] for i in range(num_partitions)]
+    partitions = [p for p in partitions if p]
+
+    if force_restart:
+        mf.clear_checkpoints(out_dir)
+    done = mf.completed_partitions(out_dir, partitions, config_tag)
+
+    stats = {"partitions": len(partitions), "skipped": sorted(done), "ran": []}
+    for pid, part_files in enumerate(partitions):
+        if pid in done:
+            continue
+        t0 = time.monotonic()
+        ds = extraction_pipeline(
+            part_files, cfg, run, salt_turns=salt_turns, ordered=True
+        )
+        tmp_dir = f"{out_dir}/.tmp-partition={pid:05d}"
+        ds.write_parquet(tmp_dir)  # streaming consume — no materialize
+        row_count = count_parquet_rows(tmp_dir)
+        mf.atomic_partition_swap(tmp_dir, out_dir, pid)
+        mf.write_manifest(
+            out_dir,
+            mf.PartitionManifest(
+                partition_id=pid,
+                lineage_id=mf.lineage_id(part_files, config_tag),
+                input_files=part_files,
+                row_count=row_count,
+                bytes_out=sum_parquet_bytes(mf.partition_dir(out_dir, pid)),
+                wall_ms=(time.monotonic() - t0) * 1000.0,
+                completed_at=time.time(),
+            ),
+        )
+        stats["ran"].append(pid)
+    return stats
+
+
+def count_parquet_rows(d: str) -> int:
+    """Row count from parquet footers only — no data scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, names in os.walk(d):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, n)).num_rows
+    return total
+
+
+def sum_parquet_bytes(d: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, names in os.walk(d):
+        total += sum(
+            os.path.getsize(os.path.join(root, n))
+            for n in names
+            if n.endswith(".parquet")
+        )
+    return total
+
+
+def read_extracted(out_dir: str) -> ray.data.Dataset:
+    """Reader for the pipeline's partitioned output (reference S14)."""
+    import os
+
+    parts = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("partition=")
+    )
+    return ray.data.read_parquet(parts if parts else out_dir)

@@ -1,0 +1,430 @@
+"""Conversation-level stage: the conv_id shuffle + stitch/resolve.
+
+Plain path (default): ONE hash-partition shuffle —
+``groupby("conv_id").map_groups(fn, batch_format="pyarrow")`` where
+``fn`` sorts the group by ``turn_idx``, deduplicates dirty-lake
+duplicate turns (last-write-wins by ``ts``,
+/root/reference/src/reviewer.py:251-264 semantics), then runs the
+sequential fold + document-order reference resolution
+(functions/stitch.py).  Embarrassingly parallel across conversations
+(SURVEY §4.3).
+
+Salted path (mega-conversation skew): a conversation is an
+unsplittable group for ``map_groups``, so giant conversations are
+sharded by ``(conv_id, turn_idx // W)``:
+
+1. ``groupby(shard_key)`` stitches inside each shard, *deferring* the
+   shard's leading continuation chain (raw fragments, JSON) and
+   exporting its trailing open unit + carried unit-id state;
+2. a second ``groupby(conv_id)`` over ONLY the boundary rows (a few
+   rows per shard, independent of shard size) replays the fold across
+   shard boundaries — chains crossing any number of cuts merge
+   exactly as in the plain path;
+3. a final ``groupby(conv_id)`` over the (now small, payload-free)
+   unit records runs document-order reference resolution.
+
+The skew a shard shuffle can't fix — raw payload bytes concentrated in
+one conversation — is gone after step 1, because only extracted unit
+text crosses the later shuffles.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ..functions.segment import Fragment
+from ..functions.stitch import (
+    FoldState,
+    OutputRow,
+    TurnInput,
+    UnitRecord,
+    resolve_conversation,
+    stitch_conversation,
+)
+from ..schema import EXTRACTED_SCHEMA, SPAN_TYPE
+
+# Intermediate schema for the salted path (unit records + boundary rows).
+UNIT_RECORD_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("shard", pa.int64()),
+        ("head_turn", pa.int32()),
+        ("seq", pa.int32()),
+        ("last_turn", pa.int32()),
+        ("unit_id", pa.string()),
+        ("part_id", pa.string()),
+        ("question", pa.string()),
+        ("answer", pa.string()),
+        ("open", pa.bool_()),
+        ("continued", pa.bool_()),
+        ("parse_error", pa.bool_()),
+        ("needs_id", pa.bool_()),
+        ("is_boundary", pa.bool_()),
+        ("payload_json", pa.string()),  # deferred turns / shard meta
+        ("spans", pa.list_(SPAN_TYPE)),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Arrow <-> python converters
+# --------------------------------------------------------------------------
+
+def _group_to_turns(group: pa.Table) -> list[TurnInput]:
+    """Sort a conversation group by (turn_idx, ts) and fold duplicate
+    (conv_id, turn_idx) rows last-write-wins by ts."""
+    cols = group.column_names
+    has_ts = "ts" in cols
+    order = [("turn_idx", "ascending")] + ([("ts", "ascending")] if has_ts else [])
+    group = group.sort_by(order)
+
+    turn_idx = group.column("turn_idx").to_pylist()
+    fragments = group.column("fragments").to_pylist()
+    spans = group.column("spans").to_pylist()
+    errs = group.column("parse_error").to_pylist()
+
+    turns: list[TurnInput] = []
+    for i in range(len(turn_idx)):
+        ti = TurnInput(
+            turn_idx=turn_idx[i],
+            fragments=[Fragment(**f) for f in (fragments[i] or [])],
+            spans=[(s["start"], s["end"], s["kind"]) for s in (spans[i] or [])],
+            parse_error=bool(errs[i]),
+        )
+        if turns and turns[-1].turn_idx == ti.turn_idx:
+            turns[-1] = ti  # newest wins (rows pre-sorted by ts)
+        else:
+            turns.append(ti)
+    return turns
+
+
+def _rows_to_table(conv_id: str, rows: list[OutputRow]) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array([conv_id] * len(rows), type=pa.string()),
+            "turn_idx": pa.array([r.turn_idx for r in rows], type=pa.int32()),
+            "unit_id": pa.array([r.unit_id for r in rows], type=pa.string()),
+            "extracted_text": pa.array(
+                [r.extracted_text for r in rows], type=pa.string()
+            ),
+            "spans": pa.array(
+                [
+                    [{"start": s, "end": e, "kind": k} for s, e, k in r.spans]
+                    for r in rows
+                ],
+                type=pa.list_(SPAN_TYPE),
+            ),
+            "turn_span": pa.array(
+                [list(r.turn_span) for r in rows], type=pa.list_(pa.int32(), 2)
+            ),
+            "flags": pa.array(
+                [
+                    {
+                        "continued": r.continued,
+                        "resolved": r.resolved,
+                        "had_refs": r.had_refs,
+                        "parse_error": r.parse_error,
+                    }
+                    for r in rows
+                ],
+                type=EXTRACTED_SCHEMA.field("flags").type,
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# plain path
+# --------------------------------------------------------------------------
+
+def conversation_group_fn(group: pa.Table) -> pa.Table:
+    """map_groups body: one conversation in, extracted rows out."""
+    conv_id = group.column("conv_id")[0].as_py()
+    turns = _group_to_turns(group)
+    units, _ = stitch_conversation(turns)
+    rows = resolve_conversation(units)
+    return _rows_to_table(conv_id, rows)
+
+
+def stitch_conversations(ds, *, salt_turns: int | None = None):
+    """The wide step.  ``ds`` is the turn-extraction output (schema
+    TURN_EXTRACTED + optional ts column).  Returns extracted rows."""
+    if salt_turns:
+        return _stitch_salted(ds, salt_turns)
+    return ds.groupby("conv_id").map_groups(
+        conversation_group_fn, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# salted path
+# --------------------------------------------------------------------------
+
+def _frag_to_dict(f: Fragment) -> dict:
+    return {
+        "kind": f.kind,
+        "unit_id": f.unit_id,
+        "part_id": f.part_id,
+        "question": f.question,
+        "answer": f.answer,
+        "continues_next": f.continues_next,
+        "continued_prev": f.continued_prev,
+    }
+
+
+def _unit_to_row(conv_id: str, shard: int, u: UnitRecord, is_boundary: bool) -> dict:
+    return {
+        "conv_id": conv_id,
+        "shard": shard,
+        "head_turn": u.head_turn,
+        "seq": u.seq,
+        "last_turn": u.last_turn,
+        "unit_id": u.unit_id,
+        "part_id": u.part_id,
+        "question": u.question,
+        "answer": u.answer,
+        "open": u.open,
+        "continued": u.continued,
+        "parse_error": u.parse_error,
+        "needs_id": u.needs_id,
+        "is_boundary": is_boundary,
+        "payload_json": "",
+        "spans": [{"start": s, "end": e, "kind": k} for s, e, k in u.spans],
+    }
+
+
+def _row_to_unit(r: dict) -> UnitRecord:
+    return UnitRecord(
+        unit_id=r["unit_id"],
+        part_id=r["part_id"],
+        question=r["question"],
+        answer=r["answer"],
+        head_turn=r["head_turn"],
+        last_turn=r["last_turn"],
+        seq=r["seq"],
+        open=r["open"],
+        continued=r["continued"],
+        parse_error=r["parse_error"],
+        needs_id=r["needs_id"],
+        spans=[(s["start"], s["end"], s["kind"]) for s in (r["spans"] or [])],
+    )
+
+
+def _records_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return UNIT_RECORD_SCHEMA.empty_table()
+    cols = {
+        f.name: pa.array([r[f.name] for r in rows], type=f.type)
+        for f in UNIT_RECORD_SCHEMA
+    }
+    return pa.table(cols)
+
+
+def _shard_group_fn(group: pa.Table) -> pa.Table:
+    """Pass 1: stitch inside one (conv_id, shard) group.
+
+    Defers the leading continuation chain raw; everything after it is
+    folded normally.  Emits unit-record rows plus one meta row carrying
+    the shard's trailing fold state."""
+    conv_id = group.column("conv_id")[0].as_py()
+    shard = group.column("_shard")[0].as_py()
+    turns = _group_to_turns(group)
+
+    # Maximal deferred prefix: t0 if it opens with a loose continuation,
+    # then each next turn while the chain keeps flowing.
+    deferred: list[TurnInput] = []
+    i = 0
+    while i < len(turns):
+        t = turns[i]
+        frag0 = t.fragments[0] if t.fragments else None
+        starts_cont = frag0 is not None and frag0.kind == "cont"
+        if i == 0:
+            if not starts_cont:
+                break
+        else:
+            prev = turns[i - 1]
+            prev_last = prev.fragments[-1] if prev.fragments else None
+            if not (
+                starts_cont
+                and prev_last is not None
+                and prev_last.continues_next
+                and prev.turn_idx == t.turn_idx - 1
+            ):
+                break
+        deferred.append(t)
+        i += 1
+
+    units, state = stitch_conversation(turns[i:])
+
+    rows: list[dict] = []
+    for t in deferred:
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "shard": shard,
+                "head_turn": t.turn_idx,
+                "seq": -1,
+                "last_turn": t.turn_idx,
+                "unit_id": "",
+                "part_id": "",
+                "question": "",
+                "answer": "",
+                "open": False,
+                "continued": False,
+                "parse_error": t.parse_error,
+                "needs_id": False,
+                "is_boundary": True,
+                "payload_json": json.dumps(
+                    {
+                        "deferred_turn": {
+                            "turn_idx": t.turn_idx,
+                            "fragments": [_frag_to_dict(f) for f in t.fragments],
+                            "spans": [list(s) for s in t.spans],
+                            "parse_error": t.parse_error,
+                        }
+                    }
+                ),
+                "spans": [],
+            }
+        )
+
+    for u in units:
+        boundary = u.open or u.needs_id
+        rows.append(_unit_to_row(conv_id, shard, u, boundary))
+
+    # Shard meta: trailing fold state for pass 2.
+    rows.append(
+        {
+            "conv_id": conv_id,
+            "shard": shard,
+            "head_turn": 2**31 - 1,
+            "seq": 2**31 - 1,
+            "last_turn": 0,
+            "unit_id": "",
+            "part_id": "",
+            "question": "",
+            "answer": "",
+            "open": False,
+            "continued": False,
+            "parse_error": False,
+            "needs_id": False,
+            "is_boundary": True,
+            "payload_json": json.dumps(
+                {
+                    "meta": {
+                        "stitched_any": bool(turns[i:]),
+                        "final_luid": state.last_unit_id,
+                        "has_open": state.open_unit is not None,
+                    }
+                }
+            ),
+            "spans": [],
+        }
+    )
+    return _records_table(rows)
+
+
+def _boundary_group_fn(group: pa.Table) -> pa.Table:
+    """Pass 2: replay the fold across one conversation's shard
+    boundaries.  Input: only boundary rows (deferred turns, open /
+    needs_id records, shard metas) — a few rows per shard."""
+    conv_id = group.column("conv_id")[0].as_py()
+    group = group.sort_by([("shard", "ascending"), ("head_turn", "ascending"), ("seq", "ascending")])
+    items = group.to_pylist()
+
+    # Bucket rows per shard preserving order.
+    shards: dict[int, list[dict]] = {}
+    for r in items:
+        shards.setdefault(r["shard"], []).append(r)
+
+    carry = FoldState()
+    out_units: list[UnitRecord] = []
+
+    for shard in sorted(shards):
+        deferred_turns: list[TurnInput] = []
+        recs: list[UnitRecord] = []
+        meta: dict = {}
+        for r in shards[shard]:
+            if r["payload_json"]:
+                payload = json.loads(r["payload_json"])
+                if "deferred_turn" in payload:
+                    d = payload["deferred_turn"]
+                    deferred_turns.append(
+                        TurnInput(
+                            turn_idx=d["turn_idx"],
+                            fragments=[Fragment(**f) for f in d["fragments"]],
+                            spans=[tuple(s) for s in d["spans"]],
+                            parse_error=d["parse_error"],
+                        )
+                    )
+                else:
+                    meta = payload["meta"]
+            else:
+                recs.append(_row_to_unit(r))
+
+        # (1) replay the deferred prefix with the carried state.
+        prefix_units, carry_after_prefix = stitch_conversation(deferred_turns, carry)
+        out_units.extend(prefix_units)
+
+        # (2) fill orphan-part ids that pass 1 couldn't resolve.
+        luid = carry_after_prefix.last_unit_id
+        open_rec: UnitRecord | None = None
+        for u in recs:
+            if u.needs_id and not u.unit_id:
+                u.unit_id = luid
+                u.needs_id = False
+            if u.open:
+                open_rec = u
+            out_units.append(u)
+
+        # (3) advance the carry into the next shard.
+        if meta.get("stitched_any"):
+            carry = FoldState(
+                open_unit=open_rec,
+                last_unit_id=meta.get("final_luid") or luid,
+            )
+        else:
+            # Shard fully deferred: the prefix fold's state carries on.
+            carry = carry_after_prefix
+
+    return _records_table(
+        [_unit_to_row(conv_id, -1, u, False) for u in out_units]
+    )
+
+
+def _resolve_group_fn(group: pa.Table) -> pa.Table:
+    """Pass 3: document-order reference resolution over one
+    conversation's unit records (payload-free, small)."""
+    conv_id = group.column("conv_id")[0].as_py()
+    group = group.sort_by([("head_turn", "ascending"), ("seq", "ascending")])
+    units = [_row_to_unit(r) for r in group.to_pylist()]
+    rows = resolve_conversation(units)
+    return _rows_to_table(conv_id, rows)
+
+
+def _stitch_salted(ds, salt_turns: int):
+    import pyarrow.compute as pc
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.floor(
+            pc.divide(pc.cast(batch.column("turn_idx"), pa.float64()), salt_turns)
+        ).cast(pa.int64())
+        return batch.append_column("_shard", shard)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow")
+    pass1 = sharded.groupby(["conv_id", "_shard"]).map_groups(
+        _shard_group_fn, batch_format="pyarrow"
+    )
+
+    boundary = pass1.filter(expr="is_boundary == True")
+    final = pass1.filter(expr="is_boundary == False")
+
+    merged = boundary.groupby("conv_id").map_groups(
+        _boundary_group_fn, batch_format="pyarrow"
+    )
+
+    return final.union(merged).groupby("conv_id").map_groups(
+        _resolve_group_fn, batch_format="pyarrow"
+    )

@@ -99,16 +99,19 @@ class TurnExtractor:
             )
             err_col.append(err)
 
-        return pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx").cast(pa.int32()),
-                "fragments": pa.array(
-                    fragments_col, type=TURN_EXTRACTED_SCHEMA.field("fragments").type
-                ),
-                "spans": pa.array(
-                    spans_col, type=TURN_EXTRACTED_SCHEMA.field("spans").type
-                ),
-                "parse_error": pa.array(err_col, type=pa.bool_()),
-            }
-        )
+        cols = {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx").cast(pa.int32()),
+            "fragments": pa.array(
+                fragments_col, type=TURN_EXTRACTED_SCHEMA.field("fragments").type
+            ),
+            "spans": pa.array(
+                spans_col, type=TURN_EXTRACTED_SCHEMA.field("spans").type
+            ),
+            "parse_error": pa.array(err_col, type=pa.bool_()),
+        }
+        # ts rides along (8 bytes/row) so the conversation stage can
+        # dedup dirty-lake duplicate turns last-write-wins.
+        if "ts" in batch.column_names:
+            cols["ts"] = batch.column("ts")
+        return pa.table(cols)
