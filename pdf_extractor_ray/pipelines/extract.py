@@ -168,11 +168,10 @@ def sum_parquet_bytes(d: str) -> int:
 
 def read_extracted(out_dir: str) -> ray.data.Dataset:
     """Reader for the pipeline's partitioned output (reference S14)."""
+    import glob
     import os
 
-    parts = sorted(
-        os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("partition=")
+    files = sorted(
+        glob.glob(os.path.join(out_dir, "partition=*", "**", "*.parquet"), recursive=True)
     )
-    return ray.data.read_parquet(parts if parts else out_dir)
+    return ray.data.read_parquet(files if files else out_dir)
