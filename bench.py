@@ -1,0 +1,190 @@
+"""Benchmark harness (driver contract).
+
+Headline: flagship transcript-extraction pipeline (read → actor-pool
+turn extraction → conv_id stitch shuffle → ordered output) over a
+deterministic bench lake sized to the scale factor, measured as
+wall-clock seconds of a full streaming consume.  Also times each
+driver-contract query over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "turns": T, "turns_per_sec": r}
+
+--scaling: reruns the headline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+node clusters — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Bench-lake size by scale factor (conversations; ~10.5 turns avg +
+# mega-conversation skew fixtures).
+_BENCH_CONVS = {"sf0.001": 100, "sf0.01": 600, "sf0.1": 5000}
+_SEED = 42
+
+
+def bench_lake_path(sf_name: str) -> str:
+    n = _BENCH_CONVS.get(sf_name, 600)
+    return f"/tmp/graft_bench/lake_{sf_name}_n{n}"
+
+
+def ensure_bench_lake(sf_name: str) -> str:
+    """Generate the bench lake once (parallel via Ray, cached)."""
+    import ray
+    import ray.data
+
+    out = bench_lake_path(sf_name)
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+
+    from pdf_extractor_ray.datagen import conversation_rows
+
+    n = _BENCH_CONVS.get(sf_name, 600)
+    os.makedirs(out, exist_ok=True)
+
+    def gen(batch):
+        import pyarrow as pa
+
+        from pdf_extractor_ray.schema import TRANSCRIPT_SCHEMA
+
+        rows = []
+        for cid in batch["id"]:
+            rows.extend(conversation_rows(int(cid), seed=_SEED, mega_every=400))
+        cols = {name: [r[name] for r in rows] for name in TRANSCRIPT_SCHEMA.names}
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in TRANSCRIPT_SCHEMA],
+            schema=TRANSCRIPT_SCHEMA,
+        )
+
+    (
+        ray.data.range(n)
+        .repartition(max(8, NUM_CPUS))
+        .map_batches(gen, batch_size=64, batch_format="numpy")
+        .write_parquet(out)
+    )
+    open(marker, "w").write("ok")
+    return out
+
+
+def consume(ds) -> int:
+    """Stream the dataset to completion; return row count."""
+    total = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        total += batch.num_rows
+    return total
+
+
+def run_headline(lake: str) -> tuple[float, int, int]:
+    import ray.data
+
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+    # Warm OS page cache (untimed): one full read of the input.
+    n_turns = ray.data.read_parquet(lake).count()
+
+    t0 = time.monotonic()
+    out_rows = consume(extraction_pipeline(lake))
+    dt = time.monotonic() - t0
+    return dt, n_turns, out_rows
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        if name == "extract_transcripts":
+            continue  # covered by the headline at bench scale
+        t0 = time.monotonic()
+        try:
+            fn(sf_dir)
+            times[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            times[name] = -1.0
+            print(f"[bench] query {name} failed: {e}", file=sys.stderr)
+    return times
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sf_name = os.path.basename(os.path.normpath(SF_DIR)) or "sf0.1"
+    lake = ensure_bench_lake(sf_name)
+
+    headline_sec, n_turns, _ = run_headline(lake)
+    queries = run_queries(SF_DIR)
+
+    print(
+        json.dumps(
+            {
+                "metric": "transcript extraction wall time (read->parse->stitch->order, streaming consume)",
+                "value": round(headline_sec, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_name,
+                "num_cpus": NUM_CPUS,
+                "turns": n_turns,
+                "turns_per_sec": round(n_turns / headline_sec, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "turns": r_hi["turns"],
+                "turns_per_sec_8": r_lo["turns_per_sec"],
+                "turns_per_sec_32": r_hi["turns_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,106 @@
+"""Text-analysis primitives for training-data pipelines.
+
+Beyond the reference's surface (task brief): language id (n-gram /
+stopword heuristic), quality scoring (length / punctuation / stopword
+ratios), token counting (BPE-ish regex), and document fingerprinting
+(rolling hash).  All deterministic and vectorization-friendly.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# Tiny per-language stopword profiles (public common-word lists).
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for on with as are be".split()),
+    "de": frozenset("der die das und ist von zu mit den nicht ein eine im".split()),
+    "fr": frozenset("le la les et de des un une est dans que pour sur".split()),
+    "es": frozenset("el la los las y de del un una es en que por con".split()),
+    "zh": frozenset("的 是 在 了 和 有 我 不 这 他 也 就 人 都".split()),
+}
+
+_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+# BPE-ish token splitter: words, numbers, punctuation runs (a public
+# GPT-2-style pre-tokenization shape, simplified and deterministic).
+TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def token_count(text: str) -> int:
+    return len(TOKEN_RE.findall(text))
+
+
+def detect_language(text: str) -> str:
+    """Stopword-profile vote; CJK codepoint share short-circuits zh."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if cjk > len(text[:400]) * 0.2:
+        return "zh"
+    words = [w.lower() for w in _WORD_RE.findall(text)[:300]]
+    if not words:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in sorted(_STOPWORDS):  # sorted → deterministic tie-break
+        sw = _STOPWORDS[lang]
+        hits = sum(1 for w in words if w in sw)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang if best_hits >= max(2, len(words) // 50) else "und"
+
+
+def quality_score(text: str) -> dict[str, float]:
+    """Deterministic quality features + composite score in [0, 1]."""
+    n = len(text)
+    if n == 0:
+        return {
+            "n_chars": 0.0,
+            "n_tokens": 0.0,
+            "stop_ratio": 0.0,
+            "punct_ratio": 0.0,
+            "mean_word_len": 0.0,
+            "quality": 0.0,
+        }
+    words = _WORD_RE.findall(text)
+    n_words = len(words)
+    lowered = [w.lower() for w in words]
+    en_sw = _STOPWORDS["en"]
+    stop_ratio = sum(1 for w in lowered if w in en_sw) / n_words if n_words else 0.0
+    punct = sum(1 for ch in text if not ch.isalnum() and not ch.isspace())
+    punct_ratio = punct / n
+    mean_word_len = (sum(len(w) for w in words) / n_words) if n_words else 0.0
+    # Composite: reward document-like stopword share and sane word
+    # lengths; penalize punctuation soup (thresholds are heuristic
+    # constants, frozen for determinism).
+    quality = 1.0
+    if n < 50:
+        quality *= 0.5
+    if stop_ratio < 0.05:
+        quality *= 0.6
+    if punct_ratio > 0.3:
+        quality *= 0.4
+    if not 2.0 <= mean_word_len <= 12.0:
+        quality *= 0.7
+    return {
+        "n_chars": float(n),
+        "n_tokens": float(token_count(text)),
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_word_len": mean_word_len,
+        "quality": quality,
+    }
+
+
+_FP_BASE = 1099511628211
+_FP_OFFSET = 14695981039346656037
+_FP_MASK = (1 << 64) - 1
+
+
+def fingerprint(text: str) -> int:
+    """FNV-1a 64-bit hash over the whitespace-normalized text — a
+    cheap, stable document fingerprint (exact-dedup key)."""
+    h = _FP_OFFSET
+    for b in " ".join(text.split()).encode("utf-8"):
+        h = ((h ^ b) * _FP_BASE) & _FP_MASK
+    return h

@@ -1,0 +1,682 @@
+"""Driver-contract query pipelines + DuckDB oracle SQL.
+
+One entry per implemented operator family (SURVEY §2 + the
+training-data extras), each expressed Ray-Data-first over the driver's
+testdata tables and — where ANSI-SQL-expressible — paired with an
+equivalent DuckDB oracle (same column NAMES, floats rounded, *ts*
+columns cast to epoch microseconds for engine-neutral hashing).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.textstats import detect_language, quality_score
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages.multimodal import featurize_media
+from ..stages.text_analysis import TextAnalyzer
+
+# Token pattern — IDENTICAL semantics in Python (functions.textstats
+# .TOKEN_RE) and DuckDB regexp_extract_all.
+TOKEN_SQL_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _to_table(ds: ray.data.Dataset) -> pa.Table:
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+# --------------------------------------------------------------------------
+# flagship: transcript extraction (rows-only check; goldens cover equality)
+# --------------------------------------------------------------------------
+
+_SF_CONVS = {"sf0.001": 16, "sf0.01": 48, "sf0.1": 160}
+
+
+def transcripts_path_for(sf_dir: str) -> str:
+    """Deterministic transcript lake cached per scale factor."""
+    from ..datagen import write_lake
+
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    n = _SF_CONVS.get(sf, 48)
+    out = f"/tmp/graft_transcripts/{sf}_n{n}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        write_lake(out, n_convs=n, seed=42, convs_per_file=8, mega_every=max(8, n // 2))
+        open(marker, "w").write("ok")
+    return out
+
+
+def q_extract_transcripts(sf_dir: str):
+    from .extract import extraction_pipeline
+
+    lake = transcripts_path_for(sf_dir)
+    ds = extraction_pipeline(lake)
+    return _to_table(ds.select_columns(["conv_id", "turn_idx", "unit_id", "extracted_text"]))
+
+
+# --------------------------------------------------------------------------
+# stitch analogue on events: per-user ordered sessionization (A1/O1)
+# --------------------------------------------------------------------------
+
+def q_events_sessionize(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [np.int64(len(g))],
+                "first_ts_us": [np.int64(ts_us.min())],
+                "last_ts_us": [np.int64(ts_us.max())],
+                "event_path": ["->".join(g["event_type"])],
+            }
+        )
+
+    return _to_table(ds.groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id,
+       count(*)                                        AS n_events,
+       epoch_us(min(ts))                               AS first_ts_us,
+       epoch_us(max(ts))                               AS last_ts_us,
+       string_agg(event_type, '->' ORDER BY ts, event_id) AS event_path
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# filter + projection with predicate pushdown (S8)
+# --------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"),
+        columns=["doc_id", "source", "lang", "n_chars"],
+        filter=(pads.field("lang") == "en") & (pads.field("n_chars") >= 200),
+    )
+    return _to_table(ds.select_columns(["doc_id", "source", "n_chars"]))
+
+
+SQL_FILTER_PROJECT = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE lang = 'en' AND n_chars >= 200
+"""
+
+
+# --------------------------------------------------------------------------
+# aggregate rollup (A4)
+# --------------------------------------------------------------------------
+
+def q_agg_rollup(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("sum_value"),
+        "sum_value",
+        pc.round(t.column("sum_value"), ndigits=4),
+    ).set_column(
+        t.schema.get_field_index("avg_value"),
+        "avg_value",
+        pc.round(t.column("avg_value"), ndigits=4),
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast join (J2): orders ⋈ customer (small side via ray.put)
+# --------------------------------------------------------------------------
+
+def q_join_broadcast(sf_dir: str):
+    cust = pa.parquet.read_table(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_by_key = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist())
+    )
+    seg_ref = ray.put(seg_by_key)
+
+    class AddSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg.get(k) for k in batch.column("o_custkey").to_pylist()]
+            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
+    ).map_batches(AddSegment, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+
+    out = ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("revenue"),
+        "revenue",
+        pc.round(t.column("revenue"), ndigits=4),
+    )
+
+
+SQL_JOIN_BROADCAST = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# distributed hash join, both sides large (J1 general form)
+# --------------------------------------------------------------------------
+
+def q_join_hash(sf_dir: str):
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    joined = lineitem.map_batches(revenue, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("revenue"),
+        "revenue",
+        pc.round(t.column("revenue"), ndigits=2),
+    )
+
+
+SQL_JOIN_HASH = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# sort + top-k (O1/O3)
+# --------------------------------------------------------------------------
+
+def q_sort_topk(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    out = ds.sort([("n_chars"), ("doc_id")], descending=[True, False]).limit(10)
+    return _to_table(out)
+
+
+SQL_SORT_TOPK = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup (D1)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return _to_table(dd.exact_dedup(ds))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+# --------------------------------------------------------------------------
+# newest-wins dedup (D1, reviewer merge semantics)
+# --------------------------------------------------------------------------
+
+def q_dedup_latest(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts"]
+    )
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "event_type": g["event_type"].values,
+                "event_id": g["event_id"].values,
+                "ts_us": g["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    return _to_table(
+        ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_LATEST = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# regex reference scan (M10) — vectorized arrow kernels
+# --------------------------------------------------------------------------
+
+def q_refs_regex(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "has_spark": pc.match_substring_regex(text, "spark"),
+                "has_joinagg": pc.match_substring_regex(text, "join|agg"),
+            }
+        )
+
+    out = (
+        ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("has_spark", alias_name="n_spark"),
+            Sum("has_joinagg", alias_name="n_joinagg"),
+        )
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("n_spark"), "n_spark", t.column("n_spark").cast(pa.int64())
+    ).set_column(
+        t.schema.get_field_index("n_joinagg"), "n_joinagg", t.column("n_joinagg").cast(pa.int64())
+    )
+
+
+SQL_REFS_REGEX = """
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS n_spark,
+       sum(CASE WHEN regexp_matches(text, 'join|agg') THEN 1 ELSE 0 END) AS n_joinagg
+FROM documents GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# token counting (text analysis)
+# --------------------------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    analyzed = ds.map_batches(
+        TextAnalyzer,
+        fn_constructor_kwargs={"text_col": "text", "features": ("tokens",)},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _to_table(
+        analyzed.select_columns(["lang", "n_tokens"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens"))
+    )
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '{TOKEN_SQL_RE}'))) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic sample (O2 surrogate)
+# --------------------------------------------------------------------------
+
+def q_sample_det(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
+    )
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 3))
+
+    return _to_table(ds.map_batches(pick, batch_format="pyarrow"))
+
+
+SQL_SAMPLE_DET = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
+"""
+
+
+# --------------------------------------------------------------------------
+# tumbling window (streaming-shaped, ray_guide pattern)
+# --------------------------------------------------------------------------
+
+def q_window_tumbling(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "hour_bucket": hour,
+                "value": batch.column("value"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("sum_value"),
+        "sum_value",
+        pc.round(t.column("sum_value"), ndigits=4),
+    )
+
+
+SQL_WINDOW_TUMBLING = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, hour_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (SQL-checkable as neighbor sets)
+# --------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2]
+_ANN_K = 10
+
+
+def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
+    t = pa.parquet.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    wanted = {}
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    for i, v in zip(ids, vecs):
+        if i in _ANN_QUERY_IDS:
+            wanted[i] = v
+    return wanted
+
+
+def q_ann_bruteforce(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = sim.brute_force_topk(ds, _query_vectors(sf_dir), k=_ANN_K)
+    return _to_table(out).select(["query_id", "vec_id"])
+
+
+SQL_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id FROM (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                     e.vec_id ASC) AS rk
+  FROM embeddings e CROSS JOIN q)
+WHERE rk <= {_ANN_K}
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate variant (no SQL oracle: approximate by
+    construction — driver records rows-only)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = sim.ivf_topk(ds, _query_vectors(sf_dir), k=_ANN_K)
+    return _to_table(out).select(["query_id", "vec_id", "cosine"])
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (binary payloads; fake codec, real schema)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(sf_dir: str):
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "kind": pa.array(["image"] * len(payloads), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", batch_size=64)
+    feats = featurize_media(media, batch_size=32)
+    return _to_table(feats.select_columns(["media_id", "n_bytes"]))
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id, strlen(text) AS n_bytes FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible heuristics)
+# --------------------------------------------------------------------------
+
+def q_langid(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def lid(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(
+                    [detect_language(t or "") for t in batch.column("text").to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return _to_table(ds.map_batches(lid, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_quality(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def qual(batch: pa.Table) -> pa.Table:
+        scores = [quality_score(t or "") for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality": pa.array([round(s["quality"], 6) for s in scores], pa.float64()),
+                "stop_ratio": pa.array([round(s["stop_ratio"], 6) for s in scores], pa.float64()),
+            }
+        )
+
+    return _to_table(ds.map_batches(qual, batch_format="pyarrow", zero_copy_batch=True))
+
+
+_PLANT_OFFSET = 1_000_000
+
+
+def _docs_with_planted_neardups(sf_dir: str, n: int = 20) -> ray.data.Dataset:
+    """documents ∪ {near-copies of the first n docs} (deterministic) —
+    the synthetic corpus has no natural near-dups, so the near-dup
+    operators are exercised against planted ones whose expected pairs
+    are known: (i, i + 1_000_000)."""
+    base = pa.parquet.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ids = base.column("doc_id").to_pylist()
+    texts = base.column("text").to_pylist()
+    dup_ids, dup_texts = [], []
+    for i, t in zip(ids, texts):
+        if i < n:
+            dup_ids.append(i + _PLANT_OFFSET)
+            dup_texts.append((t or "") + " tail")  # tiny perturbation
+    dups = pa.table(
+        {"doc_id": pa.array(dup_ids, pa.int64()), "text": pa.array(dup_texts, pa.string())}
+    )
+    return ray.data.from_arrow(pa.concat_tables([base, dups]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _docs_with_planted_neardups(sf_dir)
+    out = dd.minhash_candidate_pairs(ds, est_threshold=0.5)
+    return _to_table(out).select(["id_a", "id_b", "est_jaccard"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    ds = _docs_with_planted_neardups(sf_dir)
+    out = dd.minhash_dedup(ds, jaccard_threshold=0.8)
+    return _to_table(out).select(["doc_id"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _docs_with_planted_neardups(sf_dir)
+    return _to_table(dd.simhash_pairs(ds, max_hamming=3))
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard verification of MinHash candidates (the exact
+    similarity surface of the est_jaccard candidates)."""
+    from ..functions.hashing import ngram_jaccard
+
+    ds = _docs_with_planted_neardups(sf_dir)
+    pairs = _to_table(dd.minhash_candidate_pairs(ds, est_threshold=0.5))
+    docs = _to_table(ds)
+    text_by_id = dict(
+        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    )
+    out = []
+    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
+        out.append(
+            {
+                "id_a": a,
+                "id_b": b,
+                "jaccard": round(ngram_jaccard(text_by_id[a] or "", text_by_id[b] or ""), 6),
+            }
+        )
+    return pa.Table.from_pylist(
+        out,
+        schema=pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+        ),
+    )
+
+
+def q_embed_neardup(sf_dir: str):
+    base = pa.parquet.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = base.column("vec_id").to_pylist()
+    vecs = base.column("embedding").to_pylist()
+    dup_ids, dup_vecs = [], []
+    for i, v in zip(ids, vecs):
+        if i < 20:
+            dup_ids.append(i + _PLANT_OFFSET)
+            dup_vecs.append([x * 1.001 + 0.0005 for x in v])  # near-copy
+    dups = pa.table(
+        {
+            "vec_id": pa.array(dup_ids, pa.int64()),
+            "embedding": pa.array(dup_vecs, base.schema.field("embedding").type),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([base, dups]))
+    return _to_table(dd.embedding_neardup_pairs(ds, cos_threshold=0.95))
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "extract_transcripts": q_extract_transcripts,
+    "events_sessionize": q_events_sessionize,
+    "filter_project": q_filter_project,
+    "agg_rollup": q_agg_rollup,
+    "join_broadcast": q_join_broadcast,
+    "join_hash": q_join_hash,
+    "sort_topk": q_sort_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_latest": q_dedup_latest,
+    "refs_regex": q_refs_regex,
+    "token_count": q_token_count,
+    "sample_det": q_sample_det,
+    "window_tumbling": q_window_tumbling,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_ivf": q_ann_ivf,
+    "multimodal_meta": q_multimodal_meta,
+    "langid": q_langid,
+    "quality": q_quality,
+    "minhash_pairs": q_minhash_pairs,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embed_neardup": q_embed_neardup,
+}
+
+ORACLES = {
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "filter_project": SQL_FILTER_PROJECT,
+    "agg_rollup": SQL_AGG_ROLLUP,
+    "join_broadcast": SQL_JOIN_BROADCAST,
+    "join_hash": SQL_JOIN_HASH,
+    "sort_topk": SQL_SORT_TOPK,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_latest": SQL_DEDUP_LATEST,
+    "refs_regex": SQL_REFS_REGEX,
+    "token_count": SQL_TOKEN_COUNT,
+    "sample_det": SQL_SAMPLE_DET,
+    "window_tumbling": SQL_WINDOW_TUMBLING,
+    "ann_bruteforce": SQL_ANN_BRUTEFORCE,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}
