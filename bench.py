@@ -28,14 +28,17 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Bench-lake size by scale factor (conversations; ~10.5 turns avg +
-# mega-conversation skew fixtures).
-_BENCH_CONVS = {"sf0.001": 100, "sf0.01": 600, "sf0.1": 5000}
+# mega-conversation skew fixtures).  filler_paras bulks payloads to a
+# realistic per-turn parse cost so compute, not fixed overhead,
+# dominates the scaling measurement.
+_BENCH_CONVS = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 12000}
+_FILLER = 6
 _SEED = 42
 
 
 def bench_lake_path(sf_name: str) -> str:
-    n = _BENCH_CONVS.get(sf_name, 600)
-    return f"/tmp/graft_bench/lake_{sf_name}_n{n}"
+    n = _BENCH_CONVS.get(sf_name, 2000)
+    return f"/tmp/graft_bench/lake_{sf_name}_n{n}f{_FILLER}"
 
 
 def ensure_bench_lake(sf_name: str) -> str:
@@ -50,7 +53,7 @@ def ensure_bench_lake(sf_name: str) -> str:
 
     from pdf_extractor_ray.datagen import conversation_rows
 
-    n = _BENCH_CONVS.get(sf_name, 600)
+    n = _BENCH_CONVS.get(sf_name, 2000)
     os.makedirs(out, exist_ok=True)
 
     def gen(batch):
@@ -60,7 +63,11 @@ def ensure_bench_lake(sf_name: str) -> str:
 
         rows = []
         for cid in batch["id"]:
-            rows.extend(conversation_rows(int(cid), seed=_SEED, mega_every=400))
+            rows.extend(
+                conversation_rows(
+                    int(cid), seed=_SEED, mega_every=400, filler_paras=_FILLER
+                )
+            )
         cols = {name: [r[name] for r in rows] for name in TRANSCRIPT_SCHEMA.names}
         return pa.Table.from_arrays(
             [pa.array(cols[f.name], type=f.type) for f in TRANSCRIPT_SCHEMA],

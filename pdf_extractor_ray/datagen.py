@@ -154,6 +154,8 @@ def make_tool_markup(paragraphs: list[str], rng: random.Random) -> str:
 class _TurnDraft:
     paragraphs: list[str]
     kind: str  # html | pdf | tool_markup | "" (plain)
+    no_filler: bool = False  # turns in continuation spans keep their
+    # trailing-fragment flags intact (filler would close the chain)
 
 
 def _unit_text(
@@ -175,7 +177,9 @@ def _unit_text(
     return question, answer
 
 
-def _conversation_script(conv_idx: int, n_turns: int, seed: int) -> list[_TurnDraft]:
+def _conversation_script(
+    conv_idx: int, n_turns: int, seed: int, filler_paras: int = 0
+) -> list[_TurnDraft]:
     """Build the turn drafts of one conversation deterministically."""
     rng = _rng(seed, "conv", conv_idx)
     chapter = (conv_idx % 9) + 1
@@ -219,6 +223,8 @@ def _conversation_script(conv_idx: int, n_turns: int, seed: int) -> list[_TurnDr
                 if k < len(extra) - 1:
                     cont = cont.rstrip(".") + " which gives"
                 drafts[turn + 1 + k].paragraphs.append(cont)
+            for k in range(span):
+                drafts[turn + k].no_filler = True
             turn += span
         elif shape < 0.40 and turn + 1 < n_turns:
             # Multi-part unit with orphan (b)/(c) heads on the next turn.
@@ -247,6 +253,14 @@ def _conversation_script(conv_idx: int, n_turns: int, seed: int) -> list[_TurnDr
         rng_k = _rng(seed, "kind", conv_idx, t)
         if not draft.paragraphs:
             draft.paragraphs = [_para(rng_k, 2)]
+        if filler_paras and not draft.no_filler:
+            # Payload bulk for realistic per-turn parse cost (bench
+            # lakes); content-classed, so it never alters unit
+            # structure or continuation flags.
+            rng_f = _rng(seed, "filler", conv_idx, t)
+            draft.paragraphs.extend(
+                _para(rng_f, rng_f.randint(2, 4)) for _ in range(filler_paras)
+            )
         r = rng_k.random()
         has_unit_head = any(
             p.split(" ", 1)[0].replace(".", "").replace("a", "").isdigit()
@@ -292,6 +306,7 @@ def conversation_rows(
     seed: int = 42,
     mega_every: int = 200,
     base_turns: int = 8,
+    filler_paras: int = 0,
 ) -> list[dict]:
     """All transcript rows of one conversation (pure function of
     (conv_idx, seed) — safe to call from parallel workers)."""
@@ -301,7 +316,7 @@ def conversation_rows(
     else:
         n_turns = max(1, int(rng.expovariate(1.0 / base_turns)) + 1)
 
-    drafts = _conversation_script(conv_idx, n_turns, seed)
+    drafts = _conversation_script(conv_idx, n_turns, seed, filler_paras)
     conv_id = f"c{conv_idx:07d}"
     roles = ("user", "assistant", "tool")
     rows = []
@@ -321,12 +336,18 @@ def conversation_rows(
 
 
 def transcripts_table(
-    n_convs: int, seed: int = 42, conv_offset: int = 0, mega_every: int = 200
+    n_convs: int,
+    seed: int = 42,
+    conv_offset: int = 0,
+    mega_every: int = 200,
+    filler_paras: int = 0,
 ) -> pa.Table:
     """Materialize conversations [offset, offset+n) as one Arrow table."""
     rows: list[dict] = []
     for i in range(conv_offset, conv_offset + n_convs):
-        rows.extend(conversation_rows(i, seed=seed, mega_every=mega_every))
+        rows.extend(
+            conversation_rows(i, seed=seed, mega_every=mega_every, filler_paras=filler_paras)
+        )
     cols = {name: [r[name] for r in rows] for name in TRANSCRIPT_SCHEMA.names}
     arrays = [
         pa.array(cols[f.name], type=f.type) for f in TRANSCRIPT_SCHEMA

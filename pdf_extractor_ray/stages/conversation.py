@@ -136,11 +136,20 @@ def _rows_to_table(conv_id: str, rows: list[OutputRow]) -> pa.Table:
 
 
 # --------------------------------------------------------------------------
-# plain path
+# plain path — explicit hash-bucket shuffle
 # --------------------------------------------------------------------------
+#
+# One map_groups call PER CONVERSATION pays ~ms-level Python overhead
+# per group; at transcript-lake scale (huge conversation counts) that
+# overhead dwarfs the fold itself.  Instead: bucket = crc32(conv_id)
+# % B (deterministic across workers — unlike builtin hash()), ONE
+# group call per bucket, conversations iterated inside the bucket over
+# a single Arrow→Python conversion.  Output is per-conversation
+# deterministic and independent of B.
 
 def conversation_group_fn(group: pa.Table) -> pa.Table:
-    """map_groups body: one conversation in, extracted rows out."""
+    """map_groups body: one conversation in, extracted rows out
+    (kept for unit tests / direct use)."""
     conv_id = group.column("conv_id")[0].as_py()
     turns = _group_to_turns(group)
     units, _ = stitch_conversation(turns)
@@ -148,13 +157,116 @@ def conversation_group_fn(group: pa.Table) -> pa.Table:
     return _rows_to_table(conv_id, rows)
 
 
-def stitch_conversations(ds, *, salt_turns: int | None = None):
+def bucket_group_fn(group: pa.Table) -> pa.Table:
+    """map_groups body for one hash bucket: many conversations,
+    processed sequentially per conversation within one task."""
+    order = [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    if "ts" in group.column_names:
+        order.append(("ts", "ascending"))
+    group = group.sort_by(order)
+
+    conv_ids = group.column("conv_id").to_pylist()
+    turn_idx = group.column("turn_idx").to_pylist()
+    fragments = group.column("fragments").to_pylist()
+    spans = group.column("spans").to_pylist()
+    errs = group.column("parse_error").to_pylist()
+
+    out_conv: list[str] = []
+    out_rows: list[OutputRow] = []
+
+    n = len(conv_ids)
+    start = 0
+    while start < n:
+        end = start
+        cid = conv_ids[start]
+        while end < n and conv_ids[end] == cid:
+            end += 1
+        turns: list[TurnInput] = []
+        for i in range(start, end):
+            ti = TurnInput(
+                turn_idx=turn_idx[i],
+                fragments=[Fragment(**f) for f in (fragments[i] or [])],
+                spans=[(s["start"], s["end"], s["kind"]) for s in (spans[i] or [])],
+                parse_error=bool(errs[i]),
+            )
+            if turns and turns[-1].turn_idx == ti.turn_idx:
+                turns[-1] = ti  # duplicate turn: newest (by ts) wins
+            else:
+                turns.append(ti)
+        units, _ = stitch_conversation(turns)
+        rows = resolve_conversation(units)
+        out_conv.extend([cid] * len(rows))
+        out_rows.extend(rows)
+        start = end
+
+    return _rows_to_table_multi(out_conv, out_rows)
+
+
+def _rows_to_table_multi(conv_ids: list[str], rows: list[OutputRow]) -> pa.Table:
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, type=pa.string()),
+            "turn_idx": pa.array([r.turn_idx for r in rows], type=pa.int32()),
+            "unit_id": pa.array([r.unit_id for r in rows], type=pa.string()),
+            "extracted_text": pa.array(
+                [r.extracted_text for r in rows], type=pa.string()
+            ),
+            "spans": pa.array(
+                [
+                    [{"start": s, "end": e, "kind": k} for s, e, k in r.spans]
+                    for r in rows
+                ],
+                type=pa.list_(SPAN_TYPE),
+            ),
+            "turn_span": pa.array(
+                [list(r.turn_span) for r in rows], type=pa.list_(pa.int32(), 2)
+            ),
+            "flags": pa.array(
+                [
+                    {
+                        "continued": r.continued,
+                        "resolved": r.resolved,
+                        "had_refs": r.had_refs,
+                        "parse_error": r.parse_error,
+                    }
+                    for r in rows
+                ],
+                type=EXTRACTED_SCHEMA.field("flags").type,
+            ),
+        }
+    )
+
+
+def _default_num_buckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(8, cpus * 2)
+
+
+def add_bucket_column(num_buckets: int):
+    import zlib
+
+    def _add(batch: pa.Table) -> pa.Table:
+        ids = batch.column("conv_id").to_pylist()
+        buckets = [zlib.crc32(s.encode()) % num_buckets for s in ids]
+        return batch.append_column("_bucket", pa.array(buckets, pa.int32()))
+
+    return _add
+
+
+def stitch_conversations(
+    ds, *, salt_turns: int | None = None, num_buckets: int | None = None
+):
     """The wide step.  ``ds`` is the turn-extraction output (schema
     TURN_EXTRACTED + optional ts column).  Returns extracted rows."""
     if salt_turns:
         return _stitch_salted(ds, salt_turns)
-    return ds.groupby("conv_id").map_groups(
-        conversation_group_fn, batch_format="pyarrow"
+    b = num_buckets or _default_num_buckets()
+    return (
+        ds.map_batches(add_bucket_column(b), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_group_fn, batch_format="pyarrow")
     )
 
 
