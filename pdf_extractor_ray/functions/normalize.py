@@ -53,9 +53,9 @@ def _build_table() -> dict[int, str]:
 _TRANSLATE_TABLE = _build_table()
 
 _WS_RE = re.compile(r"\s+")
-_EQ_RE = re.compile(r"\s*=\s*")
-_PLUS_RE = re.compile(r"\s*\+\s*")
-_MINUS_RE = re.compile(r"\s*-\s*")
+# One pass over =, +, - (identical output to three sequential passes:
+# each operator occurrence loses its surrounding whitespace).
+_OP_RE = re.compile(r"\s*([=+-])\s*")
 
 # \left( → ( etc., matching the comparison normalizer's replacements
 # (/root/reference/src/evaluator.py:95-100).
@@ -72,7 +72,10 @@ _SOLUTION_PREFIXES = (r"\textbf{Solution.}", "Solution.")
 
 
 def unicode_to_latex(text: str) -> str:
-    """Map unicode math symbols to their LaTeX commands (one pass)."""
+    """Map unicode math symbols to their LaTeX commands (one pass;
+    ASCII fast-path skips the table scan)."""
+    if text.isascii():
+        return text
     return text.translate(_TRANSLATE_TABLE)
 
 
@@ -89,11 +92,10 @@ def normalize_compare(text: str) -> str:
     """Comparison normalizer: whitespace collapse, delimiter + operator
     spacing normalization (evaluator.py:80-107 semantics)."""
     t = _WS_RE.sub(" ", text.strip())
-    for src, dst in _DELIM_PAIRS:
-        t = t.replace(src, dst)
-    t = _EQ_RE.sub("=", t)
-    t = _PLUS_RE.sub("+", t)
-    t = _MINUS_RE.sub("-", t)
+    if "\\" in t:  # delimiter commands only exist alongside backslashes
+        for src, dst in _DELIM_PAIRS:
+            t = t.replace(src, dst)
+    t = _OP_RE.sub(r"\1", t)
     return t
 
 

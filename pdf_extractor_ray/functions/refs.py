@@ -19,26 +19,27 @@ from dataclasses import dataclass
 # Generic reference shapes (no resolvable id) — same 15 semantic
 # patterns as the reference's evaluator REF_PATTERNS
 # (/root/reference/src/evaluator.py:53-69).
-GENERIC_REF_PATTERNS = [
-    re.compile(p, re.IGNORECASE)
-    for p in (
-        r"theorem\s+\d+",
-        r"lemma\s+\d+",
-        r"corollary\s+\d+",
-        r"proposition\s+\d+",
-        r"remark\s+\d+",
-        r"example\s+\d+",
-        r"definition\s+\d+",
-        r"exercise\s+\d+",
-        r"problem\s+\d+",
-        r"equation\s*\(\d+",
-        r"section\s+\d+",
-        r"chapter\s+\d+",
-        r"page\s+\d+",
-        r"see\s+\(\d+",
-        r"from\s+\(\d+",
-    )
-]
+_GENERIC_PATTERNS = (
+    r"theorem\s+\d+",
+    r"lemma\s+\d+",
+    r"corollary\s+\d+",
+    r"proposition\s+\d+",
+    r"remark\s+\d+",
+    r"example\s+\d+",
+    r"definition\s+\d+",
+    r"exercise\s+\d+",
+    r"problem\s+\d+",
+    r"equation\s*\(\d+",
+    r"section\s+\d+",
+    r"chapter\s+\d+",
+    r"page\s+\d+",
+    r"see\s+\(\d+",
+    r"from\s+\(\d+",
+)
+GENERIC_REF_PATTERNS = [re.compile(p, re.IGNORECASE) for p in _GENERIC_PATTERNS]
+# One alternation scan instead of 15 passes (hot path; identical
+# match-set semantics for the boolean/phrase-list use below).
+GENERIC_REF_RE = re.compile("|".join(_GENERIC_PATTERNS), re.IGNORECASE)
 
 # "using 2.7", "from exercise 3.4a", "by the result of 2.2", … — a
 # reference with an id we can resolve within the conversation.
@@ -65,9 +66,7 @@ def detect_references(question: str, answer: str) -> Detection:
     """Regex-based detection over question+answer (lowercased match,
     mirroring /root/reference/src/evaluator.py:132-148)."""
     text = question + " " + answer
-    ref_texts: list[str] = []
-    for pat in GENERIC_REF_PATTERNS:
-        ref_texts.extend(pat.findall(text))
+    ref_texts: list[str] = GENERIC_REF_RE.findall(text)
     ids: list[str] = []
     for m in ID_REF_RE.finditer(text):
         ref_texts.append(m.group(0))

@@ -34,6 +34,7 @@ import json
 
 import pyarrow as pa
 
+from ..functions.ids import parse_unit_id
 from ..functions.segment import Fragment
 from ..functions.stitch import (
     FoldState,
@@ -195,6 +196,11 @@ def bucket_group_fn(group: pa.Table) -> pa.Table:
                 turns.append(ti)
         units, _ = stitch_conversation(turns)
         rows = resolve_conversation(units)
+        # Reference output ordering (O1, pipeline.py:116-127) is
+        # per-DOCUMENT: within the conversation, parent units before
+        # lettered parts, numerically (2.9 < 2.10 < 2.18 < 2.18a);
+        # ties (content rows) stay in turn order.
+        rows.sort(key=lambda r: (parse_unit_id(r.unit_id), r.turn_idx))
         out_conv.extend([cid] * len(rows))
         out_rows.extend(rows)
         start = end
@@ -513,6 +519,7 @@ def _resolve_group_fn(group: pa.Table) -> pa.Table:
     group = group.sort_by([("head_turn", "ascending"), ("seq", "ascending")])
     units = [_row_to_unit(r) for r in group.to_pylist()]
     rows = resolve_conversation(units)
+    rows.sort(key=lambda r: (parse_unit_id(r.unit_id), r.turn_idx))
     return _rows_to_table(conv_id, rows)
 
 
@@ -529,6 +536,12 @@ def _stitch_salted(ds, salt_turns: int):
     pass1 = sharded.groupby(["conv_id", "_shard"]).map_groups(
         _shard_group_fn, batch_format="pyarrow"
     )
+
+    # pass1 feeds two branches; materialize it so the upstream
+    # (payload parse + shard shuffle) runs ONCE.  Unit records are
+    # payload-free — a small fraction of input bytes — so pinning them
+    # in the object store is cheap relative to recomputation.
+    pass1 = pass1.materialize()
 
     boundary = pass1.filter(expr="is_boundary == True")
     final = pass1.filter(expr="is_boundary == False")
