@@ -98,9 +98,17 @@ DEFAULT_CONFIG = ExtractorConfig()
 class RunConfig:
     """Physical execution knobs for pipeline stages (scale tuning)."""
 
-    batch_size: int = 256
-    # Actor-pool size for the turn-extraction stage; ``None`` lets the
-    # pipeline derive it from the Ray cluster resources at run time.
+    batch_size: int = 1024
+    # Extraction-stage execution mode.  The deterministic parsers keep
+    # their warm state (compiled regexes, config tables) at module
+    # level, so stateless tasks — elastic, releasing CPUs the moment a
+    # batch finishes — outperform a reserved actor pool, which holds
+    # its CPUs for the whole dataset execution and starves the
+    # post-shuffle stages.  Set ``use_actor_pool=True`` for parsers
+    # with genuinely heavy per-instance init (e.g. real pdfplumber /
+    # model handles) where amortized construction wins.
+    use_actor_pool: bool = False
+    # Actor-pool size when use_actor_pool; ``None`` → cpus - 1.
     extract_concurrency: int | None = None
     num_cpus_per_actor: float = 1.0
     # Number of hash partitions for the conv_id shuffle. ``None`` →

@@ -75,16 +75,28 @@ def extraction_pipeline(
     else:
         ds = read_transcripts(source)
 
-    concurrency = run.extract_concurrency or _default_concurrency()
-    ds = ds.map_batches(
-        TurnExtractor,
-        fn_constructor_kwargs={"cfg": cfg},
-        batch_size=run.batch_size,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=run.num_cpus_per_actor,
-    )
+    if run.use_actor_pool:
+        ds = ds.map_batches(
+            TurnExtractor,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_size=run.batch_size,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=run.extract_concurrency or _default_concurrency(),
+            num_cpus=run.num_cpus_per_actor,
+        )
+    else:
+        extractor = TurnExtractor(cfg)  # warm state shipped once per worker
+
+        def extract_fn(batch: pa.Table) -> pa.Table:
+            return extractor(batch)
+
+        ds = ds.map_batches(
+            extract_fn,
+            batch_size=run.batch_size,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     ds = stitch_conversations(ds, salt_turns=salt_turns)
 

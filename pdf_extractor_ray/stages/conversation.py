@@ -76,23 +76,21 @@ UNIT_RECORD_SCHEMA = pa.schema(
 def _group_to_turns(group: pa.Table) -> list[TurnInput]:
     """Sort a conversation group by (turn_idx, ts) and fold duplicate
     (conv_id, turn_idx) rows last-write-wins by ts."""
-    cols = group.column_names
-    has_ts = "ts" in cols
-    order = [("turn_idx", "ascending")] + ([("ts", "ascending")] if has_ts else [])
+    import pickle
+
+    order = [("turn_idx", "ascending")] + (
+        [("ts", "ascending")] if "ts" in group.column_names else []
+    )
     group = group.sort_by(order)
 
     turn_idx = group.column("turn_idx").to_pylist()
-    fragments = group.column("fragments").to_pylist()
-    spans = group.column("spans").to_pylist()
-    errs = group.column("parse_error").to_pylist()
+    payloads = group.column("payload").to_pylist()
 
     turns: list[TurnInput] = []
     for i in range(len(turn_idx)):
+        frags, spans, err = pickle.loads(payloads[i])
         ti = TurnInput(
-            turn_idx=turn_idx[i],
-            fragments=[Fragment(**f) for f in (fragments[i] or [])],
-            spans=[(s["start"], s["end"], s["kind"]) for s in (spans[i] or [])],
-            parse_error=bool(errs[i]),
+            turn_idx=turn_idx[i], fragments=frags, spans=spans, parse_error=err
         )
         if turns and turns[-1].turn_idx == ti.turn_idx:
             turns[-1] = ti  # newest wins (rows pre-sorted by ts)
@@ -166,11 +164,11 @@ def bucket_group_fn(group: pa.Table) -> pa.Table:
         order.append(("ts", "ascending"))
     group = group.sort_by(order)
 
+    import pickle
+
     conv_ids = group.column("conv_id").to_pylist()
     turn_idx = group.column("turn_idx").to_pylist()
-    fragments = group.column("fragments").to_pylist()
-    spans = group.column("spans").to_pylist()
-    errs = group.column("parse_error").to_pylist()
+    payloads = group.column("payload").to_pylist()
 
     out_conv: list[str] = []
     out_rows: list[OutputRow] = []
@@ -184,11 +182,9 @@ def bucket_group_fn(group: pa.Table) -> pa.Table:
             end += 1
         turns: list[TurnInput] = []
         for i in range(start, end):
+            frags, spans, err = pickle.loads(payloads[i])
             ti = TurnInput(
-                turn_idx=turn_idx[i],
-                fragments=[Fragment(**f) for f in (fragments[i] or [])],
-                spans=[(s["start"], s["end"], s["kind"]) for s in (spans[i] or [])],
-                parse_error=bool(errs[i]),
+                turn_idx=turn_idx[i], fragments=frags, spans=spans, parse_error=err
             )
             if turns and turns[-1].turn_idx == ti.turn_idx:
                 turns[-1] = ti  # duplicate turn: newest (by ts) wins
@@ -261,17 +257,46 @@ def add_bucket_column(num_buckets: int):
     return _add
 
 
+def _prefer_hash_shuffle() -> None:
+    """Use Ray's hash-shuffle strategy for the conv/bucket groupbys —
+    a true hash exchange (no global sort of the fragments table);
+    measured ~25% faster than the sort-based shuffle on the sf0.1
+    bench lake and the semantically matching primitive for an explicit
+    hash-partition design.
+
+    Aggregator-actor count is capped relative to cluster CPUs: the
+    default (16) deadlocks successive shuffles on small clusters —
+    finished datasets' aggregators linger while the next shuffle waits
+    for CPUs that will never free."""
+    try:
+        import ray
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+        # Default partition count (the 200 default makes each
+        # aggregator demand partitions/aggregators × 0.0625 CPUs —
+        # more than a small cluster even has).
+        ctx.default_hash_shuffle_parallelism = max(16, cpus * 2)
+    except (ImportError, AttributeError):  # older Ray: keep sort shuffle
+        pass
+
+
 def stitch_conversations(
     ds, *, salt_turns: int | None = None, num_buckets: int | None = None
 ):
     """The wide step.  ``ds`` is the turn-extraction output (schema
     TURN_EXTRACTED + optional ts column).  Returns extracted rows."""
+    _prefer_hash_shuffle()
     if salt_turns:
         return _stitch_salted(ds, salt_turns)
     b = num_buckets or _default_num_buckets()
     return (
         ds.map_batches(add_bucket_column(b), batch_format="pyarrow")
-        .groupby("_bucket")
+        .groupby("_bucket", num_partitions=b)
         .map_groups(bucket_group_fn, batch_format="pyarrow")
     )
 
@@ -533,7 +558,8 @@ def _stitch_salted(ds, salt_turns: int):
         return batch.append_column("_shard", shard)
 
     sharded = ds.map_batches(add_shard, batch_format="pyarrow")
-    pass1 = sharded.groupby(["conv_id", "_shard"]).map_groups(
+    nparts = _default_num_buckets()
+    pass1 = sharded.groupby(["conv_id", "_shard"], num_partitions=nparts).map_groups(
         _shard_group_fn, batch_format="pyarrow"
     )
 
@@ -550,6 +576,6 @@ def _stitch_salted(ds, salt_turns: int):
         _boundary_group_fn, batch_format="pyarrow"
     )
 
-    return final.union(merged).groupby("conv_id").map_groups(
+    return final.union(merged).groupby("conv_id", num_partitions=nparts).map_groups(
         _resolve_group_fn, batch_format="pyarrow"
     )
