@@ -58,7 +58,6 @@ def extraction_pipeline(
     run: RunConfig = DEFAULT_RUN,
     *,
     salt_turns: int | None = None,
-    ordered: bool = True,
     global_sort: bool = False,
 ) -> ray.data.Dataset:
     """Build the (lazy) extraction Dataset from a lake path / file list
@@ -142,7 +141,7 @@ def run_with_checkpoint(
             continue
         t0 = time.monotonic()
         ds = extraction_pipeline(
-            part_files, cfg, run, salt_turns=salt_turns, ordered=True
+            part_files, cfg, run, salt_turns=salt_turns
         )
         tmp_dir = f"{out_dir}/.tmp-partition={pid:05d}"
         ds.write_parquet(tmp_dir)  # streaming consume — no materialize
