@@ -1,0 +1,122 @@
+"""CLI entry points (reference src/cli.py rebuilt for ``ray job submit``).
+
+    python -m pdf_extractor_ray.cli extract --lake DIR --out DIR \
+        [--partitions N] [--force-restart] [--salt-turns W] [--no-resolve]
+    python -m pdf_extractor_ray.cli evaluate --out DIR --golden FILE
+    python -m pdf_extractor_ray.cli review --out DIR [--rate 0.1]
+    python -m pdf_extractor_ray.cli latex --out DIR --tex DIR
+
+Mirrors the reference's flag surface (resolve_references,
+enable_checkpoints/force_restart — /root/reference/src/cli.py:29-48,
+src/pipeline.py:133-153).  Owns the Ray session (guarded init) —
+library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+
+
+def cmd_extract(args) -> int:
+    _ensure_ray()
+    from .pipelines.extract import run_with_checkpoint
+
+    stats = run_with_checkpoint(
+        args.lake,
+        args.out,
+        num_partitions=args.partitions,
+        force_restart=args.force_restart,
+        salt_turns=args.salt_turns,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    _ensure_ray()
+    import pyarrow.parquet as pq
+
+    from .pipelines.evaluate import evaluate_against_golden, flag_rollup
+    from .pipelines.extract import read_extracted
+
+    ds = read_extracted(args.out)
+    golden = pq.read_table(args.golden)
+    report, mism = evaluate_against_golden(ds, golden)
+    rollup = flag_rollup(read_extracted(args.out))
+    print(json.dumps({"report": report.__dict__, "flags": rollup}))
+    if mism.num_rows:
+        print(f"{mism.num_rows} mismatches; first: {mism.slice(0, 3).to_pylist()}", file=sys.stderr)
+    return 0 if report.failed == 0 and report.missing == 0 else 1
+
+
+def cmd_review(args) -> int:
+    _ensure_ray()
+    from .pipelines.evaluate import review_sample
+    from .pipelines.extract import read_extracted
+
+    rows = review_sample(read_extracted(args.out), rate=args.rate, seed=args.seed)
+    for r in rows:
+        text = (r["extracted_text"] or "")[:200]
+        print(f"[{r['conv_id']}:{r['turn_idx']}:{r['unit_id']}] {text}")
+    return 0
+
+
+def cmd_latex(args) -> int:
+    _ensure_ray()
+    from .pipelines.extract import read_extracted
+    from .sources.latex_sink import compile_check, write_latex
+
+    paths = write_latex(read_extracted(args.out), args.tex)
+    ok = sum(1 for p in paths if compile_check(p))
+    print(json.dumps({"documents": len(paths), "render_ok": ok}))
+    return 0 if ok == len(paths) else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pdf_extractor_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract")
+    pe.add_argument("--lake", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--partitions", type=int, default=4)
+    pe.add_argument("--force-restart", action="store_true")
+    pe.add_argument("--salt-turns", type=int, default=None)
+    pe.set_defaults(fn=cmd_extract)
+
+    pv = sub.add_parser("evaluate")
+    pv.add_argument("--out", required=True)
+    pv.add_argument("--golden", required=True)
+    pv.set_defaults(fn=cmd_evaluate)
+
+    pr = sub.add_parser("review")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--rate", type=float, default=0.1)
+    pr.add_argument("--seed", type=int, default=7)
+    pr.set_defaults(fn=cmd_review)
+
+    pl = sub.add_parser("latex")
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--tex", required=True)
+    pl.set_defaults(fn=cmd_latex)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

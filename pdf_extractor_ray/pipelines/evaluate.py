@@ -1,0 +1,193 @@
+"""Validation pipeline (reference `evaluate` entry point rebuilt,
+/root/reference/src/cli.py:183-241 + src/evaluator.py:216-437).
+
+A Ray Data job: join extracted rows vs golden fixtures on
+(conv_id, turn_idx, unit_id), per-row checks — text equality
+(similarity gate tightened to bit-equality), remaining-reference regex
+scan (M10), difflib similarity for diagnostics (M13) — then the report
+rollup (A4: passed/failed counts, pass rate, per-flag tallies) as
+dataset aggregates.  The interactive reviewer (reference
+src/reviewer.py) becomes a deterministic random-sample surrogate (O2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.refs import GENERIC_REF_RE
+
+
+@dataclass
+class EvaluationReport:
+    total: int
+    passed: int
+    failed: int
+    missing: int  # golden rows with no pipeline row
+    extra: int  # pipeline rows with no golden row
+    with_remaining_refs: int
+    parse_errors: int
+    pass_rate: float
+    mean_similarity: float
+
+
+def _key_cols(t: pa.Table) -> pa.Table:
+    return t.select(["conv_id", "turn_idx", "unit_id", "extracted_text"])
+
+
+def evaluate_against_golden(
+    extracted: ray.data.Dataset | pa.Table,
+    golden: pa.Table,
+) -> tuple[EvaluationReport, pa.Table]:
+    """Compare pipeline output against a golden table.
+
+    The golden side is the SMALL side in tests (broadcast dict); for a
+    golden lake of pipeline scale, swap the broadcast for
+    ``Dataset.join`` on (conv_id, turn_idx, unit_id) — same key as the
+    partitioned output, so the join reuses the existing layout.
+
+    Returns (report, mismatches-table).
+    """
+    from difflib import SequenceMatcher
+
+    if isinstance(extracted, ray.data.Dataset):
+        got = pa.concat_tables(
+            list(_key_cols_ds(extracted).iter_batches(batch_format="pyarrow")),
+            promote_options="permissive",
+        )
+    else:
+        got = _key_cols(extracted)
+
+    # Keys may legitimately repeat (several content rows of one turn
+    # share unit_id "") → compare per-key text MULTISETS.
+    def to_multimap(t: pa.Table) -> dict[tuple, list[str]]:
+        m: dict[tuple, list[str]] = {}
+        for c, ti, u, x in zip(
+            t.column("conv_id").to_pylist(),
+            t.column("turn_idx").to_pylist(),
+            t.column("unit_id").to_pylist(),
+            t.column("extracted_text").to_pylist(),
+        ):
+            m.setdefault((c, ti, u), []).append(x)
+        return m
+
+    want_map = to_multimap(_key_cols(golden))
+    got_map = to_multimap(got)
+
+    passed = failed = extra = refs = 0
+    errs = 0
+    total = sum(len(v) for v in got_map.values())
+    sims: list[float] = []
+    mism: list[dict] = []
+    for key, texts in got_map.items():
+        for x in texts:
+            if GENERIC_REF_RE.search(x or ""):
+                refs += 1
+        want_texts = want_map.get(key)
+        if want_texts is None:
+            extra += len(texts)
+            continue
+        for x, g in zip(sorted(texts), sorted(want_texts)):
+            if x == g:
+                passed += 1
+                sims.append(1.0)
+            else:
+                failed += 1
+                sim = SequenceMatcher(None, x or "", g or "").ratio()
+                sims.append(sim)
+                mism.append(
+                    {
+                        "conv_id": key[0],
+                        "turn_idx": key[1],
+                        "unit_id": key[2],
+                        "got": x,
+                        "want": g,
+                        "similarity": round(sim, 4),
+                    }
+                )
+        extra += max(0, len(texts) - len(want_texts))
+    missing = sum(
+        max(0, len(v) - len(got_map.get(k, [])))
+        for k, v in want_map.items()
+    )
+    rows = [None] * total
+
+    report = EvaluationReport(
+        total=len(rows),
+        passed=passed,
+        failed=failed,
+        missing=missing,
+        extra=extra,
+        with_remaining_refs=refs,
+        parse_errors=errs,
+        pass_rate=round(passed / len(rows), 4) if rows else 1.0,
+        mean_similarity=round(sum(sims) / len(sims), 4) if sims else 1.0,
+    )
+    mism_table = (
+        pa.Table.from_pylist(mism)
+        if mism
+        else pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "unit_id": pa.array([], pa.string()),
+                "got": pa.array([], pa.string()),
+                "want": pa.array([], pa.string()),
+                "similarity": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return report, mism_table
+
+
+def _key_cols_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.select_columns(["conv_id", "turn_idx", "unit_id", "extracted_text"])
+
+
+def flag_rollup(ds: ray.data.Dataset) -> dict:
+    """A4-style aggregate rollup over the flags struct column —
+    distributed (partial counts per batch, summed)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch.column("flags")
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "continued": pa.array(
+                    [sum(1 for f in flags.to_pylist() if f["continued"])], pa.int64()
+                ),
+                "resolved": pa.array(
+                    [sum(1 for f in flags.to_pylist() if f["resolved"])], pa.int64()
+                ),
+                "had_refs": pa.array(
+                    [sum(1 for f in flags.to_pylist() if f["had_refs"])], pa.int64()
+                ),
+                "parse_error": pa.array(
+                    [sum(1 for f in flags.to_pylist() if f["parse_error"])], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("continued", alias_name="continued"),
+            Sum("resolved", alias_name="resolved"),
+            Sum("had_refs", alias_name="had_refs"),
+            Sum("parse_error", alias_name="parse_error"),
+        )
+    )
+    return dict(out)
+
+
+def review_sample(ds: ray.data.Dataset, rate: float = 0.1, seed: int = 7, limit: int = 20):
+    """Random-sample review surrogate (reference src/reviewer.py:113-115
+    — `random.sample` with max(1, n*rate)): a seeded sample for human
+    spot-checking, capped for display (O2/O3)."""
+    return ds.random_sample(rate, seed=seed).limit(limit).take_all()

@@ -1,0 +1,247 @@
+"""Unit tests: dedup / similarity / text analysis / multimodal /
+geometry / latex sink / evaluate pipeline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from pdf_extractor_ray.functions.geometry import (
+    boxes_overlap,
+    cluster_boxes,
+    filter_min_size,
+    merge_boxes,
+)
+from pdf_extractor_ray.functions.hashing import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    ngram_jaccard,
+    shingles,
+    simhash,
+)
+from pdf_extractor_ray.functions.textstats import (
+    detect_language,
+    fingerprint,
+    quality_score,
+    token_count,
+)
+
+
+# --- pure hashing functions -------------------------------------------
+
+
+def test_shingles_and_jaccard():
+    a = shingles("the quick brown fox jumps over the lazy dog entirely")
+    b = shingles("the quick brown fox jumps over the lazy dog entirely")
+    assert jaccard(a, b) == 1.0
+    c = shingles("completely different words appear in this other sentence here")
+    assert jaccard(a, c) == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    base = "word" + " word".join(str(i) for i in range(100))
+    near = base + " tail tail"
+    sig_a = minhash_signature(shingles(base), 128)
+    sig_b = minhash_signature(shingles(near), 128)
+    est = (sig_a == sig_b).mean()
+    true = ngram_jaccard(base, near)
+    assert abs(est - true) < 0.2
+    assert est > 0.6
+
+
+def test_simhash_near_and_far():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a + "extra"
+    c = "entirely unrelated content about convex optimization theory proofs"
+    assert hamming64(simhash(a), simhash(b)) <= 12
+    assert hamming64(simhash(a), simhash(c)) > 12
+
+
+def test_fingerprint_whitespace_invariant():
+    assert fingerprint("a  b\nc") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("a b d")
+
+
+def test_textstats():
+    t = "The quick brown fox jumps over the lazy dog and runs away fast."
+    assert detect_language(t) == "en"
+    assert detect_language("der die das und ist von zu mit den") == "de"
+    assert detect_language("") == "und"
+    assert token_count("a b-c 12 !") == 6  # a, b, -, c, 12, !
+    q = quality_score(t)
+    assert 0 < q["quality"] <= 1 and q["stop_ratio"] > 0.1
+
+
+# --- geometry ----------------------------------------------------------
+
+
+def test_geometry_cluster():
+    # three overlapping-ish boxes forming one region + one isolated dot
+    boxes = [(0, 0, 40, 40), (50, 0, 90, 40), (0, 50, 40, 90), (500, 500, 505, 505)]
+    regions = cluster_boxes(boxes, merge_distance=20, min_members=3, min_size=30)
+    assert regions == [(0, 0, 90, 90)]
+    assert boxes_overlap((0, 0, 10, 10), (5, 5, 20, 20))
+    assert not boxes_overlap((0, 0, 10, 10), (20, 20, 30, 30))
+    assert merge_boxes((0, 0, 1, 1), (2, 2, 3, 3)) == (0, 0, 3, 3)
+    assert filter_min_size([(0, 0, 10, 10), (0, 0, 100, 100)]) == [(0, 0, 100, 100)]
+
+
+# --- Ray stages --------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_stage():
+    from pdf_extractor_ray.stages.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["same text here", "same text here", "unique one", "unique two"],
+        }
+    )
+    out = pa.concat_tables(
+        list(exact_dedup(ray.data.from_arrow(t)).iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    assert sorted(out.column("doc_id").to_pylist()) == [1, 3, 4]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_stage_finds_planted():
+    from pdf_extractor_ray.stages.dedup import minhash_dedup
+
+    base = ["doc %d " % i + " ".join(f"w{i}x{j}" for j in range(60)) for i in range(8)]
+    texts = base + [base[0] + " tail", base[1] + " tail"]
+    ids = list(range(8)) + [100, 101]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    out = pa.concat_tables(
+        list(
+            minhash_dedup(ds, jaccard_threshold=0.8).iter_batches(batch_format="pyarrow")
+        ),
+        promote_options="permissive",
+    )
+    kept = sorted(out.column("doc_id").to_pylist())
+    assert kept == list(range(8))  # near-copies 100/101 dropped
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk():
+    from pdf_extractor_ray.stages.similarity import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(50, 16)).astype(float)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    out = brute_force_topk(
+        ray.data.from_arrow(t), {0: vecs[0].tolist()}, k=5
+    )
+    rows = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")), promote_options="permissive"
+    ).to_pylist()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["cosine"] - 1.0) < 1e-5
+    # matches numpy ground truth
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = unit @ unit[0]
+    expect = set(np.argsort(-cos)[:5].tolist())
+    assert {r["vec_id"] for r in rows} == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_featurizer():
+    from pdf_extractor_ray.stages.multimodal import FEATURE_SCHEMA, featurize_media, real_decode
+
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "kind": ["image", "audio"],
+            "payload": pa.array([b"\x89PNG fake bytes", b"RIFF fake"], pa.binary()),
+        }
+    )
+    out = pa.concat_tables(
+        list(featurize_media(ray.data.from_arrow(t)).iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    assert out.num_rows == 2
+    assert set(out.column_names) == set(FEATURE_SCHEMA.names)
+    assert out.column("n_bytes").to_pylist() == [15, 9]
+    assert all(len(f) == 8 for f in out.column("feature").to_pylist())
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
+
+
+# --- latex sink --------------------------------------------------------
+
+
+def test_latex_render_and_check(tmp_path):
+    from pdf_extractor_ray.sources.latex_sink import (
+        render_document,
+        structural_check,
+    )
+
+    doc = render_document(
+        [
+            {"unit_id": "2.7", "extracted_text": r"Show $x \leq y$. Proof trivial."},
+            {"unit_id": "", "extracted_text": "plain content"},
+        ]
+    )
+    assert structural_check(doc)
+    assert r"\subsection*{Unit 2.7}" in doc
+    assert not structural_check(doc.replace(r"\end{document}", ""))
+    assert not structural_check(doc.replace("{", "", 1))
+
+
+# --- evaluate pipeline -------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_evaluate_against_golden_roundtrip():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.evaluate import evaluate_against_golden, flag_rollup
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+    gd = os.path.join(os.path.dirname(__file__), "golden")
+    transcripts = pq.read_table(os.path.join(gd, "transcripts.parquet"))
+    golden = pq.read_table(os.path.join(gd, "extracted.parquet"))
+    ds = extraction_pipeline(ray.data.from_arrow(transcripts))
+    report, mism = evaluate_against_golden(ds, golden)
+    assert report.failed == 0 and report.missing == 0 and report.extra == 0
+    assert report.pass_rate == 1.0 and mism.num_rows == 0
+
+    rollup = flag_rollup(extraction_pipeline(ray.data.from_arrow(transcripts)))
+    assert rollup["n"] == golden.num_rows
+    assert rollup["resolved"] > 0 and rollup["continued"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_evaluate_detects_corruption():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.evaluate import evaluate_against_golden
+
+    gd = os.path.join(os.path.dirname(__file__), "golden")
+    golden = pq.read_table(os.path.join(gd, "extracted.parquet"))
+    corrupt = golden.set_column(
+        golden.schema.get_field_index("extracted_text"),
+        "extracted_text",
+        pa.array(
+            ["CORRUPTED" if i == 0 else x for i, x in enumerate(golden.column("extracted_text").to_pylist())],
+            pa.string(),
+        ),
+    )
+    report, mism = evaluate_against_golden(corrupt, golden)
+    assert report.failed == 1 and mism.num_rows == 1

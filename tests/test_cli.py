@@ -1,0 +1,45 @@
+"""CLI surface: extract → evaluate → review → latex round-trip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_roundtrip(small_lake, tmp_path, capsys):
+    from pdf_extractor_ray.cli import main
+    from pdf_extractor_ray.oracle import oracle_extract
+
+    out = str(tmp_path / "out")
+    assert main(["extract", "--lake", small_lake, "--out", out, "--partitions", "2"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["ran"] == [0, 1]
+
+    # golden for this lake via the oracle
+    import glob
+
+    import pyarrow as pa
+
+    transcripts = pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(small_lake, "*.parquet")))]
+    )
+    golden_path = str(tmp_path / "golden.parquet")
+    pq.write_table(oracle_extract(transcripts), golden_path)
+
+    assert main(["evaluate", "--out", out, "--golden", golden_path]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["report"]["failed"] == 0 and rep["report"]["missing"] == 0
+    assert rep["flags"]["n"] == rep["report"]["total"]
+
+    assert main(["review", "--out", out, "--rate", "0.05"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert 1 <= len(lines) <= 20
+
+    tex_dir = str(tmp_path / "tex")
+    assert main(["latex", "--out", out, "--tex", tex_dir]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["documents"] > 0 and res["render_ok"] == res["documents"]
