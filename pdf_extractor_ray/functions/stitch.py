@@ -86,6 +86,7 @@ class OutputRow:
     resolved: bool
     had_refs: bool
     parse_error: bool
+    refs_found: list[str] = field(default_factory=list)
 
 
 def _merge_continuation(rec: UnitRecord, frag: Fragment, turn_idx: int) -> None:
@@ -229,6 +230,7 @@ def resolve_conversation(units: list[UnitRecord]) -> list[OutputRow]:
                 resolved=resolved,
                 had_refs=detection.had_refs,
                 parse_error=u.parse_error,
+                refs_found=detection.ref_texts[:8],
             )
         )
     return rows

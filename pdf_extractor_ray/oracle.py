@@ -51,6 +51,7 @@ def oracle_extract(table: pa.Table, cfg: ExtractorConfig = DEFAULT_CONFIG) -> pa
                         "had_refs": r.had_refs,
                         "parse_error": r.parse_error,
                     },
+                    "refs_found": r.refs_found,
                 }
             )
 

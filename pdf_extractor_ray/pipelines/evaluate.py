@@ -186,8 +186,85 @@ def flag_rollup(ds: ray.data.Dataset) -> dict:
     return dict(out)
 
 
-def review_sample(ds: ray.data.Dataset, rate: float = 0.1, seed: int = 7, limit: int = 20):
+def review_sample(
+    ds: ray.data.Dataset,
+    rate: float = 0.1,
+    seed: int = 7,
+    limit: int = 20,
+    priority_only: bool = False,
+):
     """Random-sample review surrogate (reference src/reviewer.py:113-115
     — `random.sample` with max(1, n*rate)): a seeded sample for human
-    spot-checking, capped for display (O2/O3)."""
+    spot-checking, capped for display (O2/O3).
+
+    ``priority_only`` keeps rows a reviewer should look at first —
+    parse errors, unresolved references — the rebuild of the
+    reference's review-priority filter (J3, src/reviewer.py:95-110,
+    an anti-join shape: 'failed' = not passed)."""
+    if priority_only:
+        def needs_review(batch: pa.Table) -> pa.Table:
+            flags = batch.column("flags").to_pylist()
+            mask = [
+                f["parse_error"] or (f["had_refs"] and not f["resolved"])
+                for f in flags
+            ]
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(needs_review, batch_format="pyarrow")
     return ds.random_sample(rate, seed=seed).limit(limit).take_all()
+
+
+def resolution_report(ds: ray.data.Dataset) -> tuple[dict, pa.Table]:
+    """Resolution-tracking output (reference S10,
+    /root/reference/src/pipeline.py:326-351): summary counts + a
+    details table restricted to rows that had references.  Answers are
+    never modified by the deterministic resolver, so
+    ``answers_modified`` is structurally 0."""
+
+    def details(batch: pa.Table) -> pa.Table:
+        flags = batch.column("flags").to_pylist()
+        mask = pa.array([f["had_refs"] for f in flags])
+        kept = batch.filter(mask)
+        kflags = kept.column("flags").to_pylist()
+        return pa.table(
+            {
+                "conv_id": kept.column("conv_id"),
+                "unit_id": kept.column("unit_id"),
+                "had_references": pa.array([True] * kept.num_rows, pa.bool_()),
+                "references_found": kept.column("refs_found"),
+                "context_inlined": pa.array(
+                    [f["resolved"] for f in kflags], pa.bool_()
+                ),
+            }
+        )
+
+    detail_tbl = pa.concat_tables(
+        list(ds.map_batches(details, batch_format="pyarrow").iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    rollup = flag_rollup(ds)
+    summary = {
+        "total_qas": int(rollup["n"]),
+        "with_references": int(rollup["had_refs"]),
+        "resolved": int(rollup["resolved"]),
+        "answers_modified": 0,
+    }
+    return summary, detail_tbl
+
+
+def ssim_compare(img_a, img_b) -> float:
+    """Structural-similarity check (reference M14,
+    /root/reference/src/evaluator.py:188-214).  Requires scikit-image
+    + PIL — absent from this container — so it degrades to the
+    reference's own fallback value (-1.0) instead of raising."""
+    try:  # pragma: no cover - skimage not installed here
+        import numpy as np
+        from skimage.metrics import structural_similarity as ssim  # type: ignore
+
+        a = np.asarray(img_a, dtype=float)
+        b = np.asarray(img_b, dtype=float)
+        if a.shape != b.shape:
+            return -1.0
+        return float(ssim(a, b, data_range=max(a.max() - a.min(), 1.0)))
+    except ImportError:
+        return -1.0

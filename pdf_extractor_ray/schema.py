@@ -76,6 +76,10 @@ EXTRACTED_SCHEMA = pa.schema(
         ("spans", pa.list_(SPAN_TYPE)),
         ("turn_span", pa.list_(pa.int32(), 2)),
         ("flags", FLAGS_TYPE),
+        # resolution-tracking detail (reference resolution_results.json,
+        # /root/reference/src/pipeline.py:326-351): the matched
+        # reference phrases, empty for ref-free rows
+        ("refs_found", pa.list_(pa.string())),
     ]
 )
 

@@ -130,6 +130,9 @@ def _rows_to_table(conv_id: str, rows: list[OutputRow]) -> pa.Table:
                 ],
                 type=EXTRACTED_SCHEMA.field("flags").type,
             ),
+            "refs_found": pa.array(
+                [r.refs_found for r in rows], type=pa.list_(pa.string())
+            ),
         }
     )
 
@@ -234,6 +237,9 @@ def _rows_to_table_multi(conv_ids: list[str], rows: list[OutputRow]) -> pa.Table
                     for r in rows
                 ],
                 type=EXTRACTED_SCHEMA.field("flags").type,
+            ),
+            "refs_found": pa.array(
+                [r.refs_found for r in rows], type=pa.list_(pa.string())
             ),
         }
     )

@@ -112,6 +112,22 @@ def completed_partitions(
     return done
 
 
+def progress_summary(out_dir: str, total_partitions: int) -> dict:
+    """Run-progress from manifests ALONE — no dataset scan (reference
+    A5, src/checkpoint.py:105-123: pages done, %, Q&A count)."""
+    manifests = load_manifests(out_dir)
+    rows = sum(m.row_count for m in manifests.values())
+    byts = sum(m.bytes_out for m in manifests.values())
+    done = len(manifests)
+    return {
+        "partitions_done": done,
+        "partitions_total": total_partitions,
+        "pct": round(100.0 * done / total_partitions, 1) if total_partitions else 0.0,
+        "rows_written": rows,
+        "bytes_written": byts,
+    }
+
+
 def clear_checkpoints(out_dir: str) -> None:
     """force_restart: drop manifests + outputs (reference
     pipeline.py:209-211 'Starting from scratch')."""
