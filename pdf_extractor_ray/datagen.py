@@ -67,10 +67,17 @@ def _esc_pdf(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def make_pdf(paragraphs: list[str], width: int = 78) -> str:
+def make_pdf(
+    paragraphs: list[str],
+    width: int = 78,
+    images: list[tuple[float, float, float, float]] | None = None,
+    rects: list[tuple[float, float, float, float]] | None = None,
+) -> str:
     """Render paragraphs as a minimal single-page uncompressed PDF
     (latin-1 string).  Line leading 14pt; paragraph gap 28pt (beyond
-    the extractor's 20pt paragraph threshold)."""
+    the extractor's 20pt paragraph threshold).  ``images`` places
+    image XObjects as (x, y, w, h); ``rects`` draws rectangle paths —
+    the embedded-figure / vector-drawing fixtures (FIXTURES.md §1)."""
     ops: list[str] = ["BT", "/F1 12 Tf", "72 720 Td"]
     first = True
     for para in paragraphs:
@@ -92,16 +99,27 @@ def make_pdf(paragraphs: list[str], width: int = 78) -> str:
             ops.append(f"({_esc_pdf(line)}) Tj")
             first = False
     ops.append("ET")
+    for i, (x, y, w, h) in enumerate(images or [], start=1):
+        ops.append(f"q {w:g} 0 0 {h:g} {x:g} {y:g} cm /Im{i} Do Q")
+    for x, y, w, h in rects or []:
+        ops.append(f"{x:g} {y:g} {w:g} {h:g} re S")
     content = "\n".join(ops)
 
+    xobjs = "".join(f"/Im{i} {5 + i} 0 R" for i in range(1, len(images or []) + 1))
+    resources = "<</Font<</F1 5 0 R>>" + (f"/XObject<<{xobjs}>>" if xobjs else "") + ">>"
     objs = [
         "<</Type/Catalog/Pages 2 0 R>>",
         "<</Type/Pages/Kids[3 0 R]/Count 1>>",
         "<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents 4 0 R"
-        "/Resources<</Font<</F1 5 0 R>>>>>>",
+        f"/Resources{resources}>>",
         f"<</Length {len(content)}>>\nstream\n{content}\nendstream",
         "<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>",
     ]
+    for i in range(1, len(images or []) + 1):
+        objs.append(
+            "<</Type/XObject/Subtype/Image/Width 8/Height 8/ColorSpace/DeviceGray"
+            "/BitsPerComponent 8/Length 64>>\nstream\n" + "\x80" * 64 + "\nendstream"
+        )
     out = ["%PDF-1.4"]
     for i, body in enumerate(objs, start=1):
         out.append(f"{i} 0 obj\n{body}\nendobj")
@@ -295,7 +313,21 @@ def _render_turn(conv_idx: int, t: int, draft: _TurnDraft, seed: int) -> tuple[s
     if draft.kind == "pdf":
         # PDF payloads must be latin-1 encodable: strip unicode math.
         paras = [p.encode("latin-1", "replace").decode("latin-1") for p in draft.paragraphs]
-        return make_pdf(paras), "pdf"
+        images = rects = None
+        if rng.random() < 0.30:
+            # Figure fixtures: one keepable image (≥50px), one below
+            # the min-size filter, a 4-rect drawing cluster and a
+            # stray rect that must NOT form a region (FIXTURES.md §1).
+            x = 90 + rng.randint(0, 60)
+            images = [(x, 420, 120, 90), (x + 200, 420, 30, 20)]
+            rects = [
+                (x, 300, 40, 40),
+                (x + 30, 310, 40, 40),
+                (x + 60, 300, 40, 40),
+                (x + 30, 260, 40, 35),
+                (500, 60, 8, 8),
+            ]
+        return make_pdf(paras, images=images, rects=rects), "pdf"
     if draft.kind == "tool_markup":
         return make_tool_markup(draft.paragraphs, rng), "tool_markup"
     return "\n".join(draft.paragraphs), ""

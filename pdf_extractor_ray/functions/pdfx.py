@@ -188,6 +188,57 @@ def extract_pdf(
     return text, spans, False
 
 
+# Image XObject placement: q <w> 0 0 <h> <x> <y> cm /Name Do Q
+_IMG_PLACE_RE = re.compile(
+    rb"q\s+(" + _NUM + rb")\s+0\s+0\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+cm\s*/(\w+)\s+Do\s+Q"
+)
+# Rectangle path op: <x> <y> <w> <h> re
+_RECT_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+re\b"
+)
+
+
+def extract_pdf_figures(raw: str, cfg: ExtractorConfig = DEFAULT_CONFIG) -> list[str]:
+    """Figure detection (reference S4/S6/S7):
+
+    - embedded images = XObject placements, kept when ≥50 px in both
+      dimensions (pdf_processor.py:105-206 min-size filter);
+    - vector-figure regions = rectangle drawing ops clustered by
+      iterative overlap-merge (≥3 drawings, merge distance 20, min
+      size 30 — pdf_processor.py:248-325).
+
+    Returns stable figure ids ``img:x0,y0,x1,y1`` / ``region:...`` in
+    document order — the rebuild of the reference's figure paths; the
+    raster crop itself (S5) is an artifact of the vision-LLM design
+    and is dropped."""
+    from .geometry import cluster_boxes, filter_min_size
+
+    data = raw.encode("latin-1", errors="replace")
+    figures: list[str] = []
+
+    img_boxes = []
+    for m in _IMG_PLACE_RE.finditer(data):
+        w, h, x, y = (float(m.group(i)) for i in range(1, 5))
+        img_boxes.append((x, y, x + w, y + h))
+    for x0, y0, x1, y1 in filter_min_size(img_boxes, min_px=50.0):
+        figures.append(f"img:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
+
+    rects = []
+    for m in _RECT_RE.finditer(data):
+        x, y, w, h = (float(m.group(i)) for i in range(1, 5))
+        rects.append((x, y, x + w, y + h))
+    for x0, y0, x1, y1 in cluster_boxes(
+        rects,
+        merge_distance=cfg.pdf_paragraph_gap,
+        min_members=3,
+        min_size=30.0,
+    ):
+        figures.append(f"region:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
+    return figures
+
+
 def extract_pdf_with_plumber(raw: str, cfg: ExtractorConfig = DEFAULT_CONFIG):
     """Production-path extraction via pdfplumber when available.
 

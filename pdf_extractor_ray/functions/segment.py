@@ -48,6 +48,7 @@ class Fragment:
     answer: str = ""
     continues_next: bool = False
     continued_prev: bool = False
+    figures: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -59,6 +59,7 @@ class UnitRecord:
     parse_error: bool = False
     needs_id: bool = False  # orphan part attached while no unit id known
     spans: list[tuple[int, int, str]] = field(default_factory=list)
+    figures: list[str] = field(default_factory=list)
 
     @property
     def full_id(self) -> str:
@@ -87,6 +88,7 @@ class OutputRow:
     had_refs: bool
     parse_error: bool
     refs_found: list[str] = field(default_factory=list)
+    figures: list[str] = field(default_factory=list)
 
 
 def _merge_continuation(rec: UnitRecord, frag: Fragment, turn_idx: int) -> None:
@@ -107,6 +109,7 @@ def _merge_continuation(rec: UnitRecord, frag: Fragment, turn_idx: int) -> None:
             rec.question = (rec.question + " " + frag.question).strip()
         if frag.answer:
             rec.answer = frag.answer
+    rec.figures = rec.figures + frag.figures  # union (ref pipeline.py:66)
     rec.last_turn = turn_idx
     rec.continued = True
     rec.open = frag.continues_next  # chain if still continuing (ref :67)
@@ -185,6 +188,7 @@ def stitch_conversation(
                 parse_error=turn.parse_error,
                 needs_id=needs_id,
                 spans=list(turn.spans) if i == 0 else [],
+                figures=list(frag.figures),
             )
             units.append(rec)
             if frag.kind in ("unit", "part") and unit_id:
@@ -231,6 +235,7 @@ def resolve_conversation(units: list[UnitRecord]) -> list[OutputRow]:
                 had_refs=detection.had_refs,
                 parse_error=u.parse_error,
                 refs_found=detection.ref_texts[:8],
+                figures=u.figures,
             )
         )
     return rows

@@ -52,6 +52,7 @@ def oracle_extract(table: pa.Table, cfg: ExtractorConfig = DEFAULT_CONFIG) -> pa
                         "parse_error": r.parse_error,
                     },
                     "refs_found": r.refs_found,
+                    "figures": r.figures,
                 }
             )
 

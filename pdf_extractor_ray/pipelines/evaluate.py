@@ -252,6 +252,31 @@ def resolution_report(ds: ray.data.Dataset) -> tuple[dict, pa.Table]:
     return summary, detail_tbl
 
 
+def figure_counts(ds: ray.data.Dataset) -> pa.Table:
+    """Figures per conversation (reference A7,
+    /root/reference/src/pdf_processor.py:179-206 page→figure tallies) —
+    partial counts per batch, then a small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        figs = batch.column("figures").to_pylist()
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "n_figures": pa.array([len(f or []) for f in figs], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_figures", alias_name="n_figures"))
+    )
+    return pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow")), promote_options="permissive"
+    )
+
+
 def ssim_compare(img_a, img_b) -> float:
     """Structural-similarity check (reference M14,
     /root/reference/src/evaluator.py:188-214).  Requires scikit-image

@@ -80,6 +80,10 @@ EXTRACTED_SCHEMA = pa.schema(
         # /root/reference/src/pipeline.py:326-351): the matched
         # reference phrases, empty for ref-free rows
         ("refs_found", pa.list_(pa.string())),
+        # detected figure ids (reference ExtractionResult.figures,
+        # /root/reference/src/schemas/extraction.py:60; unioned across
+        # stitched turns per src/pipeline.py:66)
+        ("figures", pa.list_(pa.string())),
     ]
 )
 

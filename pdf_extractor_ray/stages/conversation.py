@@ -65,6 +65,7 @@ UNIT_RECORD_SCHEMA = pa.schema(
         ("is_boundary", pa.bool_()),
         ("payload_json", pa.string()),  # deferred turns / shard meta
         ("spans", pa.list_(SPAN_TYPE)),
+        ("figures", pa.list_(pa.string())),
     ]
 )
 
@@ -132,6 +133,9 @@ def _rows_to_table(conv_id: str, rows: list[OutputRow]) -> pa.Table:
             ),
             "refs_found": pa.array(
                 [r.refs_found for r in rows], type=pa.list_(pa.string())
+            ),
+            "figures": pa.array(
+                [r.figures for r in rows], type=pa.list_(pa.string())
             ),
         }
     )
@@ -241,6 +245,9 @@ def _rows_to_table_multi(conv_ids: list[str], rows: list[OutputRow]) -> pa.Table
             "refs_found": pa.array(
                 [r.refs_found for r in rows], type=pa.list_(pa.string())
             ),
+            "figures": pa.array(
+                [r.figures for r in rows], type=pa.list_(pa.string())
+            ),
         }
     )
 
@@ -320,6 +327,7 @@ def _frag_to_dict(f: Fragment) -> dict:
         "answer": f.answer,
         "continues_next": f.continues_next,
         "continued_prev": f.continued_prev,
+        "figures": list(f.figures),
     }
 
 
@@ -341,6 +349,7 @@ def _unit_to_row(conv_id: str, shard: int, u: UnitRecord, is_boundary: bool) -> 
         "is_boundary": is_boundary,
         "payload_json": "",
         "spans": [{"start": s, "end": e, "kind": k} for s, e, k in u.spans],
+        "figures": list(u.figures),
     }
 
 
@@ -358,6 +367,7 @@ def _row_to_unit(r: dict) -> UnitRecord:
         parse_error=r["parse_error"],
         needs_id=r["needs_id"],
         spans=[(s["start"], s["end"], s["kind"]) for s in (r["spans"] or [])],
+        figures=list(r["figures"] or []),
     )
 
 
@@ -436,6 +446,7 @@ def _shard_group_fn(group: pa.Table) -> pa.Table:
                     }
                 ),
                 "spans": [],
+                "figures": [],
             }
         )
 
@@ -470,6 +481,7 @@ def _shard_group_fn(group: pa.Table) -> pa.Table:
                 }
             ),
             "spans": [],
+            "figures": [],
         }
     )
     return _records_table(rows)

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 from ..config import DEFAULT_CONFIG, ExtractorConfig
 from ..functions.htmlx import extract_html
-from ..functions.pdfx import extract_pdf
+from ..functions.pdfx import extract_pdf, extract_pdf_figures
 from ..functions.segment import Fragment, segment_units
 from ..functions.toolx import extract_tool_markup
 from ..schema import TURN_EXTRACTED_SCHEMA
@@ -45,9 +45,19 @@ def extract_payload(
 def extract_turn(
     text: str, kind: str, cfg: ExtractorConfig = DEFAULT_CONFIG
 ) -> tuple[list[Fragment], list[tuple[int, int, str]], bool]:
-    """payload → main content → segmented fragments (pure, unit-tested)."""
+    """payload → main content → segmented fragments (pure, unit-tested).
+
+    PDF payloads additionally run figure detection (S4/S6/S7); detected
+    figure ids attach to the turn's first fragment, mirroring the
+    reference's per-part figure lists
+    (/root/reference/src/schemas/extraction.py:33, merged across pages
+    at src/pipeline.py:66)."""
     content, spans, parse_error = extract_payload(text or "", kind or "", cfg)
     fragments = segment_units(content, cfg) if content else []
+    if kind == "pdf" and fragments and not parse_error:
+        figures = extract_pdf_figures(text, cfg)
+        if figures:
+            fragments[0].figures = figures
     return fragments, spans, parse_error
 
 

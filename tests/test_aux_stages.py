@@ -245,3 +245,52 @@ def test_evaluate_detects_corruption():
     )
     report, mism = evaluate_against_golden(corrupt, golden)
     assert report.failed == 1 and mism.num_rows == 1
+
+
+# --- figures (S4/S6/S7 + A7) ------------------------------------------
+
+
+def test_pdf_figure_detection():
+    from pdf_extractor_ray.datagen import make_pdf
+    from pdf_extractor_ray.functions.pdfx import extract_pdf_figures
+
+    pdf = make_pdf(
+        ["2.7 Q.", "Solution. A."],
+        images=[(100, 420, 120, 90), (300, 420, 30, 20)],
+        rects=[
+            (100, 300, 40, 40),
+            (130, 310, 40, 40),
+            (160, 300, 40, 40),
+            (130, 260, 40, 35),
+            (500, 60, 8, 8),
+        ],
+    )
+    figs = extract_pdf_figures(pdf)
+    # big image kept, small one filtered (<50px); 4-rect cluster → one
+    # region; stray rect excluded (min_members=3)
+    assert figs == ["img:100,420,220,510", "region:100,260,200,350"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_figures_flow_to_output_and_rollup():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.evaluate import figure_counts
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+    gd = os.path.join(os.path.dirname(__file__), "golden")
+    transcripts = pq.read_table(os.path.join(gd, "transcripts.parquet"))
+    ds = extraction_pipeline(ray.data.from_arrow(transcripts))
+    out = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow")), promote_options="permissive"
+    )
+    n_rows_with_figs = sum(1 for f in out.column("figures").to_pylist() if f)
+    assert n_rows_with_figs > 0
+
+    fc = figure_counts(extraction_pipeline(ray.data.from_arrow(transcripts)))
+    assert fc.num_rows > 0
+    assert sum(fc.column("n_figures").to_pylist()) == sum(
+        len(f or []) for f in out.column("figures").to_pylist()
+    )
