@@ -438,6 +438,57 @@ FROM events GROUP BY user_id, hour_bucket
 
 
 # --------------------------------------------------------------------------
+# session windows (gap-based; the ray_guide streaming pattern —
+# groupby(key) + in-group ts-ordered windowing in pandas)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_window_session(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        gaps = np.diff(ts_us, prepend=ts_us[0]) > _SESSION_GAP_US
+        sid = np.cumsum(gaps)
+        out = pd.DataFrame(
+            {"user_id": g["user_id"].values, "sid": sid, "ts_us": ts_us, "value": g["value"].values}
+        )
+        agg = out.groupby("sid").agg(
+            session_start_us=("ts_us", "min"),
+            n_events=("ts_us", "size"),
+            sum_value=("value", "sum"),
+        )
+        agg["sum_value"] = agg["sum_value"].round(4)
+        agg["user_id"] = g["user_id"].iloc[0]
+        agg = agg.reset_index()
+        return agg[["user_id", "sid", "session_start_us", "n_events", "sum_value"]]
+
+    return _to_table(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
+
+
+SQL_WINDOW_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (SQL-checkable as neighbor sets)
 # --------------------------------------------------------------------------
 
@@ -652,6 +703,7 @@ QUERIES = {
     "token_count": q_token_count,
     "sample_det": q_sample_det,
     "window_tumbling": q_window_tumbling,
+    "window_session": q_window_session,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
@@ -677,6 +729,7 @@ ORACLES = {
     "token_count": SQL_TOKEN_COUNT,
     "sample_det": SQL_SAMPLE_DET,
     "window_tumbling": SQL_WINDOW_TUMBLING,
+    "window_session": SQL_WINDOW_SESSION,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }
