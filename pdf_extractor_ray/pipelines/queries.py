@@ -74,25 +74,48 @@ def q_extract_transcripts(sf_dir: str):
 # stitch analogue on events: per-user ordered sessionization (A1/O1)
 # --------------------------------------------------------------------------
 
+_GROUP_BUCKETS = 32
+
+
+def _bucketed(ds: ray.data.Dataset, key: str, per_bucket) -> ray.data.Dataset:
+    """Hash-bucket groupby: ONE map_groups call per bucket, entities
+    iterated inside with a vectorized pandas groupby — the same
+    per-group-overhead elimination as the stitch stage (a map_groups
+    call per entity costs ~ms; thousands of entities make that the
+    dominant term)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((ids % _GROUP_BUCKETS).astype("int32"))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_GROUP_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def q_events_sessionize(sf_dir: str):
     ds = ray.data.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [np.int64(len(g))],
-                "first_ts_us": [np.int64(ts_us.min())],
-                "last_ts_us": [np.int64(ts_us.max())],
-                "event_path": ["->".join(g["event_type"])],
-            }
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        b["ts_us"] = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        agg = b.groupby("user_id", sort=False).agg(
+            n_events=("ts_us", "size"),
+            first_ts_us=("ts_us", "min"),
+            last_ts_us=("ts_us", "max"),
+            event_path=("event_type", "->".join),
         )
+        return agg.reset_index()[
+            ["user_id", "n_events", "first_ts_us", "last_ts_us", "event_path"]
+        ]
 
-    return _to_table(ds.groupby("user_id").map_groups(per_user, batch_format="pandas"))
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -286,20 +309,19 @@ def q_dedup_latest(sf_dir: str):
         _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts"]
     )
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], ascending=[False, False]).head(1)
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["ts", "event_id"], ascending=[False, False])
+        b = b.drop_duplicates(["user_id", "event_type"], keep="first")
         return pd.DataFrame(
             {
-                "user_id": g["user_id"].values,
-                "event_type": g["event_type"].values,
-                "event_id": g["event_id"].values,
-                "ts_us": g["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
+                "user_id": b["user_id"].values,
+                "event_type": b["event_type"].values,
+                "event_id": b["event_id"].values,
+                "ts_us": b["ts"].to_numpy().astype("datetime64[us]").astype("int64"),
             }
         )
 
-    return _to_table(
-        ds.groupby(["user_id", "event_type"]).map_groups(latest, batch_format="pandas")
-    )
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
 
 
 SQL_DEDUP_LATEST = """
@@ -406,21 +428,29 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
 def q_window_tumbling(sf_dir: str):
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        us = batch.column("ts").cast(pa.int64())
-        hour = pc.divide(us, 3_600_000_000)
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        # Pre-aggregate inside the batch (partial/combiner) so the
+        # shuffle moves one row per (user, hour) per batch, not one
+        # row per event (ray_guide "Aggregation at scale").
+        df = pd.DataFrame(
             {
-                "user_id": batch.column("user_id"),
-                "hour_bucket": hour,
-                "value": batch.column("value"),
+                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
+                "hour_bucket": batch.column("ts").cast(pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                // 3_600_000_000,
+                "value": batch.column("value").to_numpy(zero_copy_only=False),
             }
         )
+        agg = df.groupby(["user_id", "hour_bucket"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_bucket"], num_partitions=16)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
     t = _to_table(out)
     return t.set_column(
@@ -450,25 +480,36 @@ def q_window_session(sf_dir: str):
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
     )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-        gaps = np.diff(ts_us, prepend=ts_us[0]) > _SESSION_GAP_US
-        sid = np.cumsum(gaps)
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                columns=["user_id", "sid", "session_start_us", "n_events", "sum_value"]
+            )
+        b = b.sort_values(["user_id", "ts", "event_id"])
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = b["user_id"].to_numpy()
+        new_user = np.empty(len(b), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(b), dtype=bool)
+        gap[0] = False
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
+        sid_global = np.cumsum(new_user | gap)  # distinct per (user, session)
         out = pd.DataFrame(
-            {"user_id": g["user_id"].values, "sid": sid, "ts_us": ts_us, "value": g["value"].values}
+            {"user_id": uid, "g": sid_global, "ts_us": ts_us, "value": b["value"].values}
         )
-        agg = out.groupby("sid").agg(
+        agg = out.groupby(["user_id", "g"], sort=False).agg(
             session_start_us=("ts_us", "min"),
             n_events=("ts_us", "size"),
             sum_value=("value", "sum"),
         )
         agg["sum_value"] = agg["sum_value"].round(4)
-        agg["user_id"] = g["user_id"].iloc[0]
         agg = agg.reset_index()
+        # per-user 0-based session index (matches the SQL sid)
+        agg["sid"] = agg.groupby("user_id", sort=False).cumcount()
         return agg[["user_id", "sid", "session_start_us", "n_events", "sum_value"]]
 
-    return _to_table(ds.groupby("user_id").map_groups(sessions, batch_format="pandas"))
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
 
 
 SQL_WINDOW_SESSION = """
