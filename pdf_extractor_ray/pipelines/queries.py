@@ -428,36 +428,21 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
 def q_window_tumbling(sf_dir: str):
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        # Pre-aggregate inside the batch (partial/combiner) so the
-        # shuffle moves one row per (user, hour) per batch, not one
-        # row per event (ray_guide "Aggregation at scale").
-        df = pd.DataFrame(
-            {
-                "user_id": batch.column("user_id").to_numpy(zero_copy_only=False),
-                "hour_bucket": batch.column("ts").cast(pa.int64()).to_numpy(
-                    zero_copy_only=False
-                )
-                // 3_600_000_000,
-                "value": batch.column("value").to_numpy(zero_copy_only=False),
-            }
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        # (user, hour) keys are nearly as numerous as events here, so a
+        # per-batch partial would not compress; one hash exchange on
+        # user buckets + a vectorized in-task groupby is the cheap plan
+        # (user_id ⊇ the aggregate key → bucket-local is exact).
+        b["hour_bucket"] = (
+            b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // 3_600_000_000
         )
-        agg = df.groupby(["user_id", "hour_bucket"], sort=False).agg(
+        agg = b.groupby(["user_id", "hour_bucket"], sort=False).agg(
             n=("value", "size"), sum_value=("value", "sum")
         )
-        return pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+        agg["sum_value"] = agg["sum_value"].round(4)
+        return agg.reset_index()[["user_id", "hour_bucket", "n", "sum_value"]]
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "hour_bucket"], num_partitions=16)
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
-    )
-    t = _to_table(out)
-    return t.set_column(
-        t.schema.get_field_index("sum_value"),
-        "sum_value",
-        pc.round(t.column("sum_value"), ndigits=4),
-    )
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
 
 
 SQL_WINDOW_TUMBLING = """
