@@ -209,7 +209,10 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # Best-of-two per level: single-trial numbers swing ±15% on this
+    # shared box; min wall time is the standard noise-robust choice.
+    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
+    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
