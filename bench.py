@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # mega-conversation skew fixtures).  filler_paras bulks payloads to a
 # realistic per-turn parse cost so compute, not fixed overhead,
 # dominates the scaling measurement.
-_BENCH_CONVS = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 12000}
+_BENCH_CONVS = {"sf0.001": 300, "sf0.01": 2000, "sf0.1": 20000}
 _FILLER = 6
 _SEED = 42
 
@@ -209,10 +209,14 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Best-of-two per level: single-trial numbers swing ±15% on this
-    # shared box; min wall time is the standard noise-robust choice.
-    r_lo = min(run(lo), run(lo), key=lambda r: r["value"])
-    r_hi = min(run(hi), run(hi), key=lambda r: r["value"])
+    # Median-of-three per level: single-trial numbers swing ±15% on
+    # this shared box (external load), and min-of-k rewards lucky
+    # outliers; the median is the noise-robust middle ground.
+    def median_run(ncpu: int) -> dict:
+        trials = sorted((run(ncpu) for _ in range(3)), key=lambda r: r["value"])
+        return trials[1]
+
+    r_lo, r_hi = median_run(lo), median_run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
