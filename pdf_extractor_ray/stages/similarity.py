@@ -9,8 +9,6 @@ search only matching buckets.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -22,9 +22,6 @@ from ..functions.segment import Fragment, segment_units
 from ..functions.toolx import extract_tool_markup
 from ..schema import TURN_EXTRACTED_SCHEMA
 
-_WS_KINDS = {"html", "pdf", "tool_markup"}
-
-
 def extract_payload(
     text: str, kind: str, cfg: ExtractorConfig
 ) -> tuple[str, list[tuple[int, int, str]], bool]:
@@ -59,18 +56,6 @@ def extract_turn(
         if figures:
             fragments[0].figures = figures
     return fragments, spans, parse_error
-
-
-def _frag_dict(f: Fragment) -> dict:
-    return {
-        "kind": f.kind,
-        "unit_id": f.unit_id,
-        "part_id": f.part_id,
-        "question": f.question,
-        "answer": f.answer,
-        "continues_next": f.continues_next,
-        "continued_prev": f.continued_prev,
-    }
 
 
 class TurnExtractor:
