@@ -209,12 +209,14 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Median-of-three per level: single-trial numbers swing ±15% on
-    # this shared box (external load), and min-of-k rewards lucky
-    # outliers; the median is the noise-robust middle ground.
+    # Single-trial numbers swing ±15% on this shared box (external
+    # load); set GRAFT_SCALING_TRIALS=3 for a median-of-three
+    # measurement (the BASELINE.md numbers were taken that way).
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "1"))
+
     def median_run(ncpu: int) -> dict:
-        trials = sorted((run(ncpu) for _ in range(3)), key=lambda r: r["value"])
-        return trials[1]
+        results = sorted((run(ncpu) for _ in range(trials)), key=lambda r: r["value"])
+        return results[len(results) // 2]
 
     r_lo, r_hi = median_run(lo), median_run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
