@@ -589,6 +589,103 @@ SELECT doc_id AS media_id, strlen(text) AS n_bytes FROM documents
 
 
 # --------------------------------------------------------------------------
+# classic analytics breadth: TPC-H-style rollup, distinct, top-k/group
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1-shaped rollup over lineitem (pruned read, vectorized
+    derived columns, grouped aggregate)."""
+    import datetime
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            batch.column("l_shipdate"),
+            pa.scalar(datetime.datetime(1998, 9, 2)),
+        )
+        batch = batch.filter(keep)
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = _to_table(out)
+    for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_disc"):
+        t = t.set_column(
+            t.schema.get_field_index(col), col, pc.round(t.column(col), ndigits=2)
+        )
+    return t
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 2) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_sources(sf_dir: str):
+    """DISTINCT via Dataset.unique (a shuffle)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    values = sorted(ds.unique("source"))
+    return pa.table({"source": pa.array(values, pa.string())})
+
+
+SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 docs by n_chars per language (deterministic id tiebreak) —
+    the grouped top-k shape (few groups → plain map_groups)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "documents"), columns=["lang", "doc_id", "n_chars"]
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+
+    return _to_table(ds.groupby("lang").map_groups(top3, batch_format="pandas"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible heuristics)
 # --------------------------------------------------------------------------
 
@@ -730,6 +827,9 @@ QUERIES = {
     "sample_det": q_sample_det,
     "window_tumbling": q_window_tumbling,
     "window_session": q_window_session,
+    "tpch_q1": q_tpch_q1,
+    "distinct_sources": q_distinct_sources,
+    "topk_per_group": q_topk_per_group,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
@@ -756,6 +856,9 @@ ORACLES = {
     "sample_det": SQL_SAMPLE_DET,
     "window_tumbling": SQL_WINDOW_TUMBLING,
     "window_session": SQL_WINDOW_SESSION,
+    "tpch_q1": SQL_TPCH_Q1,
+    "distinct_sources": SQL_DISTINCT_SOURCES,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }
