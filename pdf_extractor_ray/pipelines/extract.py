@@ -52,12 +52,46 @@ def add_sort_keys(batch: pa.Table) -> pa.Table:
     )
 
 
+def max_conversation_turns(source: str | list[str] | ray.data.Dataset) -> int:
+    """Metadata pre-pass: the largest conversation's turn count.
+
+    Reads ONLY the conv_id column; per-batch partial counts compress
+    the shuffle to ~one row per (conversation, batch) — the
+    pre-aggregation pattern — so this costs a tiny fraction of the
+    extraction run even at lake scale."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    if isinstance(source, ray.data.Dataset):
+        ds = source.select_columns(["conv_id"])
+    else:
+        ds = read_transcripts(source, columns=("conv_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = collections.Counter(batch.column("conv_id").to_pylist())
+        return pa.table(
+            {
+                "conv_id": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return int(out.max("n"))
+
+
 def extraction_pipeline(
     source: str | list[str] | ray.data.Dataset,
     cfg: ExtractorConfig = DEFAULT_CONFIG,
     run: RunConfig = DEFAULT_RUN,
     *,
     salt_turns: int | None = None,
+    auto_salt_threshold: int | None = None,
     global_sort: bool = False,
 ) -> ray.data.Dataset:
     """Build the (lazy) extraction Dataset from a lake path / file list
@@ -68,11 +102,21 @@ def extraction_pipeline(
     stage (parallel, no extra shuffle).  ``global_sort=True`` adds a
     total order across conversations via a range-partitioned ``sort``
     — an all-to-all that is only needed when a single globally-sorted
-    artifact is required."""
+    artifact is required.
+
+    Skew: pass ``salt_turns`` to force the salted-shard stitch, or
+    ``auto_salt_threshold=T`` to run the metadata pre-pass
+    (``max_conversation_turns``) and engage salting with W=T only when
+    some conversation exceeds T turns — mega-conversation mitigation
+    that costs nothing on well-behaved lakes."""
     if isinstance(source, ray.data.Dataset):
         ds = source
     else:
         ds = read_transcripts(source)
+
+    if salt_turns is None and auto_salt_threshold:
+        if max_conversation_turns(source) > auto_salt_threshold:
+            salt_turns = auto_salt_threshold
 
     if run.use_actor_pool:
         ds = ds.map_batches(
