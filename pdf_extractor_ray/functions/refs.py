@@ -37,9 +37,39 @@ _GENERIC_PATTERNS = (
     r"from\s+\(\d+",
 )
 GENERIC_REF_PATTERNS = [re.compile(p, re.IGNORECASE) for p in _GENERIC_PATTERNS]
-# One alternation scan instead of 15 passes (hot path; identical
-# match-set semantics for the boolean/phrase-list use below).
+# One alternation scan instead of 15 passes (identical match-set
+# semantics for the boolean/phrase-list use below).  A bare
+# alternation forfeits the regex engine's fast literal-prefix scan, so
+# the hot path first gates on cheap substring checks: every pattern
+# contains its keyword as a literal, so "no keyword present" proves
+# "no match" — most units skip the regex entirely.
 GENERIC_REF_RE = re.compile("|".join(_GENERIC_PATTERNS), re.IGNORECASE)
+
+# Hot-path scanner: every pattern starts with a literal keyword, so
+# locate keyword occurrences with str.find (memmem — orders of
+# magnitude faster than regex position-by-position scanning) and
+# attempt the anchored pattern only there.  Equivalent match set; the
+# full-regex form above remains for one-shot uses.
+_KW_ANCHORED: list[tuple[str, re.Pattern]] = [
+    (p.split("\\")[0].rstrip(), re.compile(p, re.IGNORECASE)) for p in _GENERIC_PATTERNS
+]
+
+
+def scan_generic_refs(text: str) -> list[str]:
+    """All generic-reference phrase matches, in text order."""
+    low = text.lower()
+    hits: list[tuple[int, str]] = []
+    for kw, pat in _KW_ANCHORED:
+        start = low.find(kw)
+        while start >= 0:
+            m = pat.match(text, start)
+            if m:
+                hits.append((start, m.group(0)))
+                start = low.find(kw, m.end())
+            else:
+                start = low.find(kw, start + 1)
+    hits.sort()
+    return [h[1] for h in hits]
 
 # "using 2.7", "from exercise 3.4a", "by the result of 2.2", … — a
 # reference with an id we can resolve within the conversation.
@@ -50,6 +80,10 @@ ID_REF_RE = re.compile(
     r"(\d+\.\d+[a-z]?)\b",
     re.IGNORECASE,
 )
+
+# Any ID_REF match must contain a "d.d" id — a cheap existence probe
+# gates the expensive alternation scan.
+_HAS_ID_RE = re.compile(r"\d\.\d")
 
 _SENTENCE_RE = re.compile(r"^.*?[.!?](?=\s|$)", re.DOTALL)
 _CONTEXT_CAP = 200
@@ -66,13 +100,14 @@ def detect_references(question: str, answer: str) -> Detection:
     """Regex-based detection over question+answer (lowercased match,
     mirroring /root/reference/src/evaluator.py:132-148)."""
     text = question + " " + answer
-    ref_texts: list[str] = GENERIC_REF_RE.findall(text)
+    ref_texts: list[str] = scan_generic_refs(text)
     ids: list[str] = []
-    for m in ID_REF_RE.finditer(text):
-        ref_texts.append(m.group(0))
-        rid = m.group(1)
-        if rid not in ids:
-            ids.append(rid)
+    if _HAS_ID_RE.search(text):
+        for m in ID_REF_RE.finditer(text):
+            ref_texts.append(m.group(0))
+            rid = m.group(1)
+            if rid not in ids:
+                ids.append(rid)
     return Detection(had_refs=bool(ref_texts), ref_ids=ids, ref_texts=ref_texts)
 
 
