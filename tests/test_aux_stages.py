@@ -294,3 +294,22 @@ def test_figures_flow_to_output_and_rollup():
     assert sum(fc.column("n_figures").to_pylist()) == sum(
         len(f or []) for f in out.column("figures").to_pylist()
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_transitive_cluster():
+    """A~B~C near-dup chain collapses to one survivor (min id) via
+    union-find over verified pairs."""
+    from pdf_extractor_ray.stages.dedup import minhash_dedup
+
+    base = "alpha " + " ".join(f"tok{j}" for j in range(80))
+    texts = [base, base + " x", base + " x y", "totally different content " * 10]
+    ids = [5, 9, 7, 1]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    out = pa.concat_tables(
+        list(minhash_dedup(ds, jaccard_threshold=0.8).iter_batches(batch_format="pyarrow")),
+        promote_options="permissive",
+    )
+    assert sorted(out.column("doc_id").to_pylist()) == [1, 5]
