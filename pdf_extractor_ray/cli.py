@@ -32,6 +32,11 @@ def _ensure_ray() -> None:
 
 
 def cmd_extract(args) -> int:
+    import os
+
+    if not os.path.exists(args.lake):
+        print(f"error: lake path does not exist: {args.lake}", file=sys.stderr)
+        return 1
     _ensure_ray()
     from .pipelines.extract import run_with_checkpoint
 

@@ -49,6 +49,8 @@ _ESCAPES = {
 def _decode_pdf_string(tok: bytes) -> str:
     """Decode a literal PDF string token ``(...)`` incl. escapes."""
     body = tok[1:-1]
+    if b"\\" not in body:  # fast path: no escapes (most lines)
+        return body.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(body):
@@ -218,24 +220,28 @@ def extract_pdf_figures(raw: str, cfg: ExtractorConfig = DEFAULT_CONFIG) -> list
     data = raw.encode("latin-1", errors="replace")
     figures: list[str] = []
 
-    img_boxes = []
-    for m in _IMG_PLACE_RE.finditer(data):
-        w, h, x, y = (float(m.group(i)) for i in range(1, 5))
-        img_boxes.append((x, y, x + w, y + h))
-    for x0, y0, x1, y1 in filter_min_size(img_boxes, min_px=50.0):
-        figures.append(f"img:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
+    # memmem prefilters: the operators' literal keywords gate the
+    # (alternation-heavy, hence slow) bbox regexes.
+    if b" Do" in data:
+        img_boxes = []
+        for m in _IMG_PLACE_RE.finditer(data):
+            w, h, x, y = (float(m.group(i)) for i in range(1, 5))
+            img_boxes.append((x, y, x + w, y + h))
+        for x0, y0, x1, y1 in filter_min_size(img_boxes, min_px=50.0):
+            figures.append(f"img:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
 
-    rects = []
-    for m in _RECT_RE.finditer(data):
-        x, y, w, h = (float(m.group(i)) for i in range(1, 5))
-        rects.append((x, y, x + w, y + h))
-    for x0, y0, x1, y1 in cluster_boxes(
-        rects,
-        merge_distance=cfg.pdf_paragraph_gap,
-        min_members=3,
-        min_size=30.0,
-    ):
-        figures.append(f"region:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
+    if b" re" in data:
+        rects = []
+        for m in _RECT_RE.finditer(data):
+            x, y, w, h = (float(m.group(i)) for i in range(1, 5))
+            rects.append((x, y, x + w, y + h))
+        for x0, y0, x1, y1 in cluster_boxes(
+            rects,
+            merge_distance=cfg.pdf_paragraph_gap,
+            min_members=3,
+            min_size=30.0,
+        ):
+            figures.append(f"region:{x0:.0f},{y0:.0f},{x1:.0f},{y1:.0f}")
     return figures
 
 
