@@ -37,6 +37,11 @@ def _t(sf_dir: str, name: str) -> str:
 def _to_table(ds: ray.data.Dataset) -> pa.Table:
     tables = list(ds.iter_batches(batch_format="pyarrow"))
     if not tables:
+        # preserve the schema even for empty results
+        schema = ds.schema()
+        arrow_schema = getattr(schema, "base_schema", None)
+        if arrow_schema is not None:
+            return arrow_schema.empty_table()
         return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")
 
@@ -686,6 +691,74 @@ WHERE rk <= 3
 
 
 # --------------------------------------------------------------------------
+# anti-join (semi/anti via broadcast key set — ray_guide joins section)
+# --------------------------------------------------------------------------
+
+def q_anti_join(sf_dir: str):
+    """Orders with no lineitems: anti-join orders against the lineitem
+    key set (key side read as ONE pruned column, broadcast via
+    ray.put, filtered inside map_batches — no shuffle)."""
+    keys = set(
+        pa.parquet.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+        .column("l_orderkey")
+        .to_pylist()
+    )
+    kref = ray.put(keys)
+
+    def keep_itemless(batch: pa.Table) -> pa.Table:
+        k = ray.get(kref)
+        mask = [o not in k for o in batch.column("o_orderkey").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    return _to_table(
+        ds.map_batches(keep_itemless, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog approximate distinct (mergeable sketch; rows-only —
+# approximate by construction, accuracy pinned by pytest instead)
+# --------------------------------------------------------------------------
+
+def q_approx_distinct(sf_dir: str):
+    from ..functions.sketches import (
+        hash_values,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = hll_new()
+        hll_add_hashes(reg, hash_values(batch.column("user_id").to_pylist()))
+        return pa.table({"sketch": pa.array([reg.tobytes()], pa.binary())})
+
+    import numpy as np
+
+    merged = hll_new()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b.column("sketch").to_pylist():
+            merged = hll_merge(merged, np.frombuffer(s, dtype=np.uint8))
+    return pa.table(
+        {"approx_distinct_users": pa.array([int(round(hll_estimate(merged)))], pa.int64())}
+    )
+
+
+# --------------------------------------------------------------------------
 # rows-only entries (non-SQL-expressible heuristics)
 # --------------------------------------------------------------------------
 
@@ -830,6 +903,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "distinct_sources": q_distinct_sources,
     "topk_per_group": q_topk_per_group,
+    "anti_join": q_anti_join,
+    "approx_distinct": q_approx_distinct,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
@@ -859,6 +934,7 @@ ORACLES = {
     "tpch_q1": SQL_TPCH_Q1,
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "anti_join": SQL_ANTI_JOIN,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

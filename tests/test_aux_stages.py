@@ -313,3 +313,25 @@ def test_minhash_dedup_transitive_cluster():
         promote_options="permissive",
     )
     assert sorted(out.column("doc_id").to_pylist()) == [1, 5]
+
+
+def test_hll_sketch_accuracy():
+    import numpy as np
+
+    from pdf_extractor_ray.functions.sketches import (
+        hash_values,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    a, b = hll_new(), hll_new()
+    hll_add_hashes(a, hash_values(range(0, 30_000)))
+    hll_add_hashes(b, hash_values(range(20_000, 50_000)))  # overlap 10k
+    est = hll_estimate(hll_merge(a, b))
+    assert abs(est - 50_000) / 50_000 < 0.05  # ~1.6% expected error
+    # merge is commutative/idempotent
+    m1 = hll_merge(a, b)
+    assert np.array_equal(m1, hll_merge(b, a))
+    assert np.array_equal(m1, hll_merge(m1, a))
