@@ -69,9 +69,41 @@ def cmd_evaluate(args) -> int:
 
 
 def cmd_review(args) -> int:
+    """Sampling display (reference reviewer loop's read half) plus the
+    persistent decision workflow (reviewer.py:204-285): ``--decide
+    CONV:TURN:UNIT=accept|reject|skip`` appends decision rows,
+    ``--summary`` prints the merged newest-wins counts (A6)."""
     _ensure_ray()
     from .pipelines.evaluate import review_sample
     from .pipelines.extract import read_extracted
+    from .pipelines.review import record_decisions, review_summary
+
+    if (args.decide or args.summary) and not args.reviews:
+        print("error: --decide/--summary require --reviews DIR", file=sys.stderr)
+        return 1
+    if not (args.decide or args.summary or args.out):
+        print("error: need --out for sampling or --decide/--summary", file=sys.stderr)
+        return 1
+    if args.decide:
+        decisions = []
+        for spec in args.decide:
+            key, _, decision = spec.rpartition("=")
+            conv_id, turn_idx, unit_id = key.split(":", 2)
+            decisions.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "unit_id": unit_id,
+                    "decision": decision,
+                    "note": args.note or "",
+                }
+            )
+        path = record_decisions(args.reviews, decisions)
+        print(json.dumps({"recorded": len(decisions), "path": path}))
+        return 0
+    if args.summary:
+        print(json.dumps(review_summary(args.reviews)))
+        return 0
 
     rows = review_sample(read_extracted(args.out), rate=args.rate, seed=args.seed)
     for r in rows:
@@ -109,9 +141,19 @@ def main(argv: list[str] | None = None) -> int:
     pv.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("review")
-    pr.add_argument("--out", required=True)
+    pr.add_argument("--out", required=False, default=None)
     pr.add_argument("--rate", type=float, default=0.1)
     pr.add_argument("--seed", type=int, default=7)
+    pr.add_argument("--reviews", default=None, help="decision artifact dir")
+    pr.add_argument(
+        "--decide",
+        action="append",
+        default=None,
+        metavar="CONV:TURN:UNIT=DECISION",
+        help="record a decision (repeatable)",
+    )
+    pr.add_argument("--note", default=None)
+    pr.add_argument("--summary", action="store_true")
     pr.set_defaults(fn=cmd_review)
 
     pl = sub.add_parser("latex")

@@ -24,7 +24,10 @@ _STOPWORDS: dict[str, frozenset[str]] = {
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 # BPE-ish token splitter: words, numbers, punctuation runs (a public
 # GPT-2-style pre-tokenization shape, simplified and deterministic).
-TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+# re.ASCII pins \d/\s to [0-9]/ASCII whitespace so Python tokenizes
+# identically to the DuckDB-RE2 oracle (queries.TOKEN_SQL_RE) even on
+# non-ASCII digits or NBSP.
+TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.ASCII)
 
 
 def token_count(text: str) -> int:

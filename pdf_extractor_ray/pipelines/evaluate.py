@@ -53,13 +53,24 @@ def evaluate_against_golden(
     """
     from difflib import SequenceMatcher
 
+    errs = 0
     if isinstance(extracted, ray.data.Dataset):
+        has_flags = "flags" in extracted.schema().names
+        cols = ["conv_id", "turn_idx", "unit_id", "extracted_text"] + (
+            ["flags"] if has_flags else []
+        )
         got = pa.concat_tables(
-            list(_key_cols_ds(extracted).iter_batches(batch_format="pyarrow")),
+            list(
+                extracted.select_columns(cols).iter_batches(batch_format="pyarrow")
+            ),
             promote_options="permissive",
         )
     else:
-        got = _key_cols(extracted)
+        has_flags = "flags" in extracted.column_names
+        got = extracted
+    if has_flags:
+        errs = sum(1 for f in got.column("flags").to_pylist() if f["parse_error"])
+    got = _key_cols(got)
 
     # Keys may legitimately repeat (several content rows of one turn
     # share unit_id "") → compare per-key text MULTISETS.
@@ -78,7 +89,6 @@ def evaluate_against_golden(
     got_map = to_multimap(got)
 
     passed = failed = extra = refs = 0
-    errs = 0
     total = sum(len(v) for v in got_map.values())
     sims: list[float] = []
     mism: list[dict] = []

@@ -203,8 +203,12 @@ def q_join_broadcast(sf_dir: str):
             self.seg = ray.get(seg_ref)  # fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg.get(k) for k in batch.column("o_custkey").to_pylist()]
-            return batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            segs = pd.Series(keys).map(self.seg)  # vectorized hash lookup
+            out = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+            # drop unmatched keys — inner-join semantics, same as the
+            # oracle (dict.get's None would silently make this a left join)
+            return out.filter(pc.is_valid(out.column("c_mktsegment")))
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
@@ -249,10 +253,13 @@ def q_join_hash(sf_dir: str):
         )
         return batch.append_column("rev", rev).select(["l_orderkey", "rev"])
 
+    # ~2 partitions per CPU — 8 starved a 32-CPU cluster (round-1 bench:
+    # join_hash was the slowest green query at 15 s)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = lineitem.map_batches(revenue, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=max(8, 2 * cpus),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -373,10 +380,13 @@ def q_refs_regex(sf_dir: str):
 
 SQL_REFS_REGEX = """
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS n_spark,
-       sum(CASE WHEN regexp_matches(text, 'join|agg') THEN 1 ELSE 0 END) AS n_joinagg
+       CAST(sum(CASE WHEN regexp_matches(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS n_spark,
+       CAST(sum(CASE WHEN regexp_matches(text, 'join|agg') THEN 1 ELSE 0 END) AS BIGINT) AS n_joinagg
 FROM documents GROUP BY source
 """
+# DuckDB sum() over an int CASE returns HUGEINT/int128, whose hash
+# bytes differ from the engine's int64 even when values match — the
+# CASTs above align the dtypes (same for token_count/window_session).
 
 
 # --------------------------------------------------------------------------
@@ -401,7 +411,7 @@ def q_token_count(sf_dir: str):
 
 SQL_TOKEN_COUNT = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '{TOKEN_SQL_RE}'))) AS total_tokens
+       CAST(sum(len(regexp_extract_all(text, '{TOKEN_SQL_RE}'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 
@@ -509,8 +519,8 @@ WITH marked AS (
                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
   FROM events
 ), sess AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM marked
 )
 SELECT user_id, sid, epoch_us(min(ts)) AS session_start_us,
@@ -695,20 +705,24 @@ WHERE rk <= 3
 # --------------------------------------------------------------------------
 
 def q_anti_join(sf_dir: str):
-    """Orders with no lineitems: anti-join orders against the lineitem
-    key set (key side read as ONE pruned column, broadcast via
-    ray.put, filtered inside map_batches — no shuffle)."""
-    keys = set(
+    """Orders with no lineitems — BROADCAST anti-join variant for a
+    small key side: the key column is read pruned, deduped, broadcast
+    once via ray.put, and each batch drops members with a vectorized
+    ``pc.is_in`` mask (no shuffle).  For a key side too big for the
+    driver, use ``q_anti_join_shuffle``."""
+    keys = np.unique(
         pa.parquet.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
         .column("l_orderkey")
-        .to_pylist()
+        .to_numpy(zero_copy_only=False)
     )
     kref = ray.put(keys)
 
     def keep_itemless(batch: pa.Table) -> pa.Table:
         k = ray.get(kref)
-        mask = [o not in k for o in batch.column("o_orderkey").to_pylist()]
-        return batch.filter(pa.array(mask))
+        mask = pc.invert(
+            pc.is_in(batch.column("o_orderkey"), value_set=pa.array(k))
+        )
+        return batch.filter(mask)
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
@@ -716,6 +730,66 @@ def q_anti_join(sf_dir: str):
     return _to_table(
         ds.map_batches(keep_itemless, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+_ANTI_BUCKETS = 32
+
+
+def q_anti_join_shuffle(sf_dir: str):
+    """SHUFFLE anti-join variant — the 100-TB path when the key side's
+    distinct set does not fit the driver: hash-partition BOTH sides on
+    the key (one exchange), per-bucket vectorized set-minus in pandas.
+    Lineitem keys are pre-deduped per batch (combiner) so only unique
+    (key, bucket) rows cross the shuffle."""
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def orders_keyed(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch.column("o_orderkey").cast(pa.int64()),
+                "o_orderstatus": batch.column("o_orderstatus"),
+                "probe": pa.array(np.zeros(len(k), dtype=np.int8), pa.int8()),
+                "_bucket": pa.array((k % _ANTI_BUCKETS).astype("int32")),
+            }
+        )
+
+    def lineitem_keyed(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("l_orderkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(k.astype("int64"), pa.int64()),
+                "o_orderstatus": pa.array([""] * len(k), pa.string()),
+                "probe": pa.array(np.ones(len(k), dtype=np.int8), pa.int8()),
+                "_bucket": pa.array((k % _ANTI_BUCKETS).astype("int32")),
+            }
+        )
+
+    both = orders.map_batches(orders_keyed, batch_format="pyarrow").union(
+        lineitem.map_batches(lineitem_keyed, batch_format="pyarrow")
+    )
+
+    def set_minus(b: pd.DataFrame) -> pd.DataFrame:
+        build = b.loc[b["probe"] == 1, "key"]
+        probe = b.loc[b["probe"] == 0]
+        out = probe.loc[~probe["key"].isin(build)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(out["key"].to_numpy(), dtype="int64"),
+                "o_orderstatus": pd.Series(
+                    out["o_orderstatus"].to_numpy(), dtype="object"
+                ),
+            }
+        )
+
+    out = (
+        both.groupby("_bucket", num_partitions=_ANTI_BUCKETS)
+        .map_groups(set_minus, batch_format="pandas")
+    )
+    return _to_table(out)
 
 
 SQL_ANTI_JOIN = """
@@ -834,32 +908,42 @@ def q_simhash_pairs(sf_dir: str):
     return _to_table(dd.simhash_pairs(ds, max_hamming=3))
 
 
+_NGRAM_PAIRS_SCHEMA = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
 def q_ngram_jaccard_pairs(sf_dir: str):
     """n-gram Jaccard verification of MinHash candidates (the exact
-    similarity surface of the est_jaccard candidates)."""
+    similarity surface of the est_jaccard candidates).  Distributed:
+    candidate texts are attached via ``dd.pair_texts`` (broadcast
+    candidate set + distributed ``pc.is_in`` corpus filter — the full
+    corpus is never materialized on the driver) and the verify kernel
+    runs inside ``map_batches``."""
     from ..functions.hashing import ngram_jaccard
 
     ds = _docs_with_planted_neardups(sf_dir)
-    pairs = _to_table(dd.minhash_candidate_pairs(ds, est_threshold=0.5))
-    docs = _to_table(ds)
-    text_by_id = dict(
-        zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
-    )
-    out = []
-    for a, b in zip(pairs.column("id_a").to_pylist(), pairs.column("id_b").to_pylist()):
-        out.append(
+    pairs = dd.minhash_candidate_pairs(ds, est_threshold=0.5).materialize()
+    with_text = dd.pair_texts(ds, pairs)
+    if with_text is None:
+        return _NGRAM_PAIRS_SCHEMA.empty_table()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        jac = [
+            round(ngram_jaccard(a or "", b or ""), 6)
+            for a, b in zip(
+                batch.column("text_a").to_pylist(), batch.column("text_b").to_pylist()
+            )
+        ]
+        return pa.table(
             {
-                "id_a": a,
-                "id_b": b,
-                "jaccard": round(ngram_jaccard(text_by_id[a] or "", text_by_id[b] or ""), 6),
+                "id_a": batch.column("id_a").cast(pa.int64()),
+                "id_b": batch.column("id_b").cast(pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
             }
         )
-    return pa.Table.from_pylist(
-        out,
-        schema=pa.schema(
-            [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
-        ),
-    )
+
+    return _to_table(with_text.map_batches(verify, batch_format="pyarrow"))
 
 
 def q_embed_neardup(sf_dir: str):
@@ -904,6 +988,7 @@ QUERIES = {
     "distinct_sources": q_distinct_sources,
     "topk_per_group": q_topk_per_group,
     "anti_join": q_anti_join,
+    "anti_join_shuffle": q_anti_join_shuffle,
     "approx_distinct": q_approx_distinct,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
@@ -935,6 +1020,7 @@ ORACLES = {
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "anti_join": SQL_ANTI_JOIN,
+    "anti_join_shuffle": SQL_ANTI_JOIN,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }

@@ -94,18 +94,42 @@ def compile_check(tex_path: str, timeout: int = 60) -> bool:
 
 
 def write_latex(ds, out_dir: str) -> list[str]:
-    """One .tex document per conversation (distributed render in
-    map_batches over conversation-grouped rows; small final artifact
-    set written by the driver)."""
+    """One .tex document per conversation.  The render is DISTRIBUTED:
+    ``groupby(conv_id).map_groups`` builds each document's bytes in the
+    cluster (rows ordered by the O1 unit sort key inside the group);
+    the driver only streams the small (conv_id, tex) result rows to
+    files — it never materializes the extracted dataset itself."""
+    import pandas as pd
+
+    from ..functions.ids import parse_unit_id
+
     os.makedirs(out_dir, exist_ok=True)
+
+    def render_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        keys = [parse_unit_id(u) for u in g["unit_id"]]
+        g = g.assign(
+            _ch=[k[0] for k in keys], _q=[k[1] for k in keys], _sf=[k[2] for k in keys]
+        ).sort_values(["_ch", "_q", "_sf", "turn_idx"], kind="stable")
+        rows = g[["unit_id", "extracted_text"]].to_dict("records")
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series([g["conv_id"].iloc[0]], dtype="object"),
+                "tex": pd.Series([render_document(rows)], dtype="object"),
+            }
+        )
+
+    rendered = (
+        ds.select_columns(["conv_id", "turn_idx", "unit_id", "extracted_text"])
+        .groupby("conv_id")
+        .map_groups(render_group, batch_format="pandas")
+    )
     paths = []
-    per_conv: dict[str, list[dict]] = {}
-    for batch in ds.iter_batches(batch_format="pyarrow"):
-        for row in batch.to_pylist():
-            per_conv.setdefault(row["conv_id"], []).append(row)
-    for conv_id in sorted(per_conv):
-        path = os.path.join(out_dir, f"{conv_id}.tex")
-        with open(path, "w") as f:
-            f.write(render_document(per_conv[conv_id]))
-        paths.append(path)
-    return paths
+    for batch in rendered.iter_batches(batch_format="pyarrow"):
+        for conv_id, tex in zip(
+            batch.column("conv_id").to_pylist(), batch.column("tex").to_pylist()
+        ):
+            path = os.path.join(out_dir, f"{conv_id}.tex")
+            with open(path, "w") as f:
+                f.write(tex)
+            paths.append(path)
+    return sorted(paths)

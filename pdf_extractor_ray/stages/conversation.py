@@ -270,12 +270,18 @@ def add_bucket_column(num_buckets: int):
     return _add
 
 
-def _prefer_hash_shuffle() -> None:
+def _prefer_hash_shuffle(ds) -> None:
     """Use Ray's hash-shuffle strategy for the conv/bucket groupbys —
     a true hash exchange (no global sort of the fragments table);
     measured ~25% faster than the sort-based shuffle on the sf0.1
     bench lake and the semantically matching primitive for an explicit
     hash-partition design.
+
+    Scoped to THIS pipeline: datasets snapshot a DataContext copy at
+    creation (read_api passes ``DataContext.get_current().copy()``), so
+    mutating ``ds.context`` before deriving the groupby affects only
+    datasets built from ``ds`` — the session-global context and
+    unrelated datasets keep their shuffle behavior.
 
     Aggregator-actor count is capped relative to cluster CPUs: the
     default (16) deadlocks successive shuffles on small clusters —
@@ -283,10 +289,9 @@ def _prefer_hash_shuffle() -> None:
     for CPUs that will never free."""
     try:
         import ray
-        from ray.data import DataContext
         from ray.data.context import ShuffleStrategy
 
-        ctx = DataContext.get_current()
+        ctx = ds.context
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
@@ -303,7 +308,7 @@ def stitch_conversations(
 ):
     """The wide step.  ``ds`` is the turn-extraction output (schema
     TURN_EXTRACTED + optional ts column).  Returns extracted rows."""
-    _prefer_hash_shuffle()
+    _prefer_hash_shuffle(ds)
     if salt_turns:
         return _stitch_salted(ds, salt_turns)
     b = num_buckets or _default_num_buckets()

@@ -6,14 +6,23 @@ ids + small signatures (never document text); candidate verification
 joins text back per small candidate group.
 
 - exact:        content hash → hash-partition groupby → keep min id
+                (pure vectorized ``Min`` aggregate — no per-group Python)
 - minhash_lsh:  shingles → MinHash sig → band buckets → groupby bucket
-                → candidate pairs → exact-Jaccard verify
+                → candidate pairs → exact-Jaccard verify (distributed:
+                broadcast candidate-id set, filter corpus, hash-join
+                texts onto pairs) → distributed connected components
 - simhash:      64-bit simhash → bucket by 4×16-bit sub-keys →
                 Hamming-distance verify within buckets
 - ngram_jaccard: pairwise verify inside LSH buckets (the verify step
-                of minhash_lsh exposed as its own operator)
+                of minhash_lsh exposed via ``pair_texts``)
 - embedding:    cosine near-dup via normalized-vector rounding buckets
                 (LSH by random hyperplanes)
+
+Schema stability: every pandas group-fn return — INCLUDING empty ones —
+declares explicit dtypes, so hash-shuffled block schemas are identical
+across partitions (an object-dtype empty frame upstream of a second
+groupby is what broke ``embed_neardup`` in round 1: the shuffle
+aggregator saw blocks without the key columns).
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import (
     hamming64,
@@ -32,6 +42,26 @@ from ..functions.hashing import (
 )
 from ..functions.textstats import fingerprint
 
+def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pd.DataFrame:
+    """(id_a, id_b, <extra>) frame with EXPLICIT dtypes — identical
+    schema whether or not the lists are empty."""
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(a, dtype="int64"),
+            "id_b": pd.Series(b, dtype="int64"),
+            extra: pd.Series(vals, dtype=dtype),
+        }
+    )
+
+
+def _collect(ds) -> pa.Table:
+    """Driver-side collect of a SMALL dataset (candidate ids / labels
+    only — never document text)."""
+    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
+
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -39,22 +69,21 @@ from ..functions.textstats import fingerprint
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Exact dedup: 64-bit content fingerprint, hash-partition, keep
-    the smallest id per group (deterministic winner).  Only
-    (fp64, id) columns cross the shuffle; survivors join text back via
-    the id set (broadcast semi-join)."""
+    the smallest id per group (deterministic winner) via a pure
+    vectorized ``Min`` aggregate — ~1 group per distinct document, so a
+    per-group Python ``map_groups`` call would dominate at scale.  Only
+    (fp64, id) columns cross the shuffle."""
+    from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
         return batch.append_column("fp64", pa.array(fps, pa.uint64()))
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
-
     slim = (
         ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)
         .select_columns(["fp64", id_col])
         .groupby("fp64")
-        .map_groups(keep_min, batch_format="pandas")
+        .aggregate(Min(id_col, alias_name=id_col))
     )
     return slim.select_columns([id_col])
 
@@ -106,11 +135,14 @@ def minhash_candidate_pairs(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
     bands.  The shuffle key is (band, bucket); only 256-byte
-    signatures move."""
+    signatures move.  The cross-band dedup is a vectorized ``Min``
+    aggregate (est_jaccard is a pure function of the two signatures,
+    so it is identical in every band that surfaces the pair)."""
+    from ray.data.aggregate import Min
 
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return _pairs_df([], [], "est_jaccard", [])
         rows = group.sort_values("doc_id").drop_duplicates("doc_id")
         ids = rows["doc_id"].to_numpy()
         sigs = [np.frombuffer(s, dtype=np.uint32) for s in rows["sig"]]
@@ -122,7 +154,7 @@ def minhash_candidate_pairs(
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[j]))
                     est.append(sim)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est})
+        return _pairs_df(a_out, b_out, "est_jaccard", est)
 
     sigs = ds.map_batches(
         MinHashSignatures,
@@ -136,14 +168,223 @@ def minhash_candidate_pairs(
     pairs = sigs.groupby(["band", "bucket"]).map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-
-    # A pair can surface from several bands → dedup on (id_a, id_b).
-    def first_per_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        first_per_pair, batch_format="pandas"
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
     )
+
+
+def pair_texts(
+    ds,
+    pairs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Attach (text_a, text_b) to a candidate-pair dataset without ever
+    materializing the corpus: broadcast the (small) candidate id set,
+    semi-join-filter the corpus distributed (vectorized ``pc.is_in``),
+    pull ONLY the candidate texts, broadcast them once via ``ray.put``,
+    and attach per batch over the pairs dataset.
+
+    Assumption (documented, same as the LSH design): near-dup
+    candidates ≪ corpus, so the candidate text set is broadcastable.
+    (A ``Dataset.join`` of filtered docs onto pairs is the fallback for
+    adversarial candidate-heavy lakes, but Ray 2.49's JoinOperator
+    loses its schema broadcast when an input's first block is empty —
+    exactly what a filtered corpus produces — so the broadcast path is
+    the robust default here.)"""
+    import ray
+
+    ids_tbl = _collect(pairs.select_columns(["id_a", "id_b"]))
+    if ids_tbl.num_rows == 0:
+        return None
+    cand = np.unique(
+        np.concatenate(
+            [
+                ids_tbl.column("id_a").to_numpy(zero_copy_only=False),
+                ids_tbl.column("id_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    cand_ref = ray.put(cand)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(c)))
+
+    cand_rows = _collect(
+        ds.map_batches(filt, batch_format="pyarrow").select_columns([id_col, text_col])
+    )
+    text_map_ref = ray.put(
+        dict(
+            zip(
+                cand_rows.column(id_col).to_pylist(),
+                cand_rows.column(text_col).to_pylist(),
+            )
+        )
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(text_map_ref)
+        ta = [m.get(i) for i in batch.column("id_a").to_pylist()]
+        tb = [m.get(i) for i in batch.column("id_b").to_pylist()]
+        return batch.append_column("text_a", pa.array(ta, pa.string())).append_column(
+            "text_b", pa.array(tb, pa.string())
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# --------------------------------------------------------------------------
+
+_CC_BUCKETS = 32
+
+
+def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUCKETS):
+    """Connected components over an (id_a, id_b) pair dataset as
+    iterative min-label propagation — the scale-safe replacement for a
+    driver-side union-find (no driver-resident pair graph).
+
+    Each round is two reduce-side hash joins expressed as bucketed
+    groupbys (tag + union + per-bucket vectorized pandas merge — no
+    JoinOperator, whose schema broadcast is lost when an input's first
+    block is empty): (1) neighbors' labels flow along edges keyed on
+    ``nbr``; (2) per-node min over messages ∪ current labels, with an
+    exact per-node ``changed`` flag summed in a tiny aggregate for the
+    convergence check.  Rounds are O(component diameter); near-dup
+    clusters are near-cliques so 2-3 rounds typical.  Returns a Dataset
+    (node, label) where label is the component's min node id."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]).astype("int64"), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]).astype("int64"), pa.int64()),
+            }
+        )
+
+    edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
+        to_edges, batch_format="pyarrow"
+    ).materialize()  # reused every round — don't re-derive candidates
+
+    def batch_unique(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u.astype("int64"), pa.int64())})
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        nodes = batch.column("node")
+        return pa.table({"node": nodes, "label": nodes.cast(pa.int64())})
+
+    labels = (
+        edges.select_columns(["node"])
+        .map_batches(batch_unique, batch_format="pyarrow")  # per-batch combiner
+        .groupby("node")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node"])
+        .map_batches(self_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # Union-able canonical row: (k, node, label, src). src=0 → edge row
+    # keyed on nbr (node carries the destination); src=1 → label row
+    # keyed on its node.  All int64 — no nulls, schemas identical.
+    def edges_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("nbr"),
+                "node": batch.column("node"),
+                "label": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "src": pa.array(np.zeros(batch.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def labels_keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": batch.column("node"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "src": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def bucket_on(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_bucket", pa.array((n % num_buckets).astype("int32"))
+            )
+
+        return f
+
+    def send_labels(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket reduce-side join: each edge row (k=nbr) receives
+        the label of k from the label row (k=node)."""
+        lab = df.loc[df["src"] == 1, ["k", "label"]].drop_duplicates("k")
+        ed = df.loc[df["src"] == 0, ["k", "node"]]
+        m = ed.merge(lab, on="k", how="inner")
+        return pd.DataFrame(
+            {
+                "node": pd.Series(m["node"].to_numpy(), dtype="int64"),
+                "label": pd.Series(m["label"].to_numpy(), dtype="int64"),
+                "is_old": pd.Series(
+                    np.zeros(len(m), dtype=np.int8), dtype="int8"
+                ),
+            }
+        )
+
+    def with_is_old(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "is_old": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+        new = df.groupby("node", sort=False)["label"].min()
+        old = df.loc[df["is_old"] == 1].set_index("node")["label"]
+        old = old[~old.index.duplicated()]
+        aligned = old.reindex(new.index)
+        changed = (new < aligned) | aligned.isna()
+        return pd.DataFrame(
+            {
+                "node": pd.Series(new.index.to_numpy(), dtype="int64"),
+                "label": pd.Series(new.to_numpy(), dtype="int64"),
+                "changed": pd.Series(
+                    changed.to_numpy().astype("int8"), dtype="int8"
+                ),
+            }
+        )
+
+    for _ in range(max_rounds):
+        keyed = edges.map_batches(edges_keyed, batch_format="pyarrow").union(
+            labels.map_batches(labels_keyed, batch_format="pyarrow")
+        )
+        msgs = (
+            keyed.map_batches(bucket_on("k"), batch_format="pyarrow")
+            .groupby("_bucket", num_partitions=num_buckets)
+            .map_groups(send_labels, batch_format="pandas")
+        )
+        cand = msgs.union(labels.map_batches(with_is_old, batch_format="pyarrow"))
+        new_labels = (
+            cand.map_batches(bucket_on("node"), batch_format="pyarrow")
+            .groupby("_bucket", num_partitions=num_buckets)
+            .map_groups(propagate, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        labels = new_labels.select_columns(["node", "label"]).materialize()
+        if n_changed == 0:
+            break
+    return labels
 
 
 def minhash_dedup(
@@ -155,67 +396,63 @@ def minhash_dedup(
     k: int = 5,
     jaccard_threshold: float = 0.8,
 ):
-    """Near-dedup survivors: exact-Jaccard verify candidate pairs
-    (broadcast text of candidate ids only), union-find over verified
-    pairs (candidate set is small relative to the corpus — documented
-    assumption), survivors = min id per duplicate cluster."""
+    """Near-dedup survivors, fully distributed:
+
+    1. LSH candidate pairs (only signatures shuffle),
+    2. exact-Jaccard verify with texts hash-joined onto pairs
+       (``pair_texts`` — only candidate texts move, none to the driver),
+    3. distributed connected components over verified pairs
+       (min-label propagation — no driver union-find),
+    4. survivors = cluster-min ids; losers broadcast as an id array and
+       dropped with a vectorized ``pc.is_in`` mask."""
     import ray
 
-    pairs_tbl = pa.concat_tables(
-        list(
-            minhash_candidate_pairs(
-                ds, id_col, text_col, num_perm, bands, k
-            ).iter_batches(batch_format="pyarrow")
-        ),
-        promote_options="permissive",
+    pairs = minhash_candidate_pairs(
+        ds, id_col, text_col, num_perm, bands, k
+    ).materialize()
+    with_text = pair_texts(ds, pairs, id_col=id_col, text_col=text_col)
+    if with_text is None:
+        return ds
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        keep_a, keep_b = [], []
+        for ia, ib, x, y in zip(a_ids, b_ids, ta, tb):
+            if jaccard(shingles(x or "", k), shingles(y or "", k)) >= jaccard_threshold:
+                keep_a.append(ia)
+                keep_b.append(ib)
+        return pa.table(
+            {
+                "id_a": pa.array(keep_a, pa.int64()),
+                "id_b": pa.array(keep_b, pa.int64()),
+            }
+        )
+
+    verified = with_text.map_batches(verify, batch_format="pyarrow").materialize()
+    if verified.count() == 0:
+        return ds
+    labels = connected_components(verified)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch.column("node"), batch.column("label"))
+        )
+
+    loser_tbl = _collect(
+        labels.map_batches(losers_only, batch_format="pyarrow").select_columns(["node"])
     )
-    cand_ids = set(pairs_tbl.column("id_a").to_pylist()) | set(
-        pairs_tbl.column("id_b").to_pylist()
-    )
-
-    # Pull ONLY candidate texts (tiny subset) to verify exactly.
-    cand_ref = ray.put(cand_ids)
-
-    def filter_cands(batch: pa.Table) -> pa.Table:
-        cands = ray.get(cand_ref)
-        mask = [i in cands for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    cand_rows = pa.concat_tables(
-        list(
-            ds.map_batches(filter_cands, batch_format="pyarrow")
-            .select_columns([id_col, text_col])
-            .iter_batches(batch_format="pyarrow")
-        ),
-        promote_options="permissive",
-    )
-    text_by_id = dict(
-        zip(cand_rows.column(id_col).to_pylist(), cand_rows.column(text_col).to_pylist())
-    )
-    sh_cache = {i: shingles(text_by_id.get(i, "") or "", k) for i in cand_ids}
-
-    # union-find over verified pairs (driver-side: candidate graph only)
-    parent: dict[int, int] = {i: i for i in cand_ids}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs_tbl.column("id_a").to_pylist(), pairs_tbl.column("id_b").to_pylist()):
-        if jaccard(sh_cache[a], sh_cache[b]) >= jaccard_threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-
-    losers = {i for i in cand_ids if find(i) != i}
+    if loser_tbl.num_rows == 0:
+        return ds
+    losers = loser_tbl.column("node").to_numpy(zero_copy_only=False)
     losers_ref = ray.put(losers)
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         drop = ray.get(losers_ref)
-        mask = [i not in drop for i in batch.column(id_col).to_pylist()]
-        return batch.filter(pa.array(mask))
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=pa.array(drop)))
+        return batch.filter(mask)
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")
 
@@ -227,7 +464,10 @@ def minhash_dedup(
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
     """SimHash near-dup candidates: bucket by each of four 16-bit
     sub-keys (any pair within Hamming ≤3 of 64 bits shares at least one
-    exact 16-bit quarter — pigeonhole), verify Hamming in-bucket."""
+    exact 16-bit quarter — pigeonhole), verify Hamming in-bucket.
+    Cross-quarter dedup is a vectorized ``Min`` aggregate (the Hamming
+    distance is quarter-independent)."""
+    from ray.data.aggregate import Min
 
     def add_simhash(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -261,17 +501,14 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
                     a_out.append(ids[i])
                     b_out.append(ids[j])
                     d_out.append(d)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
-
-    def first_per_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+        return _pairs_df(a_out, b_out, "hamming", d_out, dtype="int64")
 
     return (
         ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["quarter", "qkey"])
         .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby(["id_a", "id_b"])
-        .map_groups(first_per_pair, batch_format="pandas")
+        .aggregate(Min("hamming", alias_name="hamming"))
     )
 
 
@@ -290,10 +527,22 @@ def embedding_neardup_pairs(
 ):
     """Random-hyperplane LSH (``n_tables`` independent tables of
     ``num_planes`` bits — recall amplification) + exact cosine verify
-    in-bucket, deduped across tables.  Only (table, bucket, id, vector)
+    in-bucket, deduped across tables via a vectorized ``Min`` aggregate
+    (cosine is table-independent).  Only (table, bucket, id, vector)
     rows shuffle; vectors are short."""
+    from ray.data.aggregate import Min
 
     def add_buckets(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "table_id": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                vec_col: pa.array([], batch.schema.field(vec_col).type),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
         ids = batch.column(id_col).to_pylist()
         rng = np.random.RandomState(seed)
@@ -330,15 +579,12 @@ def embedding_neardup_pairs(
                     a_out.append(ids[i])
                     b_out.append(ids[j])
                     c_out.append(round(float(cos[i, j]), 6))
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "cosine": c_out})
-
-    def first_per_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+        return _pairs_df(a_out, b_out, "cosine", c_out)
 
     return (
         ds.map_batches(add_buckets, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["table_id", "bucket"])
         .map_groups(verify, batch_format="pandas")
         .groupby(["id_a", "id_b"])
-        .map_groups(first_per_pair, batch_format="pandas")
+        .aggregate(Min("cosine", alias_name="cosine"))
     )

@@ -23,9 +23,10 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 class BruteForceScorer:
     """Actor-pool stage: per batch, cosine of every vector against the
-    broadcast query matrix; emits per-(query, vector) scores above the
-    running top-k cutoff candidate set (scores rounded to 1e-6 for
-    cross-engine determinism)."""
+    broadcast query matrix; emits per-(query, vector) score partials.
+    Scores are NOT rounded before the top-k sort — the DuckDB oracle
+    orders by the unrounded cosine, and rounding first could flip the
+    tie-break at the k cutoff for neighbors within 1e-6."""
 
     def __init__(self, queries_ref, id_col: str, vec_col: str):
         q = ray.get(queries_ref)  # fetched once per actor
@@ -42,9 +43,7 @@ class BruteForceScorer:
             {
                 "query_id": pa.array(np.repeat(self.q_ids, n), pa.int64()),
                 "vec_id": pa.array(np.tile(ids, q), pa.int64()),
-                "cosine": pa.array(
-                    np.round(cos.T.reshape(-1), 6), pa.float64()
-                ),
+                "cosine": pa.array(cos.T.reshape(-1), pa.float64()),
             }
         )
 
@@ -87,11 +86,13 @@ def brute_force_topk(
 # --------------------------------------------------------------------------
 
 def kmeans_centroids(ds, vec_col: str = "embedding", c: int = 16, iters: int = 5, seed: int = 3, sample: int = 2048):
-    """Small deterministic k-means on a driver-side sample (centroid
-    table is tiny and broadcast; the full dataset is never pulled)."""
+    """Small deterministic SPHERICAL k-means on a driver-side sample
+    (centroid table is tiny and broadcast; the full dataset is never
+    pulled).  Vectors are unit-normalized before clustering so cell
+    assignment agrees with the cosine search metric."""
     head = ds.limit(sample)
-    vecs = np.asarray(
-        [r[vec_col] for r in head.take(sample)], dtype=np.float64
+    vecs = _normalize(
+        np.asarray([r[vec_col] for r in head.take(sample)], dtype=np.float64)
     )
     rng = np.random.RandomState(seed)
     cent = vecs[rng.choice(len(vecs), size=min(c, len(vecs)), replace=False)]
@@ -102,6 +103,7 @@ def kmeans_centroids(ds, vec_col: str = "embedding", c: int = 16, iters: int = 5
             m = vecs[assign == j]
             if len(m):
                 cent[j] = m.mean(axis=0)
+        cent = _normalize(cent)  # spherical: centroids stay on the unit sphere
     return cent
 
 
@@ -112,12 +114,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
-    nprobe: int = 4,
+    nprobe: int = 10,
 ):
     """IVF search: assign every vector to its nearest centroid
     (broadcast centroids, one matmul per batch); for each query, scan
     only the ``nprobe`` nearest buckets.  Approximate by construction —
-    documented trade-off vs ``brute_force_topk``."""
+    recall is pinned ≥0.8 vs ``brute_force_topk`` by
+    ``test_ivf_recall_vs_brute_force``.  The default nprobe (10 of 16
+    cells) is tuned for the NEAR-UNIFORM synthetic embeddings — IVF's
+    worst case; clustered real embeddings reach the same recall with
+    far fewer probes, which is where the scan saving comes from."""
     if centroids is None:
         centroids = kmeans_centroids(ds, vec_col)
     cent_ref = ray.put(centroids)
@@ -136,9 +142,10 @@ def ivf_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch.column(id_col).to_pylist())
             raw = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            d = ((raw[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
             unit = _normalize(raw)
+            # assignment in UNIT space — matches the cosine metric
+            d = ((unit[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
             out_q, out_v, out_c = [], [], []
             for n, qi in enumerate(self.q_ids):
                 mask = np.isin(assign, list(self.probes[qi]))

@@ -1,0 +1,139 @@
+"""Round-2 additions: review decision persistence (A6, reference
+reviewer.py:204-285 merge semantics), IVF recall vs brute force, and
+distributed connected components."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+# --- review decisions --------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_decision_roundtrip(tmp_path):
+    from pdf_extractor_ray.pipelines.review import (
+        load_reviews,
+        record_decisions,
+        review_summary,
+    )
+
+    d = str(tmp_path / "reviews")
+    # session 1: two decisions
+    record_decisions(
+        d,
+        [
+            {"conv_id": "c1", "turn_idx": 0, "unit_id": "2.9", "decision": "accept"},
+            {"conv_id": "c1", "turn_idx": 1, "unit_id": "2.10", "decision": "reject"},
+        ],
+    )
+    # session 2 (resume): flip 2.9 to reject, add a skip — newest wins
+    record_decisions(
+        d,
+        [
+            {"conv_id": "c1", "turn_idx": 0, "unit_id": "2.9", "decision": "reject"},
+            {"conv_id": "c2", "turn_idx": 5, "unit_id": "3.1", "decision": "skip"},
+        ],
+    )
+    merged = {
+        (r["conv_id"], r["turn_idx"], r["unit_id"]): r["decision"]
+        for r in load_reviews(d).take_all()
+    }
+    assert merged == {
+        ("c1", 0, "2.9"): "reject",
+        ("c1", 1, "2.10"): "reject",
+        ("c2", 5, "3.1"): "skip",
+    }
+    summary = review_summary(d)
+    assert summary == {"total": 3, "accepted": 0, "rejected": 2, "skipped": 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_same_batch_later_wins(tmp_path):
+    from pdf_extractor_ray.pipelines.review import load_reviews, record_decisions
+
+    d = str(tmp_path / "reviews")
+    record_decisions(
+        d,
+        [
+            {"conv_id": "c", "turn_idx": 0, "unit_id": "u", "decision": "accept"},
+            {"conv_id": "c", "turn_idx": 0, "unit_id": "u", "decision": "skip"},
+        ],
+    )
+    rows = load_reviews(d).take_all()
+    assert len(rows) == 1 and rows[0]["decision"] == "skip"
+
+
+def test_review_rejects_invalid_decision(tmp_path):
+    from pdf_extractor_ray.pipelines.review import record_decisions
+
+    with pytest.raises(ValueError):
+        record_decisions(
+            str(tmp_path), [{"conv_id": "c", "turn_idx": 0, "decision": "maybe"}]
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_summary_empty(tmp_path):
+    from pdf_extractor_ray.pipelines.review import review_summary
+
+    assert review_summary(str(tmp_path / "nothing"))["total"] == 0
+
+
+# --- IVF recall --------------------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_brute_force():
+    """ann_ivf is approximate by construction — pin the approximation:
+    recall@10 vs the exact brute-force neighbors must be ≥ 0.8 on the
+    sf0.01 embeddings (seeded, deterministic)."""
+    from pdf_extractor_ray.pipelines.queries import _query_vectors
+    from pdf_extractor_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    import os
+
+    path = os.path.join(SF_DIR, "embeddings.parquet")
+    qv = _query_vectors(SF_DIR)
+
+    def neighbors(fn):
+        ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+        out = {}
+        for r in fn(ds, qv, k=10).take_all():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = neighbors(brute_force_topk)
+    approx = neighbors(ivf_topk)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert len(recalls) == 3
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"recall@10 {mean_recall:.2f} < 0.8 ({recalls})"
+
+
+# --- connected components ----------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_connected_components_chain_and_clique():
+    """Chain 1-2-3-4 collapses to label 1 (multi-round propagation);
+    disjoint pair (10,11) keeps its own component."""
+    from pdf_extractor_ray.stages.dedup import connected_components
+
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 10], pa.int64()),
+                "id_b": pa.array([2, 3, 4, 11], pa.int64()),
+            }
+        )
+    )
+    got = sorted((r["node"], r["label"]) for r in connected_components(pairs).take_all())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
