@@ -58,11 +58,23 @@ def cmd_evaluate(args) -> int:
     from .pipelines.evaluate import evaluate_against_golden, flag_rollup
     from .pipelines.extract import read_extracted
 
+    from ray.data.aggregate import Count
+
+    from .pipelines.evaluate import review_priorities
+
     ds = read_extracted(args.out)
     golden = pq.read_table(args.golden)
     report, mism = evaluate_against_golden(ds, golden)
     rollup = flag_rollup(read_extracted(args.out))
-    print(json.dumps({"report": report.__dict__, "flags": rollup}))
+    # per-row review routing (reference evaluator's review_priority)
+    pri = {
+        r["review_priority"]: int(r["n"])
+        for r in review_priorities(read_extracted(args.out))
+        .groupby("review_priority")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    print(json.dumps({"report": report.__dict__, "flags": rollup, "priorities": pri}))
     if mism.num_rows:
         print(f"{mism.num_rows} mismatches; first: {mism.slice(0, 3).to_pylist()}", file=sys.stderr)
     return 0 if report.failed == 0 and report.missing == 0 else 1

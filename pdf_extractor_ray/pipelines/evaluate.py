@@ -224,6 +224,86 @@ def review_sample(
     return ds.random_sample(rate, seed=seed).limit(limit).take_all()
 
 
+_PRIORITY_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("unit_id", pa.string()),
+        ("latex_ok", pa.bool_()),
+        ("has_remaining_refs", pa.bool_()),
+        ("answer_similarity", pa.float64()),
+        ("review_priority", pa.string()),
+        ("passed", pa.bool_()),
+    ]
+)
+
+def review_priorities(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-row review routing (reference QAEvaluation,
+    /root/reference/src/evaluator.py:216-292): LaTeX snippet check
+    (M12 — ``structural_check`` stands in for the container-less
+    pdflatex, same snippet shape as evaluator.py:249), remaining-
+    reference scan, and the resolved-answer similarity gate with the
+    reference's thresholds (<0.95 → high, <0.99 → low; remaining refs
+    → medium; snippet-check failure → high; else none).
+
+    The similarity gate: the reference's LLM resolver MAY rewrite the
+    answer, so it diffs original vs resolved (evaluator.py:258-270).
+    This engine's deterministic resolver provably never modifies the
+    answer — it appends "[Context from <id>: ...]" to the QUESTION
+    only (functions/refs.py:137-146) — so the gate reduces to the
+    marker invariant: a resolved row must carry its inline marker
+    (similarity 1.0), and a resolved row WITHOUT one is corrupted
+    output (similarity 0.0 → high priority).  Runs entirely inside
+    ``map_batches`` — one pass, no shuffle."""
+    from ..sources.latex_sink import render_unit, structural_check
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("extracted_text").to_pylist()
+        units = batch.column("unit_id").to_pylist()
+        flags = batch.column("flags").to_pylist()
+        lat, refs, sims, prio, passed = [], [], [], [], []
+        for u, x, f in zip(units, texts, flags):
+            x = x or ""
+            p = "none"
+            snippet = (
+                "\\documentclass{article}\n\\begin{document}\n"
+                + render_unit(u, x)
+                + "\\end{document}"
+            )
+            ok = structural_check(snippet)
+            if not ok:
+                p = "high"
+            has_refs = bool(GENERIC_REF_RE.search(x))
+            if has_refs and p != "high":
+                p = "medium"
+            sim = None
+            if f["resolved"]:
+                sim = 1.0 if "[Context from " in x else 0.0
+                if sim < 0.95:
+                    p = "high"
+                elif sim < 0.99 and p == "none":
+                    p = "low"
+            lat.append(ok)
+            refs.append(has_refs)
+            sims.append(sim)
+            prio.append(p)
+            passed.append(ok and not has_refs and (sim is None or sim >= 0.95))
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "unit_id": batch.column("unit_id"),
+                "latex_ok": pa.array(lat, pa.bool_()),
+                "has_remaining_refs": pa.array(refs, pa.bool_()),
+                "answer_similarity": pa.array(sims, pa.float64()),
+                "review_priority": pa.array(prio, pa.string()),
+                "passed": pa.array(passed, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def resolution_report(ds: ray.data.Dataset) -> tuple[dict, pa.Table]:
     """Resolution-tracking output (reference S10,
     /root/reference/src/pipeline.py:326-351): summary counts + a

@@ -75,6 +75,22 @@ def q_extract_transcripts(sf_dir: str):
     return _to_table(ds.select_columns(["conv_id", "turn_idx", "unit_id", "extracted_text"]))
 
 
+def q_review_priority(sf_dir: str):
+    """Per-row review routing counts (reference QAEvaluation
+    review_priority, evaluator.py:216-292) over the extraction output —
+    rows-only (the priorities derive from this engine's own extraction,
+    not a SQL-expressible input)."""
+    from ray.data.aggregate import Count
+
+    from .evaluate import review_priorities
+    from .extract import extraction_pipeline
+
+    lake = transcripts_path_for(sf_dir)
+    pri = review_priorities(extraction_pipeline(lake))
+    out = pri.groupby("review_priority").aggregate(Count(alias_name="n"))
+    return _to_table(out)
+
+
 # --------------------------------------------------------------------------
 # stitch analogue on events: per-user ordered sessionization (A1/O1)
 # --------------------------------------------------------------------------
@@ -253,13 +269,18 @@ def q_join_hash(sf_dir: str):
         )
         return batch.append_column("rev", rev).select(["l_orderkey", "rev"])
 
-    # ~2 partitions per CPU — 8 starved a 32-CPU cluster (round-1 bench:
-    # join_hash was the slowest green query at 15 s)
+    # Partition count measured on this box (32 CPUs, sf0.1): 8→7.1s,
+    # 16→7.7s, 32→10.3s, 64→129s — Ray 2.49's JoinOperator spawns an
+    # aggregator ACTOR pool sized to partitions, and actors beyond
+    # ~CPUs/4 thrash a single node.  cpus//4 keeps ~1 aggregator per 4
+    # cores and grows with the cluster (a 256-node cluster gets
+    # thousands of partitions, which is what bounds per-partition
+    # memory at 100 TB).
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = lineitem.map_batches(revenue, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=max(8, 2 * cpus),
+        num_partitions=max(8, cpus // 4),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -971,6 +992,7 @@ def q_embed_neardup(sf_dir: str):
 
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
+    "review_priority": q_review_priority,
     "events_sessionize": q_events_sessionize,
     "filter_project": q_filter_project,
     "agg_rollup": q_agg_rollup,

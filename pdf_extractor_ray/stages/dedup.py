@@ -42,6 +42,12 @@ from ..functions.hashing import (
 )
 from ..functions.textstats import fingerprint
 
+# Coarse shuffle-bucket count for the pair generators: ONE map_groups
+# call per coarse bucket; fine (band/bucket) groups are sieved
+# vectorized inside.  At cluster scale raise ~linearly with CPUs.
+_PAIR_BUCKETS = 32
+
+
 def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pd.DataFrame:
     """(id_a, id_b, <extra>) frame with EXPLICIT dtypes — identical
     schema whether or not the lists are empty."""
@@ -134,27 +140,40 @@ def minhash_candidate_pairs(
     """MinHash-LSH candidate pairs with signature-estimated Jaccard.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped across
-    bands.  The shuffle key is (band, bucket); only 256-byte
-    signatures move.  The cross-band dedup is a vectorized ``Min``
-    aggregate (est_jaccard is a pure function of the two signatures,
-    so it is identical in every band that surfaces the pair)."""
+    bands.  The shuffle key is a COARSE hash of (band, bucket) — one
+    ``map_groups`` call per coarse bucket, not per LSH bucket (a call
+    per LSH bucket is ~1 group per doc×band: per-group Python overhead
+    dominates, the same disease ``exact_dedup`` had).  Inside, a
+    vectorized ``transform('size')`` sieve skips singleton buckets
+    (the vast majority) without touching Python; only colliding
+    buckets pay the pair loop.  Only 256-byte signatures move.  The
+    cross-band dedup is a vectorized ``Min`` aggregate (est_jaccard is
+    a pure function of the two signatures, so it is identical in every
+    band that surfaces the pair)."""
     from ray.data.aggregate import Min
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return _pairs_df([], [], "est_jaccard", [])
-        rows = group.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint32) for s in rows["sig"]]
+    def pairs_in_coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["band", "bucket"], sort=False)["doc_id"].transform("size")
+        multi = df.loc[cnt >= 2]
         a_out, b_out, est = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sim = float((sigs[i] == sigs[j]).mean())
-                if sim >= est_threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    est.append(sim)
+        for _, g in multi.groupby(["band", "bucket"], sort=False):
+            rows = g.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = rows["doc_id"].to_numpy()
+            sigs = [np.frombuffer(s, dtype=np.uint32) for s in rows["sig"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    sim = float((sigs[i] == sigs[j]).mean())
+                    if sim >= est_threshold:
+                        a_out.append(int(ids[i]))
+                        b_out.append(int(ids[j]))
+                        est.append(sim)
         return _pairs_df(a_out, b_out, "est_jaccard", est)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False).astype("int64")
+        bd = batch.column("band").to_numpy(zero_copy_only=False).astype("int64")
+        coarse = ((bk ^ bd) % _PAIR_BUCKETS).astype("int32")
+        return batch.append_column("_cb", pa.array(coarse))
 
     sigs = ds.map_batches(
         MinHashSignatures,
@@ -165,8 +184,10 @@ def minhash_candidate_pairs(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
-        pairs_in_bucket, batch_format="pandas"
+    pairs = (
+        sigs.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_cb", num_partitions=_PAIR_BUCKETS)
+        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("est_jaccard", alias_name="est_jaccard")
@@ -255,7 +276,7 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
     convergence check.  Rounds are O(component diameter); near-dup
     clusters are near-cliques so 2-3 rounds typical.  Returns a Dataset
     (node, label) where label is the component's min node id."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False)
@@ -271,21 +292,34 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
         to_edges, batch_format="pyarrow"
     ).materialize()  # reused every round — don't re-derive candidates
 
-    def batch_unique(batch: pa.Table) -> pa.Table:
-        u = np.unique(batch.column("node").to_numpy(zero_copy_only=False))
-        return pa.table({"node": pa.array(u.astype("int64"), pa.int64())})
+    def bucket_on(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_bucket", pa.array((n % num_buckets).astype("int32"))
+            )
 
-    def self_label(batch: pa.Table) -> pa.Table:
-        nodes = batch.column("node")
-        return pa.table({"node": nodes, "label": nodes.cast(pa.int64())})
+        return f
+
+    # Smart init: label₀ = min(self, direct neighbors) — one bucketed
+    # groupby, same cost as a plain distinct-nodes pass but it IS the
+    # first propagation round, so clique-shaped near-dup clusters (the
+    # common case) converge after a single confirming round.
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("node", sort=False)["nbr"].min()
+        nodes = m.index.to_numpy()
+        lab = np.minimum(nodes, m.to_numpy())
+        return pd.DataFrame(
+            {
+                "node": pd.Series(nodes, dtype="int64"),
+                "label": pd.Series(lab, dtype="int64"),
+            }
+        )
 
     labels = (
-        edges.select_columns(["node"])
-        .map_batches(batch_unique, batch_format="pyarrow")  # per-batch combiner
-        .groupby("node")
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["node"])
-        .map_batches(self_label, batch_format="pyarrow")
+        edges.map_batches(bucket_on("node"), batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=num_buckets)
+        .map_groups(init_labels, batch_format="pandas")
         .materialize()
     )
 
@@ -313,15 +347,6 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
                 "src": pa.array(np.ones(batch.num_rows, dtype=np.int8), pa.int8()),
             }
         )
-
-    def bucket_on(col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            n = batch.column(col).to_numpy(zero_copy_only=False)
-            return batch.append_column(
-                "_bucket", pa.array((n % num_buckets).astype("int32"))
-            )
-
-        return f
 
     def send_labels(df: pd.DataFrame) -> pd.DataFrame:
         """Per-bucket reduce-side join: each edge row (k=nbr) receives
@@ -489,24 +514,34 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
             }
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values("doc_id").drop_duplicates("doc_id")
-        ids = rows["doc_id"].to_list()
-        hs = rows["simhash"].to_list()
+    def pairs_in_coarse_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["quarter", "qkey"], sort=False)["doc_id"].transform("size")
+        multi = df.loc[cnt >= 2]
         a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(int(hs[i]), int(hs[j]))
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
+        for _, g in multi.groupby(["quarter", "qkey"], sort=False):
+            rows = g.sort_values("doc_id").drop_duplicates("doc_id")
+            ids = rows["doc_id"].to_list()
+            hs = rows["simhash"].to_list()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(int(hs[i]), int(hs[j]))
+                    if d <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
         return _pairs_df(a_out, b_out, "hamming", d_out, dtype="int64")
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        qk = batch.column("qkey").to_numpy(zero_copy_only=False).astype("int64")
+        q = batch.column("quarter").to_numpy(zero_copy_only=False).astype("int64")
+        coarse = (((qk * 2654435761) ^ q) % _PAIR_BUCKETS).astype("int32")
+        return batch.append_column("_cb", pa.array(coarse))
 
     return (
         ds.map_batches(add_simhash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["quarter", "qkey"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_cb", num_partitions=_PAIR_BUCKETS)
+        .map_groups(pairs_in_coarse_bucket, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
@@ -564,27 +599,37 @@ def embedding_neardup_pairs(
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.sort_values("vec_id").drop_duplicates("vec_id")
-        ids = rows["vec_id"].to_list()
-        vecs = np.asarray(rows[vec_col].to_list(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = vecs / norms
-        cos = unit @ unit.T
+    def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["table_id", "bucket"], sort=False)["vec_id"].transform("size")
+        multi = df.loc[cnt >= 2]
         a_out, b_out, c_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if cos[i, j] >= cos_threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    c_out.append(round(float(cos[i, j]), 6))
+        for _, g in multi.groupby(["table_id", "bucket"], sort=False):
+            rows = g.sort_values("vec_id").drop_duplicates("vec_id")
+            ids = rows["vec_id"].to_list()
+            vecs = np.asarray(rows[vec_col].to_list(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms
+            cos = unit @ unit.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if cos[i, j] >= cos_threshold:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        c_out.append(round(float(cos[i, j]), 6))
         return _pairs_df(a_out, b_out, "cosine", c_out)
+
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        bk = batch.column("bucket").to_numpy(zero_copy_only=False).astype("int64")
+        t = batch.column("table_id").to_numpy(zero_copy_only=False).astype("int64")
+        coarse = ((((bk + 1) * 2654435761) ^ t) % _PAIR_BUCKETS).astype("int32")
+        return batch.append_column("_cb", pa.array(coarse))
 
     return (
         ds.map_batches(add_buckets, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["table_id", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+        .map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("_cb", num_partitions=_PAIR_BUCKETS)
+        .map_groups(verify_coarse, batch_format="pandas")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("cosine", alias_name="cosine"))
     )

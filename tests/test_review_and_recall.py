@@ -118,6 +118,49 @@ def test_ivf_recall_vs_brute_force():
     assert mean_recall >= 0.8, f"recall@10 {mean_recall:.2f} < 0.8 ({recalls})"
 
 
+# --- review priority routing -------------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_priorities_routing():
+    """Reference thresholds: remaining refs → medium; broken snippet →
+    high; resolved row missing its inline marker (corruption) → high;
+    clean row → none / passed."""
+    from pdf_extractor_ray.pipelines.evaluate import review_priorities
+
+    def row(conv, unit, text, resolved=False):
+        return {
+            "conv_id": conv,
+            "turn_idx": 0,
+            "unit_id": unit,
+            "extracted_text": text,
+            "flags": {
+                "continued": False,
+                "resolved": resolved,
+                "had_refs": resolved,
+                "parse_error": False,
+            },
+        }
+
+    ds = ray.data.from_items(
+        [
+            row("c", "1.1", "Clean answer with no issues."),
+            row("c", "1.2", "Uses Theorem 2.5 without resolution."),
+            row("c", "1.3", "Unbalanced brace { breaks the snippet."),
+            row("c", "1.4", "Resolved. [Context from 2.5: inlined.]", resolved=True),
+            row("c", "1.5", "Claims resolved but marker missing.", resolved=True),
+        ]
+    )
+    got = {r["unit_id"]: r for r in review_priorities(ds).take_all()}
+    assert got["1.1"]["review_priority"] == "none" and got["1.1"]["passed"]
+    assert got["1.2"]["review_priority"] == "medium" and not got["1.2"]["passed"]
+    assert got["1.3"]["review_priority"] == "high" and not got["1.3"]["latex_ok"]
+    assert got["1.4"]["review_priority"] == "none"
+    assert got["1.4"]["answer_similarity"] == 1.0
+    assert got["1.5"]["review_priority"] == "high"
+    assert got["1.5"]["answer_similarity"] == 0.0
+
+
 # --- connected components ----------------------------------------------
 
 
