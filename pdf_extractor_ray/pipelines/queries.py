@@ -819,6 +819,135 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 
+def q_semi_join(sf_dir: str):
+    """Orders WITH lineitems — broadcast semi-join (the EXISTS dual of
+    ``q_anti_join``): deduped key column broadcast once, vectorized
+    ``pc.is_in`` keep-mask per batch, no shuffle."""
+    keys = np.unique(
+        pa.parquet.read_table(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+        .column("l_orderkey")
+        .to_numpy(zero_copy_only=False)
+    )
+    kref = ray.put(keys)
+
+    def keep_with_items(batch: pa.Table) -> pa.Table:
+        k = ray.get(kref)
+        return batch.filter(
+            pc.is_in(batch.column("o_orderkey"), value_set=pa.array(k))
+        )
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
+    )
+    return _to_table(
+        ds.map_batches(keep_with_items, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# as-of join (an operator Ray Data lacks — composed per the brief's
+# recipe: hash-partition on the entity key, ordered in-bucket probe)
+# --------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str):
+    """For every click, the most recent purchase by the same user at or
+    before the click (ties on ts broken by larger event_id; -1 when no
+    prior purchase).  Partitioning assumption (documented): the as-of
+    probe is entity-local, so ONE hash exchange on user_id co-locates
+    each user's timeline; inside the bucket a sorted ``searchsorted``
+    probe is O((clicks+purchases)·log)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        out_click, out_user, out_ts, out_prior = [], [], [], []
+        for uid, g in b.groupby("user_id", sort=False):
+            p = g.loc[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+            c = g.loc[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+            if c.empty:
+                continue
+            c_ts = c["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            if p.empty:
+                prior = np.full(len(c), -1, dtype=np.int64)
+            else:
+                p_ts = p["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+                p_id = p["event_id"].to_numpy()
+                # rightmost purchase with ts <= click ts; within equal
+                # ts the array is event_id-ascending, so "rightmost"
+                # IS the larger event_id — matching the SQL tiebreak
+                idx = np.searchsorted(p_ts, c_ts, side="right") - 1
+                prior = np.where(idx >= 0, p_id[np.maximum(idx, 0)], -1)
+            out_click.extend(c["event_id"].to_list())
+            out_user.extend([uid] * len(c))
+            out_ts.extend(c_ts.tolist())
+            out_prior.extend(prior.tolist())
+        return pd.DataFrame(
+            {
+                "click_id": pd.Series(out_click, dtype="int64"),
+                "user_id": pd.Series(out_user, dtype="int64"),
+                "ts_us": pd.Series(out_ts, dtype="int64"),
+                "prior_purchase_id": pd.Series(out_prior, dtype="int64"),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_ASOF_JOIN = """
+SELECT a.event_id AS click_id, a.user_id, epoch_us(a.ts) AS ts_us,
+       COALESCE((SELECT b.event_id FROM events b
+                 WHERE b.user_id = a.user_id AND b.event_type = 'purchase'
+                   AND b.ts <= a.ts
+                 ORDER BY b.ts DESC, b.event_id DESC LIMIT 1), -1)
+           AS prior_purchase_id
+FROM events a WHERE a.event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# exact grouped percentiles (few groups → per-group vectorized numpy;
+# DuckDB quantile_disc rule: sorted[ceil(q*n) - 1])
+# --------------------------------------------------------------------------
+
+def q_percentiles(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def pcts(g: pd.DataFrame) -> pd.DataFrame:
+        a = np.sort(g["n_chars"].to_numpy())
+        n = len(a)
+
+        def disc(q: float) -> int:
+            return int(a[max(0, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([g["lang"].iloc[0]], dtype="object"),
+                "n": pd.Series([n], dtype="int64"),
+                "p50": pd.Series([disc(0.5)], dtype="int64"),
+                "p90": pd.Series([disc(0.9)], dtype="int64"),
+                "p99": pd.Series([disc(0.99)], dtype="int64"),
+            }
+        )
+
+    return _to_table(ds.groupby("lang").map_groups(pcts, batch_format="pandas"))
+
+
+SQL_PERCENTILES = """
+SELECT lang, count(*) AS n,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog approximate distinct (mergeable sketch; rows-only —
 # approximate by construction, accuracy pinned by pytest instead)
@@ -967,7 +1096,41 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     return _to_table(with_text.map_batches(verify, batch_format="pyarrow"))
 
 
-def q_embed_neardup(sf_dir: str):
+def q_embed_dedup(sf_dir: str):
+    """Embedding near-dup SURVIVORS: hyperplane-LSH pairs → distributed
+    connected components → drop cluster losers (min vec_id wins) —
+    the ``minhash_dedup`` shape over the embedding column.  Rows-only
+    (approximate recall by construction); the planted near-copies are
+    the expected losers."""
+    import ray as _ray
+
+    ds = _embeddings_with_planted_neardups(sf_dir)
+    pairs = dd.embedding_neardup_pairs(ds, cos_threshold=0.95).materialize()
+    if pairs.count() == 0:
+        return _to_table(ds.select_columns(["vec_id"]))
+    labels = dd.connected_components(pairs)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("node"), batch.column("label")))
+
+    loser_tbl = _to_table(
+        labels.map_batches(losers_only, batch_format="pyarrow").select_columns(["node"])
+    )
+    losers = loser_tbl.column("node").to_numpy(zero_copy_only=False)
+    lref = _ray.put(losers)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        drop_ids = _ray.get(lref)
+        return batch.filter(
+            pc.invert(pc.is_in(batch.column("vec_id"), value_set=pa.array(drop_ids)))
+        )
+
+    return _to_table(
+        ds.map_batches(drop, batch_format="pyarrow").select_columns(["vec_id"])
+    )
+
+
+def _embeddings_with_planted_neardups(sf_dir: str) -> ray.data.Dataset:
     base = pa.parquet.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids = base.column("vec_id").to_pylist()
     vecs = base.column("embedding").to_pylist()
@@ -982,7 +1145,11 @@ def q_embed_neardup(sf_dir: str):
             "embedding": pa.array(dup_vecs, base.schema.field("embedding").type),
         }
     )
-    ds = ray.data.from_arrow(pa.concat_tables([base, dups]))
+    return ray.data.from_arrow(pa.concat_tables([base, dups]))
+
+
+def q_embed_neardup(sf_dir: str):
+    ds = _embeddings_with_planted_neardups(sf_dir)
     return _to_table(dd.embedding_neardup_pairs(ds, cos_threshold=0.95))
 
 
@@ -1022,6 +1189,10 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embed_neardup": q_embed_neardup,
+    "embed_dedup": q_embed_dedup,
+    "semi_join": q_semi_join,
+    "asof_join": q_asof_join,
+    "percentiles": q_percentiles,
 }
 
 ORACLES = {
@@ -1043,6 +1214,9 @@ ORACLES = {
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "anti_join": SQL_ANTI_JOIN,
     "anti_join_shuffle": SQL_ANTI_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
+    "percentiles": SQL_PERCENTILES,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
 }
