@@ -214,21 +214,18 @@ def q_join_broadcast(sf_dir: str):
     )
     seg_ref = ray.put(seg_by_key)
 
-    class AddSegment:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)  # fetched once per actor
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
-            segs = pd.Series(keys).map(self.seg)  # vectorized hash lookup
-            out = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
-            # drop unmatched keys — inner-join semantics, same as the
-            # oracle (dict.get's None would silently make this a left join)
-            return out.filter(pc.is_valid(out.column("c_mktsegment")))
+    def add_segment(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)  # local object-store hit after first fetch
+        keys = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        segs = pd.Series(keys).map(seg)  # vectorized hash lookup
+        out = batch.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        # drop unmatched keys — inner-join semantics, same as the
+        # oracle (dict.get's None would silently make this a left join)
+        return out.filter(pc.is_valid(out.column("c_mktsegment")))
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
-    ).map_batches(AddSegment, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4))
+    ).map_batches(add_segment, batch_format="pyarrow", zero_copy_batch=True)
 
     out = ds.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
@@ -415,13 +412,14 @@ FROM documents GROUP BY source
 # --------------------------------------------------------------------------
 
 def q_token_count(sf_dir: str):
+    # TextAnalyzer is instantiated ONCE on the driver and shipped as a
+    # tiny closure — stateless tasks, module-level regex state warms
+    # per worker (an actor pool here measured +3.4 s of startup at
+    # sf0.1 for state that is one compiled regex).
+    analyzer = TextAnalyzer(text_col="text", features=("tokens",))
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
     analyzed = ds.map_batches(
-        TextAnalyzer,
-        fn_constructor_kwargs={"text_col": "text", "features": ("tokens",)},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+        lambda b: analyzer(b), batch_format="pyarrow", zero_copy_batch=True
     )
     return _to_table(
         analyzed.select_columns(["lang", "n_tokens"])

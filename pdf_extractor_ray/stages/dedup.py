@@ -98,22 +98,22 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # MinHash + LSH near-dedup
 # --------------------------------------------------------------------------
 
-class MinHashSignatures:
-    """Actor-pool stage: text → (band_id, bucket, id, signature)."""
+def minhash_signatures_fn(id_col: str, text_col: str, num_perm: int, bands: int, k: int):
+    """STATELESS signature stage: text → (band_id, bucket, id, sig).
 
-    def __init__(self, id_col: str, text_col: str, num_perm: int, bands: int, k: int):
-        self.id_col, self.text_col = id_col, text_col
-        self.num_perm, self.bands, self.k = num_perm, bands, k
-        # Warm the permutation cache once per actor.
-        minhash_signature(np.array([1], dtype=np.uint64), num_perm)
+    The permutation table is module-level state warmed on first call
+    per worker process (``hashing._PERM_CACHE``) — an actor pool here
+    costs ~3 s of pool startup per query on this sandbox while the
+    warm state it would hold is a 1 KB array (see BASELINE.md perf
+    journal: reserved actor pools also starve post-shuffle stages)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
+    def sign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
         out_id, out_band, out_bucket, out_sig = [], [], [], []
         for i, t in zip(ids, texts):
-            sig = minhash_signature(shingles(t or "", self.k), self.num_perm)
-            for band_id, key in enumerate(lsh_band_keys(sig, self.bands)):
+            sig = minhash_signature(shingles(t or "", k), num_perm)
+            for band_id, key in enumerate(lsh_band_keys(sig, bands)):
                 out_id.append(i)
                 out_band.append(band_id)
                 out_bucket.append(key)
@@ -126,6 +126,8 @@ class MinHashSignatures:
                 "sig": pa.array(out_sig, pa.binary()),
             }
         )
+
+    return sign
 
 
 def minhash_candidate_pairs(
@@ -176,13 +178,9 @@ def minhash_candidate_pairs(
         return batch.append_column("_cb", pa.array(coarse))
 
     sigs = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands, k=k
-        ),
+        minhash_signatures_fn(id_col, text_col, num_perm, bands, k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     pairs = (
         sigs.map_batches(add_coarse, batch_format="pyarrow")

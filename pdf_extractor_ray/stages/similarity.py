@@ -21,31 +21,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteForceScorer:
-    """Actor-pool stage: per batch, cosine of every vector against the
-    broadcast query matrix; emits per-(query, vector) score partials.
-    Scores are NOT rounded before the top-k sort — the DuckDB oracle
-    orders by the unrounded cosine, and rounding first could flip the
-    tie-break at the k cutoff for neighbors within 1e-6."""
+def brute_force_scorer(queries_ref, id_col: str, vec_col: str):
+    """STATELESS scoring stage: per batch, cosine of every vector
+    against the broadcast query matrix.  The matrix travels via
+    ``ray.put`` once; ``ray.get`` inside the batch fn is a local
+    object-store hit after the first fetch per worker (an actor pool
+    here costs ~3 s of startup per query on this sandbox for state
+    that is a few KB).  Scores are NOT rounded before the top-k sort —
+    the DuckDB oracle orders by the unrounded cosine, and rounding
+    first could flip the tie-break at the k cutoff for neighbors
+    within 1e-6."""
 
-    def __init__(self, queries_ref, id_col: str, vec_col: str):
-        q = ray.get(queries_ref)  # fetched once per actor
-        self.q_ids = q["ids"]
-        self.q_mat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
-        self.id_col, self.vec_col = id_col, vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist())
-        vecs = _normalize(np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float64))
-        cos = vecs @ self.q_mat.T  # (n, q)
-        n, q = cos.shape
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        q_ids = q["ids"]
+        q_mat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        cos = vecs @ q_mat.T  # (n, q)
+        n, nq = cos.shape
         return pa.table(
             {
-                "query_id": pa.array(np.repeat(self.q_ids, n), pa.int64()),
-                "vec_id": pa.array(np.tile(ids, q), pa.int64()),
+                "query_id": pa.array(np.repeat(q_ids, n), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, nq), pa.int64()),
                 "cosine": pa.array(cos.T.reshape(-1), pa.float64()),
             }
         )
+
+    return score
 
 
 def brute_force_topk(
@@ -72,11 +75,9 @@ def brute_force_topk(
         return g.head(k)
 
     scored = ds.map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs=dict(queries_ref=queries_ref, id_col=id_col, vec_col=vec_col),
+        brute_force_scorer(queries_ref, id_col, vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     return scored.groupby("query_id").map_groups(topk_per_query, batch_format="pandas")
 
@@ -134,40 +135,37 @@ def ivf_topk(
     probe_buckets = {qi: set(np.argsort(qd[n])[:nprobe].tolist()) for n, qi in enumerate(q_ids)}
     probes_ref = ray.put((q_ids, q_mat, probe_buckets))
 
-    class IvfScorer:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.q_ids, self.q_mat, self.probes = ray.get(probes_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist())
-            raw = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            unit = _normalize(raw)
-            # assignment in UNIT space — matches the cosine metric
-            d = ((unit[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            out_q, out_v, out_c = [], [], []
-            for n, qi in enumerate(self.q_ids):
-                mask = np.isin(assign, list(self.probes[qi]))
-                if not mask.any():
-                    continue
-                cos = unit[mask] @ self.q_mat[n]
-                out_q.extend([qi] * int(mask.sum()))
-                out_v.extend(ids[mask].tolist())
-                out_c.extend(np.round(cos, 6).tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "vec_id": pa.array(out_v, pa.int64()),
-                    "cosine": pa.array(out_c, pa.float64()),
-                }
-            )
+    def ivf_score(batch: pa.Table) -> pa.Table:
+        # stateless: broadcast refs are local object-store hits after
+        # the first fetch per worker (see brute_force_scorer)
+        cent = ray.get(cent_ref)
+        q_ids, q_mat, probes = ray.get(probes_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        raw = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        unit = _normalize(raw)
+        # assignment in UNIT space — matches the cosine metric
+        d = ((unit[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        out_q, out_v, out_c = [], [], []
+        for n, qi in enumerate(q_ids):
+            mask = np.isin(assign, list(probes[qi]))
+            if not mask.any():
+                continue
+            cos = unit[mask] @ q_mat[n]
+            out_q.extend([qi] * int(mask.sum()))
+            out_v.extend(ids[mask].tolist())
+            out_c.extend(np.round(cos, 6).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
 
     def topk_per_query(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["cosine", "vec_id"], ascending=[False, True])
         return g.head(k)
 
-    scored = ds.map_batches(
-        IvfScorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
-    )
+    scored = ds.map_batches(ivf_score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(topk_per_query, batch_format="pandas")
