@@ -397,6 +397,11 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
             .map_groups(send_labels, batch_format="pandas")
         )
         cand = msgs.union(labels.map_batches(with_is_old, batch_format="pyarrow"))
+        # ONE heavy execution per round (the materialize) + one tiny
+        # aggregate over its cached blocks; the `changed` column rides
+        # along into the next round's labels (labels_keyed/with_is_old
+        # only read node/label) instead of paying a third execution to
+        # project it away.
         new_labels = (
             cand.map_batches(bucket_on("node"), batch_format="pyarrow")
             .groupby("_bucket", num_partitions=num_buckets)
@@ -404,10 +409,10 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
             .materialize()
         )
         n_changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
-        labels = new_labels.select_columns(["node", "label"]).materialize()
+        labels = new_labels
         if n_changed == 0:
             break
-    return labels
+    return labels.select_columns(["node", "label"])
 
 
 def minhash_dedup(
