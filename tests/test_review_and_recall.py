@@ -165,6 +165,55 @@ def test_review_priorities_routing():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_connected_components_random_vs_union_find():
+    """Cross-validate the distributed label propagation against a
+    plain union-find on seeded random graphs (incl. long chains that
+    need several propagation rounds)."""
+    import random
+
+    from pdf_extractor_ray.stages.dedup import connected_components
+
+    # one seeded graph (label propagation costs one distributed round
+    # per chain hop — keep the chain short so the suite stays fast)
+    for seed, n_nodes, n_edges in ((2, 60, 80),):
+        rng = random.Random(seed)
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        # add a chain to force multi-round propagation
+        chain = list(range(n_nodes, n_nodes + 4))
+        edges += list(zip(chain, chain[1:]))
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in edges], pa.int64()),
+                    "id_b": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["node"]: r["label"] for r in connected_components(pairs).take_all()
+        }
+        assert got == want, f"seed {seed}: mismatch"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_connected_components_chain_and_clique():
     """Chain 1-2-3-4 collapses to label 1 (multi-round propagation);
     disjoint pair (10,11) keeps its own component."""
