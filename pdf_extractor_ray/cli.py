@@ -67,10 +67,14 @@ def cmd_evaluate(args) -> int:
     report, mism = evaluate_against_golden(ds, golden)
     rollup = flag_rollup(read_extracted(args.out))
     # per-row review routing (reference evaluator's review_priority)
+    pri_ds = review_priorities(read_extracted(args.out))
+    if args.priorities_out:
+        # distributed write — feeds `review --decide` round-trips
+        pri_ds.write_parquet(args.priorities_out)
+        pri_ds = review_priorities(read_extracted(args.out))
     pri = {
         r["review_priority"]: int(r["n"])
-        for r in review_priorities(read_extracted(args.out))
-        .groupby("review_priority")
+        for r in pri_ds.groupby("review_priority")
         .aggregate(Count(alias_name="n"))
         .take_all()
     }
@@ -150,6 +154,7 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("evaluate")
     pv.add_argument("--out", required=True)
     pv.add_argument("--golden", required=True)
+    pv.add_argument("--priorities-out", default=None, help="write per-row review priorities parquet")
     pv.set_defaults(fn=cmd_evaluate)
 
     pr = sub.add_parser("review")

@@ -549,6 +549,92 @@ FROM sess GROUP BY user_id, sid
 
 
 # --------------------------------------------------------------------------
+# sliding window (2h windows advancing hourly: each event lands in two
+# hour-buckets — flat_map fan-out + the same bucketed aggregate)
+# --------------------------------------------------------------------------
+
+def q_window_sliding(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts_us // 3_600_000_000
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid]), pa.int64()),
+                "w": pa.array(np.concatenate([hour, hour + 1]), pa.int64()),
+                "value": pa.array(np.concatenate([val, val]), pa.float64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        agg = b.groupby(["user_id", "w"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        agg["sum_value"] = agg["sum_value"].round(4)
+        return agg.reset_index()[["user_id", "w", "n", "sum_value"]]
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(_bucketed(fanned, "user_id", per_bucket))
+
+
+SQL_WINDOW_SLIDING = """
+SELECT user_id, w, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM (
+  SELECT user_id, value, epoch_us(ts) // 3600000000 AS w FROM events
+  UNION ALL
+  SELECT user_id, value, epoch_us(ts) // 3600000000 + 1 AS w FROM events
+) GROUP BY user_id, w
+"""
+
+
+# --------------------------------------------------------------------------
+# multi-level rollup (GROUPING SETS): (lang, source) / (lang) / () —
+# three grouped aggregates over one pass-pruned read, unioned with an
+# 'ALL' sentinel (engine-neutral alternative to SQL NULL grouping keys)
+# --------------------------------------------------------------------------
+
+def q_rollup_multi(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+
+    def agg_level(keys: list[str], consts: dict[str, str]):
+        out = ds.groupby(keys).aggregate(
+            Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+        ) if keys else None
+        if keys:
+            t = _to_table(out)
+        else:
+            total = ds.aggregate(
+                Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
+            )
+            t = pa.table(
+                {
+                    "n": pa.array([int(total["n"])], pa.int64()),
+                    "sum_chars": pa.array([int(total["sum_chars"])], pa.int64()),
+                }
+            )
+        for col, v in consts.items():
+            t = t.append_column(col, pa.array([v] * t.num_rows, pa.string()))
+        return t.select(["lang", "source", "n", "sum_chars"])
+
+    parts = [
+        agg_level(["lang", "source"], {}),
+        agg_level(["lang"], {"source": "ALL"}),
+        agg_level([], {"lang": "ALL", "source": "ALL"}),
+    ]
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+SQL_ROLLUP_MULTI = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+
+# --------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (SQL-checkable as neighbor sets)
 # --------------------------------------------------------------------------
 
@@ -1171,6 +1257,8 @@ QUERIES = {
     "sample_det": q_sample_det,
     "window_tumbling": q_window_tumbling,
     "window_session": q_window_session,
+    "window_sliding": q_window_sliding,
+    "rollup_multi": q_rollup_multi,
     "tpch_q1": q_tpch_q1,
     "distinct_sources": q_distinct_sources,
     "topk_per_group": q_topk_per_group,
@@ -1207,6 +1295,8 @@ ORACLES = {
     "sample_det": SQL_SAMPLE_DET,
     "window_tumbling": SQL_WINDOW_TUMBLING,
     "window_session": SQL_WINDOW_SESSION,
+    "window_sliding": SQL_WINDOW_SLIDING,
+    "rollup_multi": SQL_ROLLUP_MULTI,
     "tpch_q1": SQL_TPCH_Q1,
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
