@@ -104,7 +104,14 @@ def cmd_review(args) -> int:
         decisions = []
         for spec in args.decide:
             key, _, decision = spec.rpartition("=")
-            conv_id, turn_idx, unit_id = key.split(":", 2)
+            parts = key.split(":", 2)
+            if len(parts) != 3 or not decision:
+                print(
+                    f"error: bad --decide {spec!r}; expected CONV:TURN:UNIT=DECISION",
+                    file=sys.stderr,
+                )
+                return 1
+            conv_id, turn_idx, unit_id = parts
             decisions.append(
                 {
                     "conv_id": conv_id,
@@ -114,7 +121,11 @@ def cmd_review(args) -> int:
                     "note": args.note or "",
                 }
             )
-        path = record_decisions(args.reviews, decisions)
+        try:
+            path = record_decisions(args.reviews, decisions)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         print(json.dumps({"recorded": len(decisions), "path": path}))
         return 0
     if args.summary:
