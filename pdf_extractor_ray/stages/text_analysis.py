@@ -52,11 +52,24 @@ class TextAnalyzer:
 
 
 def analyze_text(ds, text_col: str = "text", concurrency=None, batch_size: int = 1024):
+    """Stateless by default (a tiny analyzer instance ships in the task
+    closure; regex/stopword state is module-level per worker — actor
+    pools cost ~3 s of startup on this sandbox, see BASELINE.md).
+    Pass ``concurrency`` to opt into an actor pool for heavier setups."""
+    if concurrency is not None:
+        return ds.map_batches(
+            TextAnalyzer,
+            fn_constructor_kwargs={"text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+    analyzer = TextAnalyzer(text_col=text_col)
+
+    def run(batch: pa.Table) -> pa.Table:
+        return analyzer(batch)
+
     return ds.map_batches(
-        TextAnalyzer,
-        fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        zero_copy_batch=True,
+        run, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
