@@ -708,6 +708,51 @@ SELECT doc_id AS media_id, strlen(text) AS n_bytes FROM documents
 """
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame-sampling plumbing check: synthesize video media whose
+    duration derives deterministically from the document (10 ms per
+    char), sample a frame every 500 ms (one output row per frame —
+    flat-map fan-out), count frames per media.  The frame COUNT is
+    SQL-derivable from the duration rule, so the whole fan-out is
+    oracle-checked even though the frame payloads are fake."""
+    from ray.data.aggregate import Count
+
+    from ..stages.multimodal import MEDIA_SCHEMA, sample_frames
+
+    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def to_video(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        payloads = [t.encode("utf-8") for t in texts]
+        metas = pa.array(
+            [
+                {"width": 0, "height": 0, "duration_ms": len(t) * 10}
+                for t in texts
+            ],
+            MEDIA_SCHEMA.field("meta").type,
+        )
+        return pa.table(
+            {
+                "media_id": batch.column("doc_id"),
+                "kind": pa.array(["video"] * len(payloads), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": metas,
+            }
+        )
+
+    media = docs.map_batches(to_video, batch_format="pyarrow", batch_size=64)
+    frames = sample_frames(media, every_ms=500, batch_size=16)
+    return _to_table(
+        frames.groupby("media_id").aggregate(Count(alias_name="n_frames"))
+    )
+
+
+SQL_MULTIMODAL_FRAMES = """
+SELECT doc_id AS media_id, CAST(strlen(text) * 10 // 500 AS BIGINT) AS n_frames
+FROM documents WHERE strlen(text) * 10 // 500 > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # classic analytics breadth: TPC-H-style rollup, distinct, top-k/group
 # --------------------------------------------------------------------------
@@ -1268,6 +1313,7 @@ QUERIES = {
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
     "langid": q_langid,
     "quality": q_quality,
     "minhash_pairs": q_minhash_pairs,
@@ -1307,4 +1353,5 @@ ORACLES = {
     "percentiles": SQL_PERCENTILES,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_frames": SQL_MULTIMODAL_FRAMES,
 }

@@ -98,3 +98,113 @@ def featurize_media(ds, concurrency=None, batch_size: int = 32):
         concurrency=concurrency or (1, 4),
         zero_copy_batch=True,
     )
+
+
+class MediaResizer:
+    """Actor-pool resize stage (image payloads): emits a payload of the
+    target geometry plus updated meta.  The pixel kernel is a
+    deterministic fake (blake2b-derived bytes) — swap ``real_decode`` +
+    PIL ``Image.resize`` in production; schema, batch sizing, and actor
+    lifecycle are the real contract."""
+
+    def __init__(self, width: int, height: int, use_real_codec: bool = False):
+        self.width, self.height = width, height
+        self.use_real_codec = use_real_codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        out = []
+        for p in payloads:
+            p = p or b""
+            if self.use_real_codec:
+                real_decode(p, "image")  # raises: documented stub
+            out.append(hashlib.blake2b(p, digest_size=32).digest())
+        meta = pa.array(
+            [
+                {"width": self.width, "height": self.height, "duration_ms": 0}
+                for _ in payloads
+            ],
+            MEDIA_SCHEMA.field("meta").type,
+        )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "payload": pa.array(out, pa.binary()),
+                "meta": meta,
+            }
+        )
+
+
+def resize_media(ds, width: int, height: int, concurrency=None, batch_size: int = 32):
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("payload", pa.binary()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video payloads): one OUTPUT ROW
+    per sampled frame every ``every_ms`` — the flat-map shape that makes
+    downstream per-frame batches narrow again.  Frame decode is a
+    deterministic fake keyed on (payload, frame_idx); the row fan-out,
+    meta-driven frame count, and small input batch size are the real
+    contract."""
+
+    def __init__(self, every_ms: int = 500, use_real_codec: bool = False):
+        self.every_ms = every_ms
+        self.use_real_codec = use_real_codec
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_idx, out_ts, out_payload = [], [], [], []
+        for mid, meta, p in zip(ids, metas, payloads):
+            p = p or b""
+            if self.use_real_codec:
+                real_decode(p, "video")  # raises: documented stub
+            duration = int((meta or {}).get("duration_ms") or 0)
+            n_frames = duration // self.every_ms
+            for i in range(n_frames):
+                out_id.append(mid)
+                out_idx.append(i)
+                out_ts.append(i * self.every_ms)
+                out_payload.append(
+                    hashlib.blake2b(
+                        p + i.to_bytes(4, "big"), digest_size=16
+                    ).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int32()),
+                "ts_ms": pa.array(out_ts, pa.int32()),
+                "payload": pa.array(out_payload, pa.binary()),
+            }
+        )
+
+
+def sample_frames(ds, every_ms: int = 500, concurrency=None, batch_size: int = 16):
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or (1, 4),
+        zero_copy_batch=True,
+    )

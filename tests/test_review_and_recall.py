@@ -118,6 +118,50 @@ def test_ivf_recall_vs_brute_force():
     assert mean_recall >= 0.8, f"recall@10 {mean_recall:.2f} < 0.8 ({recalls})"
 
 
+# --- multimodal resize / frame-sample plumbing -------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resize_and_frame_sample_plumbing():
+    from pdf_extractor_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+        sample_frames,
+    )
+
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "kind": pa.array(["image", "video"], pa.string()),
+                "payload": pa.array([b"img-bytes", b"vid-bytes"], pa.binary()),
+                "meta": pa.array(
+                    [
+                        {"width": 640, "height": 480, "duration_ms": 0},
+                        {"width": 0, "height": 0, "duration_ms": 2100},
+                    ],
+                    MEDIA_SCHEMA.field("meta").type,
+                ),
+            }
+        )
+    )
+    resized = resize_media(media, 64, 64).take_all()
+    assert all(r["meta"]["width"] == 64 and r["meta"]["height"] == 64 for r in resized)
+    assert all(len(r["payload"]) == 32 for r in resized)
+    # determinism: same payload → same fake pixels
+    again = resize_media(media, 64, 64).take_all()
+    assert [r["payload"] for r in again] == [r["payload"] for r in resized]
+
+    frames = sample_frames(media, every_ms=500).take_all()
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    assert 1 not in by_media  # duration 0 → no frames
+    vid = sorted(by_media[2], key=lambda f: f["frame_idx"])
+    assert [f["ts_ms"] for f in vid] == [0, 500, 1000, 1500]  # 2100ms // 500
+    assert len({f["payload"] for f in vid}) == len(vid)  # per-frame payloads
+
+
 # --- review priority routing -------------------------------------------
 
 
