@@ -15,6 +15,7 @@ sort (optional for throughput runs).
 
 from __future__ import annotations
 
+import os
 import time
 
 import pyarrow as pa
@@ -190,6 +191,16 @@ def run_with_checkpoint(
         tmp_dir = f"{out_dir}/.tmp-partition={pid:05d}"
         ds.write_parquet(tmp_dir)  # streaming consume — no materialize
         row_count = count_parquet_rows(tmp_dir)
+        # per-stage metrics (north-rule "per-stage throughput"): Ray's
+        # per-operator wall/CPU breakdown for THIS partition's run,
+        # persisted beside the manifests for post-hoc scaling analysis
+        try:
+            stats_dir = os.path.join(out_dir, "_stats")
+            os.makedirs(stats_dir, exist_ok=True)
+            with open(os.path.join(stats_dir, f"partition={pid:05d}.txt"), "w") as f:
+                f.write(ds.stats())
+        except Exception:  # stats are advisory — never fail the run
+            pass
         mf.atomic_partition_swap(tmp_dir, out_dir, pid)
         mf.write_manifest(
             out_dir,
@@ -204,6 +215,8 @@ def run_with_checkpoint(
             ),
         )
         stats["ran"].append(pid)
+        dt = time.monotonic() - t0
+        stats.setdefault("rows_per_sec", {})[pid] = round(row_count / dt, 1) if dt else 0.0
     return stats
 
 
