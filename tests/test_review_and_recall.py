@@ -205,6 +205,26 @@ def test_review_priorities_routing():
     assert got["1.5"]["answer_similarity"] == 0.0
 
 
+# --- embedding dedup survivors -----------------------------------------
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_dedup_drops_planted_copies():
+    """The planted near-copies (vec_id + 1_000_000) lose to their
+    originals (min id wins); every base vector survives."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.queries import q_embed_dedup
+
+    base_ids = set(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id")
+        .to_pylist()
+    )
+    got = set(q_embed_dedup(SF_DIR).column("vec_id").to_pylist())
+    assert got == base_ids
+
+
 # --- connected components ----------------------------------------------
 
 
