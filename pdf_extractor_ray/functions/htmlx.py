@@ -68,7 +68,12 @@ def extract_html(
         if "&" in s:
             s = unescape(s)
         blk[3].append(s)
-        ln = len(_WS_RE.sub(" ", s).strip())
+        # normalized length = Σ word lengths + (n-1) separators — the
+        # same count as len(_WS_RE.sub(" ", s).strip()) but via C-level
+        # str.split (the regex sub here was ~12% of the whole per-turn
+        # kernel; only the final block text needs the actual sub)
+        w = s.split()
+        ln = (sum(map(len, w)) + len(w) - 1) if w else 0
         blk[5] += ln
         if anchor_depth:
             blk[4] += ln
