@@ -386,12 +386,13 @@ def _records_table(rows: list[dict]) -> pa.Table:
     return pa.table(cols)
 
 
-def _shard_group_fn(group: pa.Table) -> pa.Table:
+def _shard_group_rows(group: pa.Table) -> list[dict]:
     """Pass 1: stitch inside one (conv_id, shard) group.
 
     Defers the leading continuation chain raw; everything after it is
-    folded normally.  Emits unit-record rows plus one meta row carrying
-    the shard's trailing fold state."""
+    folded normally.  Emits unit-record ROW DICTS (the caller batches
+    one Arrow build per bucket, not per shard) plus one meta row
+    carrying the shard's trailing fold state."""
     conv_id = group.column("conv_id")[0].as_py()
     shard = group.column("_shard")[0].as_py()
     turns = _group_to_turns(group)
@@ -489,13 +490,14 @@ def _shard_group_fn(group: pa.Table) -> pa.Table:
             "figures": [],
         }
     )
-    return _records_table(rows)
+    return rows
 
 
-def _boundary_group_fn(group: pa.Table) -> pa.Table:
+def _boundary_group_rows(group: pa.Table) -> list[dict]:
     """Pass 2: replay the fold across one conversation's shard
     boundaries.  Input: only boundary rows (deferred turns, open /
-    needs_id records, shard metas) — a few rows per shard."""
+    needs_id records, shard metas) — a few rows per shard.  Returns
+    row dicts (caller batches the Arrow build per bucket)."""
     conv_id = group.column("conv_id")[0].as_py()
     group = group.sort_by([("shard", "ascending"), ("head_turn", "ascending"), ("seq", "ascending")])
     items = group.to_pylist()
@@ -555,23 +557,81 @@ def _boundary_group_fn(group: pa.Table) -> pa.Table:
             # Shard fully deferred: the prefix fold's state carries on.
             carry = carry_after_prefix
 
-    return _records_table(
-        [_unit_to_row(conv_id, -1, u, False) for u in out_units]
-    )
+    return [_unit_to_row(conv_id, -1, u, False) for u in out_units]
 
 
-def _resolve_group_fn(group: pa.Table) -> pa.Table:
+def _resolve_group_rows(group: pa.Table) -> tuple[list[str], list[OutputRow]]:
     """Pass 3: document-order reference resolution over one
-    conversation's unit records (payload-free, small)."""
+    conversation's unit records (payload-free, small).  Returns
+    (conv_id-per-row, OutputRows) for a batched Arrow build."""
     conv_id = group.column("conv_id")[0].as_py()
     group = group.sort_by([("head_turn", "ascending"), ("seq", "ascending")])
     units = [_row_to_unit(r) for r in group.to_pylist()]
     rows = resolve_conversation(units)
     rows.sort(key=lambda r: (parse_unit_id(r.unit_id), r.turn_idx))
-    return _rows_to_table(conv_id, rows)
+    return [conv_id] * len(rows), rows
+
+
+def _iter_subgroups(group: pa.Table, key_cols: list[str]):
+    """Sort by the entity key columns and yield contiguous zero-copy
+    sub-group slices."""
+    group = group.sort_by([(c, "ascending") for c in key_cols])
+    keys = [group.column(c).to_pylist() for c in key_cols]
+    n = group.num_rows
+    start = 0
+    for i in range(1, n + 1):
+        if i == n or any(k[i] != k[start] for k in keys):
+            yield group.slice(start, i - start)
+            start = i
+
+
+def _subgrouped_records(row_fn, key_cols: list[str]):
+    """ONE ``map_groups`` call per hash bucket, ONE Arrow table build
+    per bucket: apply a row-dict-returning per-entity fn to each
+    contiguous sub-group and batch all rows into a single
+    ``_records_table``.  Same per-group-overhead elimination as
+    ``bucket_group_fn`` — both the map_groups layer cost AND the
+    per-entity pyarrow build (the dominant term) amortize across the
+    bucket."""
+
+    def wrapper(group: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for sub in _iter_subgroups(group, key_cols):
+            rows.extend(row_fn(sub))
+        return _records_table(rows)
+
+    return wrapper
+
+
+def _subgrouped_extracted(key_cols: list[str]):
+    """Bucket wrapper for pass 3: batch every conversation's resolved
+    OutputRows into one ``_rows_to_table_multi`` build."""
+
+    def wrapper(group: pa.Table) -> pa.Table:
+        convs: list[str] = []
+        rows: list[OutputRow] = []
+        for sub in _iter_subgroups(group, key_cols):
+            c, r = _resolve_group_rows(sub)
+            convs.extend(c)
+            rows.extend(r)
+        return _rows_to_table_multi(convs, rows)
+
+    return wrapper
+
+
+# Dense bucket-value multiplier: bucket values ≫ partitions so EVERY
+# hash partition receives data.  (Ray's hash shuffle broadcasts input
+# schemas only with the first block; a filter-derived input can lead
+# with an empty block and lose the broadcast, after which a partition
+# that received no shard at all builds a zero-column table.  Dense
+# values make no-shard partitions statistically impossible, which also
+# keeps pass-1 output blocks non-empty for the downstream filters.)
+_DENSE = 64
 
 
 def _stitch_salted(ds, salt_turns: int):
+    import zlib
+
     import pyarrow.compute as pc
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -580,10 +640,25 @@ def _stitch_salted(ds, salt_turns: int):
         ).cast(pa.int64())
         return batch.append_column("_shard", shard)
 
-    sharded = ds.map_batches(add_shard, batch_format="pyarrow")
     nparts = _default_num_buckets()
-    pass1 = sharded.groupby(["conv_id", "_shard"], num_partitions=nparts).map_groups(
-        _shard_group_fn, batch_format="pyarrow"
+    nvals = nparts * _DENSE
+
+    # Skew-safe bucket key: hash of (conv, shard), so a mega
+    # conversation's shards spread across tasks.
+    def add_shard_bucket(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        shards = batch.column("_shard").to_pylist()
+        bk = [
+            zlib.crc32(f"{c}|{s}".encode()) % nvals for c, s in zip(convs, shards)
+        ]
+        return batch.append_column("_sbucket", pa.array(bk, pa.int32()))
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow").map_batches(
+        add_shard_bucket, batch_format="pyarrow"
+    )
+    pass1 = sharded.groupby("_sbucket", num_partitions=nparts).map_groups(
+        _subgrouped_records(_shard_group_rows, ["conv_id", "_shard"]),
+        batch_format="pyarrow",
     )
 
     # pass1 feeds two branches; materialize it so the upstream
@@ -595,10 +670,18 @@ def _stitch_salted(ds, salt_turns: int):
     boundary = pass1.filter(expr="is_boundary == True")
     final = pass1.filter(expr="is_boundary == False")
 
-    merged = boundary.groupby("conv_id").map_groups(
-        _boundary_group_fn, batch_format="pyarrow"
+    merged = (
+        boundary.map_batches(add_bucket_column(nvals), batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=nparts)
+        .map_groups(
+            _subgrouped_records(_boundary_group_rows, ["conv_id"]),
+            batch_format="pyarrow",
+        )
     )
 
-    return final.union(merged).groupby("conv_id", num_partitions=nparts).map_groups(
-        _resolve_group_fn, batch_format="pyarrow"
+    return (
+        final.union(merged)
+        .map_batches(add_bucket_column(nvals), batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=nparts)
+        .map_groups(_subgrouped_extracted(["conv_id"]), batch_format="pyarrow")
     )
