@@ -69,9 +69,10 @@ def cmd_evaluate(args) -> int:
     # per-row review routing (reference evaluator's review_priority)
     pri_ds = review_priorities(read_extracted(args.out))
     if args.priorities_out:
-        # distributed write — feeds `review --decide` round-trips
+        # materialize once: the write and the count rollup share the
+        # computed rows (review artifacts are small)
+        pri_ds = pri_ds.materialize()
         pri_ds.write_parquet(args.priorities_out)
-        pri_ds = review_priorities(read_extracted(args.out))
     pri = {
         r["review_priority"]: int(r["n"])
         for r in pri_ds.groupby("review_priority")
