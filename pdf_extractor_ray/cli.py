@@ -106,7 +106,7 @@ def cmd_review(args) -> int:
         for spec in args.decide:
             key, _, decision = spec.rpartition("=")
             parts = key.split(":", 2)
-            if len(parts) != 3 or not decision:
+            if len(parts) != 3 or not decision or not parts[1].lstrip("-").isdigit():
                 print(
                     f"error: bad --decide {spec!r}; expected CONV:TURN:UNIT=DECISION",
                     file=sys.stderr,

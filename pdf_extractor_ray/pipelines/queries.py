@@ -597,34 +597,33 @@ FROM (
 # --------------------------------------------------------------------------
 
 def q_rollup_multi(sf_dir: str):
+    """ONE distributed pass computes the finest (lang, source) level;
+    the coarser rollup levels are exact sums over that small result
+    table on the driver — no re-scan of the input per level."""
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
-
-    def agg_level(keys: list[str], consts: dict[str, str]):
-        out = ds.groupby(keys).aggregate(
+    fine = _to_table(
+        ds.groupby(["lang", "source"]).aggregate(
             Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
-        ) if keys else None
-        if keys:
-            t = _to_table(out)
-        else:
-            total = ds.aggregate(
-                Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
-            )
-            t = pa.table(
-                {
-                    "n": pa.array([int(total["n"])], pa.int64()),
-                    "sum_chars": pa.array([int(total["sum_chars"])], pa.int64()),
-                }
-            )
-        for col, v in consts.items():
-            t = t.append_column(col, pa.array([v] * t.num_rows, pa.string()))
-        return t.select(["lang", "source", "n", "sum_chars"])
+        )
+    ).select(["lang", "source", "n", "sum_chars"])
 
-    parts = [
-        agg_level(["lang", "source"], {}),
-        agg_level(["lang"], {"source": "ALL"}),
-        agg_level([], {"lang": "ALL", "source": "ALL"}),
-    ]
-    return pa.concat_tables(parts, promote_options="permissive")
+    df = fine.to_pandas()
+    by_lang = df.groupby("lang", as_index=False)[["n", "sum_chars"]].sum()
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {
+            "lang": ["ALL"],
+            "source": ["ALL"],
+            "n": [int(df["n"].sum())],
+            "sum_chars": [int(df["sum_chars"].sum())],
+        }
+    )
+    cols = ["lang", "source", "n", "sum_chars"]
+    coarse = pa.Table.from_pandas(
+        pd.concat([by_lang[cols], total[cols]], ignore_index=True),
+        preserve_index=False,
+    ).cast(fine.schema)
+    return pa.concat_tables([fine, coarse])
 
 
 SQL_ROLLUP_MULTI = """
@@ -723,11 +722,13 @@ def q_multimodal_frames(sf_dir: str):
 
     def to_video(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        payloads = [t.encode("utf-8") for t in texts]
+        payloads = [(t or "").encode("utf-8") for t in texts]
+        # duration from BYTE length — DuckDB strlen counts bytes, so
+        # multibyte text keeps engine and oracle frame counts equal
         metas = pa.array(
             [
-                {"width": 0, "height": 0, "duration_ms": len(t) * 10}
-                for t in texts
+                {"width": 0, "height": 0, "duration_ms": len(p) * 10}
+                for p in payloads
             ],
             MEDIA_SCHEMA.field("meta").type,
         )
@@ -865,13 +866,11 @@ def q_anti_join(sf_dir: str):
         .column("l_orderkey")
         .to_numpy(zero_copy_only=False)
     )
-    kref = ray.put(keys)
+    kref = ray.put(pa.array(keys))  # broadcast the ARROW array once
 
     def keep_itemless(batch: pa.Table) -> pa.Table:
-        k = ray.get(kref)
-        mask = pc.invert(
-            pc.is_in(batch.column("o_orderkey"), value_set=pa.array(k))
-        )
+        k = ray.get(kref)  # local object-store hit after first fetch
+        mask = pc.invert(pc.is_in(batch.column("o_orderkey"), value_set=k))
         return batch.filter(mask)
 
     ds = ray.data.read_parquet(
@@ -929,8 +928,11 @@ def q_anti_join_shuffle(sf_dir: str):
         return pd.DataFrame(
             {
                 "o_orderkey": pd.Series(out["key"].to_numpy(), dtype="int64"),
+                # explicit StringDtype: an EMPTY object column converts
+                # to Arrow `null`, destabilizing block schemas (the
+                # round-1 embed_neardup disease)
                 "o_orderstatus": pd.Series(
-                    out["o_orderstatus"].to_numpy(), dtype="object"
+                    out["o_orderstatus"].to_numpy(), dtype="string"
                 ),
             }
         )
@@ -957,13 +959,11 @@ def q_semi_join(sf_dir: str):
         .column("l_orderkey")
         .to_numpy(zero_copy_only=False)
     )
-    kref = ray.put(keys)
+    kref = ray.put(pa.array(keys))  # broadcast the ARROW array once
 
     def keep_with_items(batch: pa.Table) -> pa.Table:
         k = ray.get(kref)
-        return batch.filter(
-            pc.is_in(batch.column("o_orderkey"), value_set=pa.array(k))
-        )
+        return batch.filter(pc.is_in(batch.column("o_orderkey"), value_set=k))
 
     ds = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
@@ -1245,13 +1245,12 @@ def q_embed_dedup(sf_dir: str):
     loser_tbl = _to_table(
         labels.map_batches(losers_only, batch_format="pyarrow").select_columns(["node"])
     )
-    losers = loser_tbl.column("node").to_numpy(zero_copy_only=False)
-    lref = _ray.put(losers)
+    lref = _ray.put(loser_tbl.column("node").combine_chunks())
 
     def drop(batch: pa.Table) -> pa.Table:
         drop_ids = _ray.get(lref)
         return batch.filter(
-            pc.invert(pc.is_in(batch.column("vec_id"), value_set=pa.array(drop_ids)))
+            pc.invert(pc.is_in(batch.column("vec_id"), value_set=drop_ids))
         )
 
     return _to_table(

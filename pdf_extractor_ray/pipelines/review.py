@@ -65,22 +65,37 @@ def record_decisions(review_dir: str, decisions: list[dict]) -> str:
             raise ValueError(
                 f"invalid decision {d['decision']!r}; expected one of {VALID_DECISIONS}"
             )
-    base = _next_rev(review_dir)
-    t = pa.table(
-        {
-            "conv_id": pa.array([d["conv_id"] for d in decisions], pa.string()),
-            "turn_idx": pa.array([int(d["turn_idx"]) for d in decisions], pa.int32()),
-            "unit_id": pa.array([d.get("unit_id", "") for d in decisions], pa.string()),
-            "decision": pa.array([d["decision"] for d in decisions], pa.string()),
-            "note": pa.array([d.get("note", "") for d in decisions], pa.string()),
-            "rev": pa.array(range(base, base + len(decisions)), pa.int64()),
-        }
-    )
-    path = os.path.join(review_dir, f"decisions-{base:012d}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(t, tmp)
-    os.replace(tmp, path)
-    return path
+    # Claim a rev range atomically: os.link refuses to overwrite, so a
+    # concurrent writer that computed the same base loses the link race
+    # and retries with a re-scanned rev — no decision file is ever
+    # silently clobbered.
+    for _ in range(16):
+        base = _next_rev(review_dir)
+        t = pa.table(
+            {
+                "conv_id": pa.array([d["conv_id"] for d in decisions], pa.string()),
+                "turn_idx": pa.array(
+                    [int(d["turn_idx"]) for d in decisions], pa.int32()
+                ),
+                "unit_id": pa.array(
+                    [d.get("unit_id", "") for d in decisions], pa.string()
+                ),
+                "decision": pa.array([d["decision"] for d in decisions], pa.string()),
+                "note": pa.array([d.get("note", "") for d in decisions], pa.string()),
+                "rev": pa.array(range(base, base + len(decisions)), pa.int64()),
+            }
+        )
+        path = os.path.join(review_dir, f"decisions-{base:012d}.parquet")
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(t, tmp)
+        try:
+            os.link(tmp, path)  # atomic create-if-absent
+            return path
+        except FileExistsError:
+            continue  # another writer claimed this rev — rescan
+        finally:
+            os.unlink(tmp)
+    raise RuntimeError("could not claim a decision rev after 16 attempts")
 
 
 def load_reviews(review_dir: str):
@@ -122,7 +137,8 @@ def review_summary(review_dir: str) -> dict:
     reviewer.py:268-285 prints accepted/rejected/skipped tallies)."""
     from ray.data.aggregate import Count
 
-    merged = load_reviews(review_dir)
+    # materialize once — count() and the aggregate share the merge
+    merged = load_reviews(review_dir).materialize()
     counts = {d: 0 for d in VALID_DECISIONS}
     if merged.count():
         for row in merged.groupby("decision").aggregate(Count(alias_name="n")).take_all():

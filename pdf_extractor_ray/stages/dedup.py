@@ -224,11 +224,14 @@ def pair_texts(
             ]
         )
     )
-    cand_ref = ray.put(cand)
+    # broadcast the Arrow array itself — pc.is_in builds its hash set
+    # from the value_set per call, but at least the numpy→Arrow
+    # conversion happens once, not per batch
+    cand_ref = ray.put(pa.array(cand, pa.int64()))
 
     def filt(batch: pa.Table) -> pa.Table:
-        c = ray.get(cand_ref)
-        return batch.filter(pc.is_in(batch.column(id_col), value_set=pa.array(c)))
+        c = ray.get(cand_ref)  # local object-store hit after first fetch
+        return batch.filter(pc.is_in(batch.column(id_col), value_set=c))
 
     cand_rows = _collect(
         ds.map_batches(filt, batch_format="pyarrow").select_columns([id_col, text_col])
@@ -412,6 +415,19 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
         labels = new_labels
         if n_changed == 0:
             break
+    else:
+        # Rounds = O(component diameter); a chain-shaped component
+        # longer than max_rounds would come back under-merged, so make
+        # the cap audible instead of silently keeping duplicates.
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_rounds={max_rounds} before "
+            f"convergence ({n_changed} labels still changing) — raise "
+            "max_rounds for chain-shaped duplicate graphs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select_columns(["node", "label"])
 
 
@@ -448,8 +464,18 @@ def minhash_dedup(
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
         keep_a, keep_b = [], []
+        # per-batch shingle cache: a hot cluster of m docs appears in
+        # ~m²/2 pairs — shingle each candidate once, not once per pair
+        sh: dict[int, object] = {}
+
+        def sh_of(i, t):
+            s = sh.get(i)
+            if s is None:
+                s = sh[i] = shingles(t or "", k)
+            return s
+
         for ia, ib, x, y in zip(a_ids, b_ids, ta, tb):
-            if jaccard(shingles(x or "", k), shingles(y or "", k)) >= jaccard_threshold:
+            if jaccard(sh_of(ia, x), sh_of(ib, y)) >= jaccard_threshold:
                 keep_a.append(ia)
                 keep_b.append(ib)
         return pa.table(
@@ -474,12 +500,11 @@ def minhash_dedup(
     )
     if loser_tbl.num_rows == 0:
         return ds
-    losers = loser_tbl.column("node").to_numpy(zero_copy_only=False)
-    losers_ref = ray.put(losers)
+    losers_ref = ray.put(loser_tbl.column("node").combine_chunks())
 
     def drop_losers(batch: pa.Table) -> pa.Table:
         drop = ray.get(losers_ref)
-        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=pa.array(drop)))
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=drop))
         return batch.filter(mask)
 
     return ds.map_batches(drop_losers, batch_format="pyarrow")

@@ -154,7 +154,9 @@ def ivf_topk(
             cos = unit[mask] @ q_mat[n]
             out_q.extend([qi] * int(mask.sum()))
             out_v.extend(ids[mask].tolist())
-            out_c.extend(np.round(cos, 6).tolist())
+            # unrounded, like brute_force_scorer — rounding before the
+            # top-k sort can flip the tie-break at the k cutoff
+            out_c.extend(cos.tolist())
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
