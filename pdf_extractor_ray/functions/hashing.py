@@ -19,24 +19,63 @@ _MERSENNE = (1 << 61) - 1
 _MAX_HASH = (1 << 32) - 1
 
 
+_ROLL_BASE = np.uint64(1099511628211)  # FNV prime; arithmetic wraps mod 2^64
+
+
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1_000_000  # vocabulary-bounded; reset if exceeded
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    """Stable 64-bit hash per word — blake2b once per DISTINCT word
+    ever seen by this worker process (natural-language vocabulary is
+    tiny relative to token count, so the cache hit rate is ~99%)."""
+    cache = _WORD_HASH_CACHE
+    if len(cache) > _WORD_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+            )
+        out[i] = h
+    return out
+
+
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingles → stable 32-bit hashes (sorted unique)."""
+    """Word k-shingles → stable 32-bit hashes (sorted unique) via a
+    VECTORIZED polynomial rolling hash: each unique word is digested
+    once, then gram hashes are Σ wordhash[i+j]·B^(k-1-j) mod 2^64 over
+    a sliding window — k shifted numpy multiplies instead of a blake2b
+    digest per gram (the gram digests dominated the signature kernel).
+    The document-fingerprinting rolling-hash primitive of the task
+    brief, doubling as the MinHash shingle function."""
     words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    if not grams:
+    if not words:
         return np.empty(0, dtype=np.uint64)
-    hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "big")
-            for g in grams
-        ),
-        dtype=np.uint64,
-        count=len(grams),
-    )
-    return np.unique(hs)
+    seq = _word_hashes(words)
+    n = len(seq)
+    mask = (1 << 64) - 1
+    base = int(_ROLL_BASE)
+    if n < k:
+        acc = 0
+        for h in seq.tolist():
+            acc = (acc * base + h) & mask  # explicit mod-2^64 wrap
+        return np.unique(np.array([acc], dtype=np.uint64) >> np.uint64(32))
+    m = n - k + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    power = 1
+    for j in range(k - 1, -1, -1):
+        # array multiply wraps mod 2^64 silently (intended); the power
+        # itself is computed in Python ints to avoid scalar-overflow
+        # warnings
+        acc += seq[j : j + m] * np.uint64(power)
+        power = (power * base) & mask
+    # top 32 bits: the low bits of a polynomial in an odd base are the
+    # least mixed
+    return np.unique(acc >> np.uint64(32))
 
 
 def _perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
