@@ -1112,8 +1112,21 @@ def q_approx_distinct(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
-# rows-only entries (non-SQL-expressible heuristics)
+# text-analysis heuristics (language id / quality scoring)
+#
+# Both are deterministic enough to mirror in ANSI SQL: the corpus is
+# ASCII + CJK, where Python's unicode word regex degenerates to
+# [a-z]+ / CJK runs and both engines compute the identical IEEE-754
+# doubles (no rounding anywhere, so the driver's value hash matches
+# bit-for-bit).  The stopword profiles are injected from the single
+# source of truth in functions/textstats.py.
 # --------------------------------------------------------------------------
+
+def _sw_sql(lang: str) -> str:
+    from pdf_extractor_ray.functions.textstats import _STOPWORDS
+
+    return ", ".join("'%s'" % w for w in sorted(_STOPWORDS[lang]))
+
 
 def q_langid(sf_dir: str):
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1132,6 +1145,42 @@ def q_langid(sf_dir: str):
     return _to_table(ds.map_batches(lid, batch_format="pyarrow", zero_copy_batch=True))
 
 
+# Mirrors textstats.detect_language: CJK-share short-circuit over the
+# first 400 chars, then a stopword-profile vote over the first 300
+# words with sorted-language tie-break and a max(2, n_words // 50)
+# confidence floor.  The word class [a-z + CJK] equals Python's
+# unicode \p{L} tokenizer on this corpus's alphabet.
+SQL_LANGID = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n,
+         len(regexp_extract_all(substr(text, 1, 400), '[\\x{4E00}-\\x{9FFF}]')) AS cjk,
+         (regexp_extract_all(lower(text), '[a-z\\x{4E00}-\\x{9FFF}]+'))[1:300] AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, n, cjk, len(words) AS nw,
+    len(list_filter(words, x -> x IN (%(de)s))) AS h_de,
+    len(list_filter(words, x -> x IN (%(en)s))) AS h_en,
+    len(list_filter(words, x -> x IN (%(es)s))) AS h_es,
+    len(list_filter(words, x -> x IN (%(fr)s))) AS h_fr,
+    len(list_filter(words, x -> x IN (%(zh)s))) AS h_zh
+  FROM w
+)
+SELECT doc_id,
+  CASE
+    WHEN n = 0 THEN 'und'
+    WHEN cjk > least(n, 400) * 0.2 THEN 'zh'
+    WHEN nw = 0 THEN 'und'
+    WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) < greatest(2, nw // 50) THEN 'und'
+    WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+    WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+    WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+    WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+    ELSE 'zh'
+  END AS pred_lang
+FROM h
+"""
+
+
 def q_quality(sf_dir: str):
     ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
@@ -1140,12 +1189,47 @@ def q_quality(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "quality": pa.array([round(s["quality"], 6) for s in scores], pa.float64()),
-                "stop_ratio": pa.array([round(s["stop_ratio"], 6) for s in scores], pa.float64()),
+                # unrounded: both engines derive these from the same
+                # integer counts via one double division, so the
+                # driver's value hash matches bit-for-bit
+                "quality": pa.array([s["quality"] for s in scores], pa.float64()),
+                "stop_ratio": pa.array([s["stop_ratio"] for s in scores], pa.float64()),
             }
         )
 
     return _to_table(ds.map_batches(qual, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# Mirrors textstats.quality_score exactly — same counters, same
+# left-to-right double products of the frozen threshold constants.
+SQL_QUALITY = """
+WITH w AS (
+  SELECT doc_id, length(text) AS n,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n\f\r\x0b]')) AS punct
+  FROM documents
+), f AS (
+  SELECT doc_id, n, len(words) AS nw, punct,
+    CASE WHEN len(words) > 0
+         THEN len(list_filter(words, x -> x IN (%(en)s)))::DOUBLE / len(words)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(words) > 0
+         THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN n > 0 THEN punct::DOUBLE / n ELSE 0.0 END AS punct_ratio
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0.0 ELSE
+    (((CASE WHEN n < 50 THEN 0.5::DOUBLE ELSE 1.0::DOUBLE END)
+      * (CASE WHEN stop_ratio < 0.05::DOUBLE THEN 0.6::DOUBLE ELSE 1.0::DOUBLE END))
+      * (CASE WHEN punct_ratio > 0.3::DOUBLE THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END))
+      * (CASE WHEN mwl >= 2.0::DOUBLE AND mwl <= 12.0::DOUBLE
+              THEN 1.0::DOUBLE ELSE 0.7::DOUBLE END)
+  END AS quality,
+  stop_ratio
+FROM f
+"""
 
 
 _PLANT_OFFSET = 1_000_000
@@ -1353,4 +1437,7 @@ ORACLES = {
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
+    "langid": SQL_LANGID
+    % {lang: _sw_sql(lang) for lang in ("de", "en", "es", "fr", "zh")},
+    "quality": SQL_QUALITY % {"en": _sw_sql("en")},
 }
