@@ -941,7 +941,10 @@ def q_anti_join_shuffle(sf_dir: str):
         both.groupby("_bucket", num_partitions=_ANTI_BUCKETS)
         .map_groups(set_minus, batch_format="pandas")
     )
-    return _to_table(out)
+    # Strip the pandas-extension schema metadata the StringDtype blocks
+    # carry, so to_pandas() yields plain object strings like every
+    # other query (the driver hash is dtype-sensitive).
+    return _to_table(out).replace_schema_metadata(None)
 
 
 SQL_ANTI_JOIN = """
@@ -1074,6 +1077,130 @@ SELECT lang, count(*) AS n,
        CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
        CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99
 FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary top-k — the canonical COMBINER pattern: each batch
+# pre-aggregates token counts fully vectorized (Arrow split + value_counts),
+# so only near-distinct (word, partial_count) rows cross the shuffle; the
+# final groupby-sum runs over a bounded-vocabulary table regardless of
+# corpus size.  Heavy-hitter ("the") skew lands on the combiner, not the
+# exchange — at 100 TB the shuffle volume is O(vocab × num_batches).
+# --------------------------------------------------------------------------
+
+def q_vocab_topk(sf_dir: str):
+    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(50)
+    )
+    return _to_table(agg)
+
+
+# (cnt DESC, word ASC) is a total order — the top-50 *set* is
+# deterministic even with count ties at the cutoff.
+SQL_VOCAB_TOPK = """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents)
+WHERE word <> '' GROUP BY word
+ORDER BY cnt DESC, word LIMIT 50
+"""
+
+
+# --------------------------------------------------------------------------
+# conversion funnel — first click → first purchase per user.  Same
+# combiner shape: per-batch pandas groupby-min collapses each batch to
+# one row per (user, batch), so the user-key exchange moves O(users)
+# rows.  Sentinel int64 (not NaN) keeps epoch-microsecond timestamps
+# exact — float64 loses integer precision above 2^53.
+# --------------------------------------------------------------------------
+
+_FUNNEL_SENT = np.int64(2**62)
+
+
+def q_funnel(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        et = b["event_type"].to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "c": np.where(et == "click", ts, _FUNNEL_SENT),
+                    "p": np.where(et == "purchase", ts, _FUNNEL_SENT),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .min()
+            .reset_index()
+        )
+        # plain Arrow table (no pandas schema metadata → stable,
+        # hashable block schemas across the shuffle)
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+                "p": pa.array(g["p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("first_click_us")
+        p = batch.column("first_purchase_us")
+        keep = pc.and_(
+            pc.and_(
+                pc.not_equal(c, int(_FUNNEL_SENT)),
+                pc.not_equal(p, int(_FUNNEL_SENT)),
+            ),
+            pc.greater(p, c),
+        )
+        return batch.filter(keep)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(
+            Min("c", alias_name="first_click_us"),
+            Min("p", alias_name="first_purchase_us"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return _to_table(agg)
+
+
+SQL_FUNNEL = """
+SELECT user_id,
+       epoch_us(min(CASE WHEN event_type = 'click' THEN ts END)) AS first_click_us,
+       epoch_us(min(CASE WHEN event_type = 'purchase' THEN ts END)) AS first_purchase_us
+FROM events GROUP BY user_id
+HAVING first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+   AND first_purchase_us > first_click_us
 """
 
 
@@ -1408,6 +1535,8 @@ QUERIES = {
     "semi_join": q_semi_join,
     "asof_join": q_asof_join,
     "percentiles": q_percentiles,
+    "vocab_topk": q_vocab_topk,
+    "funnel": q_funnel,
 }
 
 ORACLES = {
@@ -1434,6 +1563,8 @@ ORACLES = {
     "semi_join": SQL_SEMI_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "percentiles": SQL_PERCENTILES,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "funnel": SQL_FUNNEL,
     "ann_bruteforce": SQL_ANN_BRUTEFORCE,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_frames": SQL_MULTIMODAL_FRAMES,
