@@ -301,6 +301,105 @@ GROUP BY o.o_orderpriority
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q3 shape — the three-table plan: predicate pushdown at every
+# read, broadcast SEMI-join for the dimension side (segment-filtered
+# customer keys via ray.put — the small-side lookup pattern; the
+# shuffle set-minus in q_anti_join_shuffle is the fallback when the
+# keyset outgrows the driver), one large-large hash join, grouped
+# revenue, distributed top-k on a rounded total order.
+# --------------------------------------------------------------------------
+
+_Q3_CUTOFF = "1997-06-15"
+
+
+def q_tpch_q3(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cutoff = _dt.datetime(1997, 6, 15)
+    cust = ray.data.read_parquet(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    )
+    keys = ray.put(
+        pa.concat_tables(cust.iter_batches(batch_format="pyarrow"))
+        .column("c_custkey")
+        .combine_chunks()
+    )
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff,
+    )
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > cutoff,
+    )
+
+    def semi_cust(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys)  # object-store local after first fetch
+        batch = batch.filter(pc.is_in(batch.column("o_custkey"), value_set=k))
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "o_date_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("rev", rev).select(["l_orderkey", "rev"])
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = lineitem.map_batches(revenue, batch_format="pyarrow").join(
+        orders.map_batches(semi_cust, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(8, cpus // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("revenue"),
+            "revenue",
+            pc.round(batch.column("revenue"), ndigits=2),
+        )
+
+    out = (
+        joined.groupby(["l_orderkey", "o_date_us", "o_orderpriority"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(rounded, batch_format="pyarrow")
+        # (revenue DESC, l_orderkey ASC) is a total order: l_orderkey is
+        # unique per group row, and both engines sort the ROUNDED value
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return _to_table(out)
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS o_date_us, o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # sort + top-k (O1/O3)
 # --------------------------------------------------------------------------
 
@@ -1515,6 +1614,7 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "rollup_multi": q_rollup_multi,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     "distinct_sources": q_distinct_sources,
     "topk_per_group": q_topk_per_group,
     "anti_join": q_anti_join,
@@ -1556,6 +1656,7 @@ ORACLES = {
     "window_sliding": SQL_WINDOW_SLIDING,
     "rollup_multi": SQL_ROLLUP_MULTI,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "anti_join": SQL_ANTI_JOIN,
