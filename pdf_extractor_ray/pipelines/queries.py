@@ -91,6 +91,38 @@ def q_review_priority(sf_dir: str):
     return _to_table(out)
 
 
+def q_page_render(sf_dir: str):
+    """S3/S5: render every PDF page of the lake to PNG (stubbed
+    rasterizer, real container/zoom math — stages/page_render.py;
+    reference pdf_processor.py:35-102) and roll up a per-conversation
+    page inventory.  Rows-only check: the payloads are this engine's
+    own transcript lake, not a SQL view.  Image bytes never reach the
+    driver — only (conv_id, n_pages, png_bytes) aggregates do."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.transcripts import read_transcripts
+    from ..stages.page_render import PageRenderer
+
+    lake = transcripts_path_for(sf_dir)
+    ds = read_transcripts(lake, columns=("conv_id", "turn_idx", "tool", "text"))
+    # zoom 0.25 keeps the bench honest but cheap (the raster cost is
+    # quadratic in zoom; production uses DEFAULT_ZOOM=2.0)
+    pages = ds.map_batches(
+        PageRenderer(zoom=0.25), batch_format="pyarrow", batch_size=32
+    )
+
+    def meta_only(batch: pa.Table) -> pa.Table:
+        sizes = pc.binary_length(batch.column("image")).cast(pa.int64())
+        return batch.drop_columns(["image"]).append_column("n_bytes", sizes)
+
+    out = (
+        pages.map_batches(meta_only, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Count(alias_name="n_pages"), Sum("n_bytes", alias_name="png_bytes"))
+    )
+    return _to_table(out.sort("conv_id"))
+
+
 # --------------------------------------------------------------------------
 # stitch analogue on events: per-user ordered sessionization (A1/O1)
 # --------------------------------------------------------------------------
@@ -1597,6 +1629,7 @@ def q_embed_neardup(sf_dir: str):
 
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
+    "page_render": q_page_render,
     "review_priority": q_review_priority,
     "events_sessionize": q_events_sessionize,
     "filter_project": q_filter_project,
