@@ -432,6 +432,157 @@ ORDER BY revenue DESC, l.l_orderkey LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q5 shape — five-way join: every dimension becomes a broadcast
+# int-array lookup (region→nation→supplier/customer built once on the
+# driver from dimension-scale tables, shipped via ray.put), leaving
+# exactly ONE large-large hash join (lineitem ⨝ orders).  The Q5
+# c_nationkey == s_nationkey co-location constraint is a vectorized
+# int compare post-join.  nation/region are constant-size and supplier
+# is ~SF·10k rows by TPC-H construction; customer is the largest
+# broadcast — when its keyset outgrows a worker, swap that lookup for
+# the shuffle pattern of q_join_hash / q_anti_join_shuffle (documented
+# scale boundary).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q5(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+    reg = pq.read_table(_t(sf_dir, "region"))
+    asia = {
+        rk
+        for rk, rn in zip(
+            reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist()
+        )
+        if rn == "ASIA"
+    }
+    nat = pq.read_table(_t(sf_dir, "nation"))
+    nation_name = {
+        nk: nn
+        for nk, nn, nr in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_name").to_pylist(),
+            nat.column("n_regionkey").to_pylist(),
+        )
+        if nr in asia
+    }
+
+    def _lookup_array(table: pa.Table, key: str, val: str) -> np.ndarray:
+        """Dense int-key → value array with -1 for absent keys (TPC-H
+        keys are 1..N, so this is O(max_key) ints, not a Python dict)."""
+        k = table.column(key).to_numpy(zero_copy_only=False)
+        v = table.column(val).to_numpy(zero_copy_only=False)
+        arr = np.full(int(k.max()) + 1 if len(k) else 1, -1, dtype=np.int64)
+        arr[k] = v
+        return arr
+
+    sup_nat = ray.put(
+        _lookup_array(
+            pq.read_table(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]),
+            "s_suppkey",
+            "s_nationkey",
+        )
+    )
+    cust_table = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    cust_nat = ray.put(_lookup_array(cust_table, "c_custkey", "c_nationkey"))
+    asia_keys = np.array(sorted(nation_name), dtype=np.int64)
+
+    orders = ray.data.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def tag_customer_nation(batch: pa.Table) -> pa.Table:
+        lut = ray.get(cust_nat)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        cn = lut[ck]
+        keep = np.isin(cn, asia_keys)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "c_nat": pa.array(cn[keep], pa.int64()),
+            }
+        )
+
+    lineitem = ray.data.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_supplier_nation(batch: pa.Table) -> pa.Table:
+        lut = ray.get(sup_nat)
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        sn = lut[sk]
+        keep = np.isin(sn, asia_keys)
+        rev = (
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(
+                    batch.column("l_orderkey").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "s_nat": pa.array(sn[keep], pa.int64()),
+                "rev": pa.array(rev[keep], pa.float64()),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = lineitem.map_batches(tag_supplier_nation, batch_format="pyarrow").join(
+        orders.map_batches(tag_customer_nation, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(8, cpus // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def colocated(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("c_nat"), batch.column("s_nat"))
+        return batch.filter(keep).select(["s_nat", "rev"])
+
+    agg = (
+        joined.map_batches(colocated, batch_format="pyarrow")
+        .groupby("s_nat")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    t = _to_table(agg)
+    names = pa.array(
+        [nation_name[k] for k in t.column("s_nat").to_pylist()], pa.string()
+    )
+    t = pa.table(
+        {
+            "nation": names,
+            "revenue": pc.round(t.column("revenue"), ndigits=2),
+        }
+    )
+    return t.sort_by([("revenue", "descending")])
+
+
+SQL_TPCH_Q5 = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY 1 ORDER BY revenue DESC
+"""
+
+
+# --------------------------------------------------------------------------
 # sort + top-k (O1/O3)
 # --------------------------------------------------------------------------
 
@@ -1648,6 +1799,7 @@ QUERIES = {
     "rollup_multi": q_rollup_multi,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "distinct_sources": q_distinct_sources,
     "topk_per_group": q_topk_per_group,
     "anti_join": q_anti_join,
@@ -1690,6 +1842,7 @@ ORACLES = {
     "rollup_multi": SQL_ROLLUP_MULTI,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q5": SQL_TPCH_Q5,
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "anti_join": SQL_ANTI_JOIN,
