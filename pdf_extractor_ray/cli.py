@@ -151,6 +151,38 @@ def cmd_latex(args) -> int:
     return 0 if ok == len(paths) else 1
 
 
+def cmd_pages(args) -> int:
+    """S3 surface (reference convert_all_pages, src/pdf_processor.py:
+    79-102 + src/cli.py page-image output): render every PDF page of
+    the lake and write the ``page_%03d.png`` tree distributed."""
+    import os
+
+    if not os.path.exists(args.lake):
+        print(f"error: lake path does not exist: {args.lake}", file=sys.stderr)
+        return 1
+    _ensure_ray()
+    import pyarrow.compute as pc
+
+    from .sources.transcripts import read_transcripts
+    from .stages.page_render import PageRenderer, write_page_images
+
+    ds = read_transcripts(args.lake, columns=("conv_id", "turn_idx", "tool", "text"))
+    pages = ds.map_batches(
+        PageRenderer(zoom=args.zoom), batch_format="pyarrow", batch_size=32
+    )
+    manifest = write_page_images(pages, args.images)
+    print(
+        json.dumps(
+            {
+                "pages": manifest.num_rows,
+                "conversations": len(set(manifest.column("conv_id").to_pylist())),
+                "bytes": int(pc.sum(manifest.column("n_bytes")).as_py() or 0),
+            }
+        )
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +221,12 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out", required=True)
     pl.add_argument("--tex", required=True)
     pl.set_defaults(fn=cmd_latex)
+
+    pp = sub.add_parser("pages")
+    pp.add_argument("--lake", required=True)
+    pp.add_argument("--images", required=True, help="output image tree root")
+    pp.add_argument("--zoom", type=float, default=2.0)
+    pp.set_defaults(fn=cmd_pages)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -43,3 +43,17 @@ def test_cli_roundtrip(small_lake, tmp_path, capsys):
     assert main(["latex", "--out", out, "--tex", tex_dir]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["documents"] > 0 and res["render_ok"] == res["documents"]
+
+    img_dir = str(tmp_path / "imgs")
+    assert main(["pages", "--lake", small_lake, "--images", img_dir, "--zoom", "0.25"]) == 0
+    pg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pg["pages"] > 0 and pg["bytes"] > 0
+    pngs = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(img_dir)
+        for f in fs
+        if f.endswith(".png")
+    ]
+    assert len(pngs) == pg["pages"]
+    with open(pngs[0], "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
