@@ -34,6 +34,23 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+
+def _strip_meta(batch: pa.Table) -> pa.Table:
+    """Drop writer schema metadata (the driver's testdata parquet
+    carries a pandas metadata dict that makes pa.Schema unhashable in
+    this pyarrow build — Ray's shuffle aggregators then skip their
+    schema-dedup early exit and warn 'Failed to hash the schemas' on
+    every block batch).  Metadata-only, O(1), fuses with the read."""
+    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
+
+
+def _read_pq(path: str, **kwargs) -> ray.data.Dataset:
+    """Drop-in ``read_parquet`` that strips writer metadata at the scan."""
+    return ray.data.read_parquet(path, **kwargs).map_batches(
+        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _to_table(ds: ray.data.Dataset) -> pa.Table:
     tables = list(ds.iter_batches(batch_format="pyarrow"))
     if not tables:
@@ -151,7 +168,7 @@ def _bucketed(ds: ray.data.Dataset, key: str, per_bucket) -> ray.data.Dataset:
 
 
 def q_events_sessionize(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
     )
 
@@ -188,7 +205,7 @@ FROM events GROUP BY user_id
 def q_filter_project(sf_dir: str):
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "documents"),
         columns=["doc_id", "source", "lang", "n_chars"],
         filter=(pads.field("lang") == "en") & (pads.field("n_chars") >= 200),
@@ -207,7 +224,7 @@ WHERE lang = 'en' AND n_chars >= 200
 # --------------------------------------------------------------------------
 
 def q_agg_rollup(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n"),
         Sum("value", alias_name="sum_value"),
@@ -255,7 +272,7 @@ def q_join_broadcast(sf_dir: str):
         # oracle (dict.get's None would silently make this a left join)
         return out.filter(pc.is_valid(out.column("c_mktsegment")))
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     ).map_batches(add_segment, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -283,10 +300,10 @@ GROUP BY c.c_mktsegment
 # --------------------------------------------------------------------------
 
 def q_join_hash(sf_dir: str):
-    orders = ray.data.read_parquet(
+    orders = _read_pq(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _read_pq(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -358,7 +375,7 @@ def q_tpch_q3(sf_dir: str):
     import pyarrow.dataset as pads
 
     cutoff = _dt.datetime(1997, 6, 15)
-    cust = ray.data.read_parquet(
+    cust = _read_pq(
         _t(sf_dir, "customer"),
         columns=["c_custkey"],
         filter=pads.field("c_mktsegment") == "BUILDING",
@@ -368,12 +385,12 @@ def q_tpch_q3(sf_dir: str):
         .column("c_custkey")
         .combine_chunks()
     )
-    orders = ray.data.read_parquet(
+    orders = _read_pq(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pads.field("o_orderdate") < cutoff,
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = _read_pq(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pads.field("l_shipdate") > cutoff,
@@ -508,7 +525,7 @@ def q_tpch_q5(sf_dir: str):
     cust_nat = ray.put(_lookup_array(cust_table, "c_custkey", "c_nationkey"))
     asia_keys = np.array(sorted(nation_name), dtype=np.int64)
 
-    orders = ray.data.read_parquet(
+    orders = _read_pq(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey"],
         filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
@@ -529,7 +546,7 @@ def q_tpch_q5(sf_dir: str):
             }
         )
 
-    lineitem = ray.data.read_parquet(
+    lineitem = _read_pq(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -603,7 +620,7 @@ GROUP BY 1 ORDER BY revenue DESC
 # --------------------------------------------------------------------------
 
 def q_sort_topk(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
     out = ds.sort([("n_chars"), ("doc_id")], descending=[True, False]).limit(10)
     return _to_table(out)
 
@@ -619,7 +636,7 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     return _to_table(dd.exact_dedup(ds))
 
 
@@ -633,7 +650,7 @@ SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 # --------------------------------------------------------------------------
 
 def q_dedup_latest(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts"]
     )
 
@@ -665,7 +682,7 @@ QUALIFY row_number() OVER (
 # --------------------------------------------------------------------------
 
 def q_refs_regex(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "text"])
 
     def scan(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -715,7 +732,7 @@ def q_token_count(sf_dir: str):
     # per worker (an actor pool here measured +3.4 s of startup at
     # sf0.1 for state that is one compiled regex).
     analyzer = TextAnalyzer(text_col="text", features=("tokens",))
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
     analyzed = ds.map_batches(
         lambda b: analyzer(b), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -738,7 +755,7 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------------------
 
 def q_sample_det(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"]
     )
     def pick(t: pa.Table) -> pa.Table:
@@ -758,7 +775,7 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 20 = 3
 # --------------------------------------------------------------------------
 
 def q_window_tumbling(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
         # (user, hour) keys are nearly as numerous as events here, so a
@@ -793,7 +810,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
 def q_window_session(sf_dir: str):
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
     )
 
@@ -852,7 +869,7 @@ FROM sess GROUP BY user_id, sid
 # --------------------------------------------------------------------------
 
 def q_window_sliding(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
 
     def fan_out(batch: pa.Table) -> pa.Table:
         ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -905,7 +922,7 @@ def q_rollup_multi(sf_dir: str):
     """ONE distributed pass computes the finest (lang, source) level;
     the coarser rollup levels are exact sums over that small result
     table on the driver — no re-scan of the input per level."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
     fine = _to_table(
         ds.groupby(["lang", "source"]).aggregate(
             Count(alias_name="n"), Sum("n_chars", alias_name="sum_chars")
@@ -958,7 +975,7 @@ def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
 
 
 def q_ann_bruteforce(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = sim.brute_force_topk(ds, _query_vectors(sf_dir), k=_ANN_K)
     return _to_table(out).select(["query_id", "vec_id"])
 
@@ -980,7 +997,7 @@ WHERE rk <= {_ANN_K}
 def q_ann_ivf(sf_dir: str):
     """IVF-bucketed approximate variant (no SQL oracle: approximate by
     construction — driver records rows-only)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     out = sim.ivf_topk(ds, _query_vectors(sf_dir), k=_ANN_K)
     return _to_table(out).select(["query_id", "vec_id", "cosine"])
 
@@ -990,7 +1007,7 @@ def q_ann_ivf(sf_dir: str):
 # --------------------------------------------------------------------------
 
 def q_multimodal_meta(sf_dir: str):
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
         payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
@@ -1023,7 +1040,7 @@ def q_multimodal_frames(sf_dir: str):
 
     from ..stages.multimodal import MEDIA_SCHEMA, sample_frames
 
-    docs = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    docs = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_video(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1068,7 +1085,7 @@ def q_tpch_q1(sf_dir: str):
     derived columns, grouped aggregate)."""
     import datetime
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "lineitem"),
         columns=[
             "l_returnflag",
@@ -1126,7 +1143,7 @@ GROUP BY l_returnflag, l_linestatus
 
 def q_distinct_sources(sf_dir: str):
     """DISTINCT via Dataset.unique (a shuffle)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["source"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source"])
     values = sorted(ds.unique("source"))
     return pa.table({"source": pa.array(values, pa.string())})
 
@@ -1137,7 +1154,7 @@ SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
 def q_topk_per_group(sf_dir: str):
     """Top-3 docs by n_chars per language (deterministic id tiebreak) —
     the grouped top-k shape (few groups → plain map_groups)."""
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "documents"), columns=["lang", "doc_id", "n_chars"]
     )
 
@@ -1178,7 +1195,7 @@ def q_anti_join(sf_dir: str):
         mask = pc.invert(pc.is_in(batch.column("o_orderkey"), value_set=k))
         return batch.filter(mask)
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
     )
     return _to_table(
@@ -1195,10 +1212,10 @@ def q_anti_join_shuffle(sf_dir: str):
     the key (one exchange), per-bucket vectorized set-minus in pandas.
     Lineitem keys are pre-deduped per batch (combiner) so only unique
     (key, bucket) rows cross the shuffle."""
-    orders = ray.data.read_parquet(
+    orders = _read_pq(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
     )
-    lineitem = ray.data.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    lineitem = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
 
     def orders_keyed(batch: pa.Table) -> pa.Table:
         k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
@@ -1273,7 +1290,7 @@ def q_semi_join(sf_dir: str):
         k = ray.get(kref)
         return batch.filter(pc.is_in(batch.column("o_orderkey"), value_set=k))
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderstatus"]
     )
     return _to_table(
@@ -1299,7 +1316,7 @@ def q_asof_join(sf_dir: str):
     probe is entity-local, so ONE hash exchange on user_id co-locates
     each user's timeline; inside the bucket a sorted ``searchsorted``
     probe is O((clicks+purchases)·log)."""
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
 
@@ -1354,7 +1371,7 @@ FROM events a WHERE a.event_type = 'click'
 # --------------------------------------------------------------------------
 
 def q_percentiles(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
 
     def pcts(g: pd.DataFrame) -> pd.DataFrame:
         a = np.sort(g["n_chars"].to_numpy())
@@ -1395,7 +1412,7 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------------------
 
 def q_vocab_topk(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -1446,7 +1463,7 @@ _FUNNEL_SENT = np.int64(2**62)
 def q_funnel(sf_dir: str):
     from ray.data.aggregate import Min
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "ts"]
     )
 
@@ -1523,7 +1540,7 @@ def q_approx_distinct(sf_dir: str):
         hll_new,
     )
 
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = hll_new()
@@ -1561,7 +1578,7 @@ def _sw_sql(lang: str) -> str:
 
 
 def q_langid(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def lid(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1614,7 +1631,7 @@ FROM h
 
 
 def q_quality(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def qual(batch: pa.Table) -> pa.Table:
         scores = [quality_score(t or "") for t in batch.column("text").to_pylist()]
