@@ -34,6 +34,24 @@ PDF_FIGS = make_pdf(
 )
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=257),
+        h=st.integers(min_value=1, max_value=61),
+        seed=st.binary(min_size=0, max_size=64),
+    )
+    def test_png_roundtrip_property(w, h, seed):
+        pix = fake_raster(seed, w, h)
+        assert np.array_equal(decode_png_gray(encode_png_gray(pix)), pix)
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_png_roundtrip_exact():
     pix = fake_raster(b"seed", 37, 11)
     png = encode_png_gray(pix)
