@@ -97,8 +97,10 @@ def run_headline(lake: str) -> tuple[float, int, int]:
 
     from pdf_extractor_ray.pipelines.extract import extraction_pipeline
 
+    from pdf_extractor_ray.sources.scan import scan_parquet
+
     # Warm OS page cache (untimed): one full read of the input.
-    n_turns = ray.data.read_parquet(lake).count()
+    n_turns = scan_parquet(lake).count()
 
     t0 = time.monotonic()
     out_rows = consume(extraction_pipeline(lake))

@@ -102,8 +102,12 @@ _FP_MASK = (1 << 64) - 1
 
 def fingerprint(text: str) -> int:
     """FNV-1a 64-bit hash over the whitespace-normalized text — a
-    cheap, stable document fingerprint (exact-dedup key)."""
+    cheap, stable document fingerprint (exact-dedup key).  Returned as
+    a SIGNED int64 (two's-complement view, Spark-xxhash64-style): an
+    unsigned value above 2^63 overflows Arrow int64 inference inside
+    Ray's aggregate finalize and silently degrades the column to
+    pickled Python objects."""
     h = _FP_OFFSET
     for b in " ".join(text.split()).encode("utf-8"):
         h = ((h ^ b) * _FP_BASE) & _FP_MASK
-    return h
+    return h - 0x10000000000000000 if h >= 0x8000000000000000 else h

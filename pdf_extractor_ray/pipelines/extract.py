@@ -252,7 +252,9 @@ def read_extracted(out_dir: str) -> ray.data.Dataset:
     import glob
     import os
 
+    from ..sources.scan import scan_parquet
+
     files = sorted(
         glob.glob(os.path.join(out_dir, "partition=*", "**", "*.parquet"), recursive=True)
     )
-    return ray.data.read_parquet(files if files else out_dir)
+    return scan_parquet(files if files else out_dir)

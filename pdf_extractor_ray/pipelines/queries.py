@@ -20,6 +20,7 @@ import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
 from ..functions.textstats import detect_language, quality_score
+from ..sources.scan import scan_parquet
 from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages.multimodal import featurize_media
@@ -35,20 +36,11 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 
-def _strip_meta(batch: pa.Table) -> pa.Table:
-    """Drop writer schema metadata (the driver's testdata parquet
-    carries a pandas metadata dict that makes pa.Schema unhashable in
-    this pyarrow build — Ray's shuffle aggregators then skip their
-    schema-dedup early exit and warn 'Failed to hash the schemas' on
-    every block batch).  Metadata-only, O(1), fuses with the read."""
-    return batch.replace_schema_metadata(None) if batch.schema.metadata else batch
-
-
 def _read_pq(path: str, **kwargs) -> ray.data.Dataset:
-    """Drop-in ``read_parquet`` that strips writer metadata at the scan."""
-    return ray.data.read_parquet(path, **kwargs).map_batches(
-        _strip_meta, batch_format="pyarrow", zero_copy_batch=True
-    )
+    """Drop-in ``read_parquet`` that strips writer metadata at the scan
+    (see sources/scan.py — unhashable schemas break Ray's schema-dedup
+    fast paths inside the read task itself)."""
+    return scan_parquet(path, **kwargs)
 
 
 def _to_table(ds: ray.data.Dataset) -> pa.Table:

@@ -107,7 +107,9 @@ def load_reviews(review_dir: str):
     files = _decision_files(review_dir)
     if not files:
         return ray.data.from_arrow(DECISION_SCHEMA.empty_table())
-    ds = ray.data.read_parquet(files)
+    from ..sources.scan import scan_parquet
+
+    ds = scan_parquet(files)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = [

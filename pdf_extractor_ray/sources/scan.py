@@ -1,0 +1,75 @@
+"""Metadata-free parquet scan.
+
+The driver's testdata parquet (and any pandas-written parquet) carries
+a ``b'pandas'`` schema-metadata entry that makes ``pa.Schema``
+unhashable in this pyarrow build (``hash(schema)`` raises
+``unhashable type: 'dict'``).  Ray Data hashes block schemas in two hot
+places — read-task concat dedup (``transform_pyarrow.unify_schemas``)
+and shuffle-aggregator schema dedup — and silently falls back to a
+per-batch ``unify_schemas`` when the hash fails, warning "Failed to
+hash the schemas" on every block.  Stripping downstream (a fused
+``map_batches``) is too late: the warning fires *inside* the ReadParquet
+task before any map runs.  The fix is at the scan itself: pass a
+metadata-free ``schema=`` (projected to ``columns`` — Ray requires the
+declared schema to match the projected batch exactly) so every block
+leaves the read task with a hashable schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def parquet_files(path: str) -> list[str]:
+    """Sorted parquet files under *path* (stable partition order)."""
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+
+def scan_parquet(
+    paths: str | list[str],
+    columns: list[str] | tuple[str, ...] | None = None,
+    **kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` that emits hashable block schemas.
+
+    Reads the footer schema of the first file on the driver (O(1)),
+    strips writer metadata, projects it to *columns*, and passes it as
+    the read's declared schema.  Assumes all files share one schema
+    (true for every lake/table this engine reads).
+    """
+    files = parquet_files(paths) if isinstance(paths, str) else list(paths)
+    if not files:
+        # nothing at the top level (e.g. nested layout) — let Ray's own
+        # path expansion handle it; schema-hash fast path is best-effort
+        if columns is not None:
+            kwargs["columns"] = list(columns)
+        return ray.data.read_parquet(paths, **kwargs)
+    schema = pq.read_schema(files[0]).remove_metadata()
+    if columns is None:
+        return ray.data.read_parquet(files, schema=schema, **kwargs)
+    # The declared schema must match the projected batches exactly, and a
+    # row filter can only reference projected fields — so widen the
+    # projection by the filter's fields and drop them again after the
+    # read (select_columns fuses with the read task; the extra columns
+    # still prune at the row-group level).
+    read_cols = list(columns)
+    flt = kwargs.get("filter")
+    if flt is not None:
+        expr_text = str(flt)
+        read_cols += [
+            f for f in schema.names if f not in read_cols and f in expr_text
+        ]
+    schema = pa.schema([schema.field(c) for c in read_cols])
+    kwargs["columns"] = read_cols
+    ds = ray.data.read_parquet(files, schema=schema, **kwargs)
+    if len(read_cols) != len(columns):
+        ds = ds.select_columns(list(columns))
+    return ds

@@ -7,20 +7,11 @@ exposes the conv-partitioned file layout for manifest-based resume.
 
 from __future__ import annotations
 
-import os
-
 import ray.data
 
+from .scan import parquet_files, scan_parquet
 
-def lake_files(lake_path: str) -> list[str]:
-    """Sorted parquet files of the lake (stable partition order)."""
-    if os.path.isfile(lake_path):
-        return [lake_path]
-    return sorted(
-        os.path.join(lake_path, f)
-        for f in os.listdir(lake_path)
-        if f.endswith(".parquet")
-    )
+lake_files = parquet_files  # stable partition order; kept as public alias
 
 
 def read_transcripts(
@@ -28,7 +19,6 @@ def read_transcripts(
     columns: tuple[str, ...] = ("conv_id", "turn_idx", "text", "tool", "ts"),
 ) -> ray.data.Dataset:
     """``read_parquet`` with column pruning (role is not needed by the
-    extraction pipeline and is dropped at the scan)."""
-    if isinstance(paths, str):
-        paths = lake_files(paths)
-    return ray.data.read_parquet(list(paths), columns=list(columns))
+    extraction pipeline and is dropped at the scan) and a metadata-free
+    declared schema (sources/scan.py) so block schemas stay hashable."""
+    return scan_parquet(paths, columns=columns)

@@ -83,7 +83,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     def add_fp(batch: pa.Table) -> pa.Table:
         fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
-        return batch.append_column("fp64", pa.array(fps, pa.uint64()))
+        return batch.append_column("fp64", pa.array(fps, pa.int64()))
 
     slim = (
         ds.map_batches(add_fp, batch_format="pyarrow", zero_copy_batch=True)

@@ -46,7 +46,7 @@ class TextAnalyzer:
         if "fingerprint" in self.features:
             batch = batch.append_column(
                 "fp64",
-                pa.array([fingerprint(t or "") for t in texts], pa.uint64()),
+                pa.array([fingerprint(t or "") for t in texts], pa.int64()),
             )
         return batch
 
