@@ -48,14 +48,19 @@ from ..functions.textstats import fingerprint
 _PAIR_BUCKETS = 32
 
 
-def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pd.DataFrame:
-    """(id_a, id_b, <extra>) frame with EXPLICIT dtypes — identical
-    schema whether or not the lists are empty."""
-    return pd.DataFrame(
+def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pa.Table:
+    """(id_a, id_b, <extra>) block with an EXPLICIT, metadata-free
+    Arrow schema — identical whether or not the lists are empty.  The
+    pair generators return this from pandas ``map_groups`` fns; a
+    pandas return would be converted by Ray with ``b'pandas'`` schema
+    metadata attached, which is unhashable in this pyarrow build and
+    knocks the downstream (id_a, id_b) aggregate off its schema-dedup
+    fast path (see sources/scan.py)."""
+    return pa.table(
         {
-            "id_a": pd.Series(a, dtype="int64"),
-            "id_b": pd.Series(b, dtype="int64"),
-            extra: pd.Series(vals, dtype=dtype),
+            "id_a": pa.array(a, pa.int64()),
+            "id_b": pa.array(b, pa.int64()),
+            extra: pa.array(vals, pa.from_numpy_dtype(np.dtype(dtype))),
         }
     )
 
@@ -306,14 +311,17 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
     # groupby, same cost as a plain distinct-nodes pass but it IS the
     # first propagation round, so clique-shaped near-dup clusters (the
     # common case) converge after a single confirming round.
-    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+    def init_labels(df: pd.DataFrame) -> pa.Table:
+        # Arrow return (here and in send_labels/propagate): a pandas
+        # return would re-enter the next round's shuffle carrying
+        # unhashable pandas schema metadata (see _pairs_df).
         m = df.groupby("node", sort=False)["nbr"].min()
         nodes = m.index.to_numpy()
         lab = np.minimum(nodes, m.to_numpy())
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": pd.Series(nodes, dtype="int64"),
-                "label": pd.Series(lab, dtype="int64"),
+                "node": pa.array(nodes.astype("int64"), pa.int64()),
+                "label": pa.array(lab.astype("int64"), pa.int64()),
             }
         )
 
@@ -349,19 +357,17 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
             }
         )
 
-    def send_labels(df: pd.DataFrame) -> pd.DataFrame:
+    def send_labels(df: pd.DataFrame) -> pa.Table:
         """Per-bucket reduce-side join: each edge row (k=nbr) receives
         the label of k from the label row (k=node)."""
         lab = df.loc[df["src"] == 1, ["k", "label"]].drop_duplicates("k")
         ed = df.loc[df["src"] == 0, ["k", "node"]]
         m = ed.merge(lab, on="k", how="inner")
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": pd.Series(m["node"].to_numpy(), dtype="int64"),
-                "label": pd.Series(m["label"].to_numpy(), dtype="int64"),
-                "is_old": pd.Series(
-                    np.zeros(len(m), dtype=np.int8), dtype="int8"
-                ),
+                "node": pa.array(m["node"].to_numpy().astype("int64"), pa.int64()),
+                "label": pa.array(m["label"].to_numpy().astype("int64"), pa.int64()),
+                "is_old": pa.array(np.zeros(len(m), dtype=np.int8), pa.int8()),
             }
         )
 
@@ -374,19 +380,17 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
             }
         )
 
-    def propagate(df: pd.DataFrame) -> pd.DataFrame:
+    def propagate(df: pd.DataFrame) -> pa.Table:
         new = df.groupby("node", sort=False)["label"].min()
         old = df.loc[df["is_old"] == 1].set_index("node")["label"]
         old = old[~old.index.duplicated()]
         aligned = old.reindex(new.index)
         changed = (new < aligned) | aligned.isna()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": pd.Series(new.index.to_numpy(), dtype="int64"),
-                "label": pd.Series(new.to_numpy(), dtype="int64"),
-                "changed": pd.Series(
-                    changed.to_numpy().astype("int8"), dtype="int8"
-                ),
+                "node": pa.array(new.index.to_numpy().astype("int64"), pa.int64()),
+                "label": pa.array(new.to_numpy().astype("int64"), pa.int64()),
+                "changed": pa.array(changed.to_numpy().astype("int8"), pa.int8()),
             }
         )
 
