@@ -271,22 +271,35 @@ def add_bucket_column(num_buckets: int):
 
 
 def _prefer_hash_shuffle(ds) -> None:
-    """Use Ray's hash-shuffle strategy for the conv/bucket groupbys —
-    a true hash exchange (no global sort of the fragments table);
-    measured ~25% faster than the sort-based shuffle on the sf0.1
-    bench lake and the semantically matching primitive for an explicit
-    hash-partition design.
+    """Configure the conv/bucket exchange's shuffle strategy.
+
+    DEFAULT: Ray's sort-based shuffle (plain tasks, no aggregator
+    actor pool).  A/B on the sf0.1 bench lake, 6 alternating trials
+    per arm @32 CPUs: sort 19.8–23.7 s (mean 21.6) vs hash-shuffle
+    24.9–47.1 s (mean 31.8; mean 24.7 after giving each aggregator a
+    full CPU via ``hash_shuffle_operator_actor_num_cpus_per_partition
+    _override``).  An earlier calm-box measurement had hash 25% ahead —
+    but its aggregator ACTORS (0.5 CPU each by default) are the first
+    thing the sandbox's CPU throttling starves, turning block sends
+    into multi-second waits (observed 844 s of aggregate send wall for
+    a 280 MB exchange), while the sort path's plain tasks degrade
+    gracefully.  Robustness wins for the default.
+
+    Opt-in: ``GRAFT_HASH_SHUFFLE=1`` re-enables the hash strategy with
+    the tuned sizing (aggregators = cpus/4 — the 16 default deadlocks
+    successive shuffles on small clusters because finished datasets'
+    aggregators linger; partitions = 2×cpus, not the 200 default; a
+    FULL CPU per aggregator, which is what stabilizes it).
 
     Scoped to THIS pipeline: datasets snapshot a DataContext copy at
     creation (read_api passes ``DataContext.get_current().copy()``), so
     mutating ``ds.context`` before deriving the groupby affects only
     datasets built from ``ds`` — the session-global context and
-    unrelated datasets keep their shuffle behavior.
+    unrelated datasets keep their shuffle behavior."""
+    import os
 
-    Aggregator-actor count is capped relative to cluster CPUs: the
-    default (16) deadlocks successive shuffles on small clusters —
-    finished datasets' aggregators linger while the next shuffle waits
-    for CPUs that will never free."""
+    if os.environ.get("GRAFT_HASH_SHUFFLE") != "1":
+        return  # session default: sort-based shuffle
     try:
         import ray
         from ray.data.context import ShuffleStrategy
@@ -295,10 +308,9 @@ def _prefer_hash_shuffle(ds) -> None:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
-        # Default partition count (the 200 default makes each
-        # aggregator demand partitions/aggregators × 0.0625 CPUs —
-        # more than a small cluster even has).
         ctx.default_hash_shuffle_parallelism = max(16, cpus * 2)
+        # partitions/aggregator × 0.125 = 1.0 CPU per aggregator actor
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.125
     except (ImportError, AttributeError):  # older Ray: keep sort shuffle
         pass
 
