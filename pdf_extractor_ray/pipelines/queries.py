@@ -1358,6 +1358,83 @@ FROM events a WHERE a.event_type = 'click'
 
 
 # --------------------------------------------------------------------------
+# range (band) join — an operator Ray Data lacks natively.  The small
+# side is an IRREGULAR interval dimension (half-open [lo, hi) bands),
+# defined once here and mirrored verbatim in the SQL oracle's VALUES
+# list.  Scale path: the dimension is tiny and sorted by lo, so this is
+# a broadcast range join — the band edges ship with the task closure,
+# each batch matches via one binary search (np.searchsorted), and a
+# per-batch combiner collapses output to one row per band, so the only
+# exchange is the final O(bands)-row aggregate.  The fact table never
+# shuffles at any scale.
+# --------------------------------------------------------------------------
+
+_PRICE_BANDS = (
+    ("budget", 0.0, 75_000.0),
+    ("mid", 75_000.0, 150_000.0),
+    ("upper", 150_000.0, 240_000.0),
+    ("premium", 240_000.0, 360_000.0),
+    ("luxury", 360_000.0, 1e9),
+)
+
+
+def q_range_join(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "orders"), columns=["o_totalprice"])
+    edges = np.array([b[1] for b in _PRICE_BANDS], dtype=np.float64)
+    names = [b[0] for b in _PRICE_BANDS]
+
+    def tag_and_combine(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        # rightmost band with lo <= price; hi is the next band's lo so
+        # the intervals are half-open [lo, hi) exactly like the SQL
+        idx = np.searchsorted(edges, price, side="right") - 1
+        out_band, out_n, out_sum = [], [], []
+        for i, name in enumerate(names):
+            mask = idx == i
+            n = int(mask.sum())
+            if n:
+                out_band.append(name)
+                out_n.append(n)
+                out_sum.append(float(price[mask].sum()))
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.string()),
+                "n_orders": pa.array(out_n, pa.int64()),
+                "sum_price": pa.array(out_sum, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag_and_combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("band")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price", alias_name="sum_price"),
+        )
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("sum_price"),
+        "sum_price",
+        pc.round(t.column("sum_price"), ndigits=2),
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT b.band, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS sum_price
+FROM orders o
+JOIN (VALUES ('budget', 0.0, 75000.0),
+             ('mid', 75000.0, 150000.0),
+             ('upper', 150000.0, 240000.0),
+             ('premium', 240000.0, 360000.0),
+             ('luxury', 360000.0, 1e9)) AS b(band, lo, hi)
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band
+"""
+
+
+# --------------------------------------------------------------------------
 # exact grouped percentiles (few groups → per-group vectorized numpy;
 # DuckDB quantile_disc rule: sorted[ceil(q*n) - 1])
 # --------------------------------------------------------------------------
@@ -1851,6 +1928,7 @@ QUERIES = {
     "embed_dedup": q_embed_dedup,
     "semi_join": q_semi_join,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "percentiles": q_percentiles,
     "vocab_topk": q_vocab_topk,
     "funnel": q_funnel,
@@ -1881,6 +1959,7 @@ ORACLES = {
     "anti_join_shuffle": SQL_ANTI_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
     "percentiles": SQL_PERCENTILES,
     "vocab_topk": SQL_VOCAB_TOPK,
     "funnel": SQL_FUNNEL,
