@@ -1143,6 +1143,42 @@ def q_distinct_sources(sf_dir: str):
 SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
 
 
+# --------------------------------------------------------------------------
+# exact grouped COUNT(DISTINCT) — the two-level-aggregate shape.  A
+# per-batch combiner dedups (key, value) pairs vectorized, so the one
+# exchange moves near-distinct pairs (bounded by |keys|×|values|, not by
+# row count); the second "aggregate" is a per-group distinct count over
+# already-unique pairs, done inside the same bucketed group call.  At
+# 100 TB the shuffle volume is O(distinct pairs), never O(rows).
+# --------------------------------------------------------------------------
+
+def q_distinct_per_group(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = ds.map_batches(dedup_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([g["event_type"].iloc[0]], dtype="object"),
+                "n_users": pd.Series([g["user_id"].nunique()], dtype="int64"),
+            }
+        )
+
+    return _to_table(
+        pairs.groupby("event_type").map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+SQL_DISTINCT_PER_GROUP = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def q_topk_per_group(sf_dir: str):
     """Top-3 docs by n_chars per language (deterministic id tiebreak) —
     the grouped top-k shape (few groups → plain map_groups)."""
@@ -1910,6 +1946,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "distinct_sources": q_distinct_sources,
+    "distinct_per_group": q_distinct_per_group,
     "topk_per_group": q_topk_per_group,
     "anti_join": q_anti_join,
     "anti_join_shuffle": q_anti_join_shuffle,
@@ -1954,6 +1991,7 @@ ORACLES = {
     "tpch_q3": SQL_TPCH_Q3,
     "tpch_q5": SQL_TPCH_Q5,
     "distinct_sources": SQL_DISTINCT_SOURCES,
+    "distinct_per_group": SQL_DISTINCT_PER_GROUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "anti_join": SQL_ANTI_JOIN,
     "anti_join_shuffle": SQL_ANTI_JOIN,
