@@ -1665,6 +1665,58 @@ def q_approx_distinct(sf_dir: str):
     )
 
 
+def q_approx_distinct_grouped(sf_dir: str):
+    """Per-group HLL: one tiny mergeable sketch per (batch, group)
+    crosses the exchange (4 KB each), merged per group by elementwise
+    max — the scale shape for COUNT(DISTINCT high-cardinality) BY key
+    when the exact pair-dedup exchange of ``q:distinct_per_group``
+    is itself too large.  Approximate by construction (no SQL oracle);
+    accuracy vs exact is pinned by ``test_grouped_hll_accuracy``."""
+    from ..functions.sketches import (
+        hash_values,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types, sketches = [], []
+        df = batch.to_pandas()
+        for etype, g in df.groupby("event_type", sort=False):
+            reg = hll_new()
+            hll_add_hashes(reg, hash_values(g["user_id"].to_list()))
+            types.append(etype)
+            sketches.append(reg.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sketch": pa.array(sketches, pa.binary()),
+            }
+        )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        merged = hll_new()
+        for s in g["sketch"]:
+            merged = hll_merge(merged, np.frombuffer(s, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                "event_type": pd.Series([g["event_type"].iloc[0]], dtype="object"),
+                "approx_users": pd.Series(
+                    [int(round(hll_estimate(merged)))], dtype="int64"
+                ),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------------------
 # text-analysis heuristics (language id / quality scoring)
 #
@@ -1951,6 +2003,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "anti_join_shuffle": q_anti_join_shuffle,
     "approx_distinct": q_approx_distinct,
+    "approx_distinct_grouped": q_approx_distinct_grouped,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_ivf": q_ann_ivf,
     "multimodal_meta": q_multimodal_meta,

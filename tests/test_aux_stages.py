@@ -335,3 +335,25 @@ def test_hll_sketch_accuracy():
     m1 = hll_merge(a, b)
     assert np.array_equal(m1, hll_merge(b, a))
     assert np.array_equal(m1, hll_merge(m1, a))
+
+
+def test_grouped_hll_accuracy(ray_session):
+    """q:approx_distinct_grouped within 5% of exact per group (the
+    accuracy pin for the no-oracle driver entry)."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines.queries import q_approx_distinct_grouped
+
+    sf = "/root/testdata/sf0.01"
+    got = q_approx_distinct_grouped(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    exact = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY event_type"
+    ).df()
+    m = got.merge(exact, on="event_type")
+    assert len(m) == len(exact) == len(got)
+    rel_err = (m["approx_users"] - m["n"]).abs() / m["n"]
+    assert (rel_err < 0.05).all(), m
