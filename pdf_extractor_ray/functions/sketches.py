@@ -47,8 +47,25 @@ def hll_add_hashes(reg: np.ndarray, hashes: np.ndarray) -> None:
     np.maximum.at(reg, idx, ranks)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mix function) —
+    a full-avalanche 64-bit hash for integer keys, no Python loop."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def hash_values(values) -> np.ndarray:
-    """Stable 64-bit hashes of arbitrary values (blake2b)."""
+    """Stable 64-bit hashes.  Integer inputs (the hot path — ids/keys)
+    hash vectorized via splitmix64; anything else falls back to a
+    per-value blake2b of the string form."""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return _splitmix64(arr)
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         out[i] = int.from_bytes(

@@ -1649,7 +1649,9 @@ def q_approx_distinct(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         reg = hll_new()
-        hll_add_hashes(reg, hash_values(batch.column("user_id").to_pylist()))
+        hll_add_hashes(
+            reg, hash_values(batch.column("user_id").to_numpy(zero_copy_only=False))
+        )
         return pa.table({"sketch": pa.array([reg.tobytes()], pa.binary())})
 
     import numpy as np
@@ -1687,7 +1689,7 @@ def q_approx_distinct_grouped(sf_dir: str):
         df = batch.to_pandas()
         for etype, g in df.groupby("event_type", sort=False):
             reg = hll_new()
-            hll_add_hashes(reg, hash_values(g["user_id"].to_list()))
+            hll_add_hashes(reg, hash_values(g["user_id"].to_numpy()))
             types.append(etype)
             sketches.append(reg.tobytes())
         return pa.table(
