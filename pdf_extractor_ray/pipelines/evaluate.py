@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -69,7 +70,12 @@ def evaluate_against_golden(
         has_flags = "flags" in extracted.column_names
         got = extracted
     if has_flags:
-        errs = sum(1 for f in got.column("flags").to_pylist() if f["parse_error"])
+        errs = int(
+            pc.sum(
+                pc.cast(pc.struct_field(got.column("flags"), "parse_error"), pa.int64())
+            ).as_py()
+            or 0
+        )
     got = _key_cols(got)
 
     # Keys may legitimately repeat (several content rows of one turn
@@ -163,21 +169,18 @@ def flag_rollup(ds: ray.data.Dataset) -> dict:
 
     def partial(batch: pa.Table) -> pa.Table:
         flags = batch.column("flags")
+
+        def count(field: str) -> pa.Array:
+            s = pc.sum(pc.cast(pc.struct_field(flags, field), pa.int64()))
+            return pa.array([s.as_py() or 0], pa.int64())
+
         return pa.table(
             {
                 "n": pa.array([batch.num_rows], pa.int64()),
-                "continued": pa.array(
-                    [sum(1 for f in flags.to_pylist() if f["continued"])], pa.int64()
-                ),
-                "resolved": pa.array(
-                    [sum(1 for f in flags.to_pylist() if f["resolved"])], pa.int64()
-                ),
-                "had_refs": pa.array(
-                    [sum(1 for f in flags.to_pylist() if f["had_refs"])], pa.int64()
-                ),
-                "parse_error": pa.array(
-                    [sum(1 for f in flags.to_pylist() if f["parse_error"])], pa.int64()
-                ),
+                "continued": count("continued"),
+                "resolved": count("resolved"),
+                "had_refs": count("had_refs"),
+                "parse_error": count("parse_error"),
             }
         )
 
