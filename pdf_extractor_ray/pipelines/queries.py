@@ -1002,12 +1002,13 @@ def q_multimodal_meta(sf_dir: str):
     docs = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def to_media(batch: pa.Table) -> pa.Table:
-        payloads = [t.encode("utf-8") for t in batch.column("text").to_pylist()]
+        # string→binary cast is zero-copy (UTF-8 bytes reinterpreted)
+        payloads = pc.cast(batch.column("text"), pa.binary())
         return pa.table(
             {
                 "media_id": batch.column("doc_id"),
-                "kind": pa.array(["image"] * len(payloads), pa.string()),
-                "payload": pa.array(payloads, pa.binary()),
+                "kind": pa.array(["image"] * batch.num_rows, pa.string()),
+                "payload": payloads,
             }
         )
 
