@@ -1425,6 +1425,9 @@ def q_range_join(sf_dir: str):
         # rightmost band with lo <= price; hi is the next band's lo so
         # the intervals are half-open [lo, hi) exactly like the SQL
         idx = np.searchsorted(edges, price, side="right") - 1
+        # prices at/above the last band's hi fall outside every band
+        # (the SQL's `< hi` predicate); negatives already map to -1
+        idx[price >= _PRICE_BANDS[-1][2]] = -1
         out_band, out_n, out_sum = [], [], []
         for i, name in enumerate(names):
             mask = idx == i
