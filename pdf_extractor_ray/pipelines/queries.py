@@ -1981,6 +1981,342 @@ def q_embed_neardup(sf_dir: str):
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# grouped Pearson correlation — the distributed-statistics shape: each
+# batch collapses to ONE row of mergeable moments (n, Σx, Σy, Σx², Σy²,
+# Σxy) per group, the exchange moves O(groups × batches) tiny rows, and
+# the closed-form finalize runs on the driver-side result table.  Inputs
+# are shifted by fixed constants before squaring (corr is shift-
+# invariant) so the n·Σx² − (Σx)² cancellation keeps ~14 significant
+# digits at any row count.
+# --------------------------------------------------------------------------
+
+_CORR_SHIFT_X = 25.0  # ≈ mean(l_quantity)
+_CORR_SHIFT_Y = 38_000.0  # ≈ mean(l_extendedprice)
+
+
+def q_corr_stats(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = b["l_quantity"].to_numpy() - _CORR_SHIFT_X
+        y = b["l_extendedprice"].to_numpy() - _CORR_SHIFT_Y
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": b["l_returnflag"].to_numpy(),
+                    "n": np.ones(len(x), dtype=np.int64),
+                    "sx": x,
+                    "sy": y,
+                    "sxx": x * x,
+                    "syy": y * y,
+                    "sxy": x * y,
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .sum()
+            .reset_index()
+        )
+        cols = {"l_returnflag": pa.array(g["l_returnflag"], pa.string())}
+        cols["n"] = pa.array(g["n"].to_numpy(), pa.int64())
+        for c in ("sx", "sy", "sxx", "syy", "sxy"):
+            cols[c] = pa.array(g[c].to_numpy(), pa.float64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(c, alias_name=c) for c in ("sx", "sy", "sxx", "syy", "sxy")],
+        )
+    )
+    t = _to_table(agg)
+    n = t.column("n").to_numpy().astype(np.float64)
+    sx = t.column("sx").to_numpy()
+    sy = t.column("sy").to_numpy()
+    cov = n * t.column("sxy").to_numpy() - sx * sy
+    varx = n * t.column("sxx").to_numpy() - sx * sx
+    vary = n * t.column("syy").to_numpy() - sy * sy
+    corr = cov / np.sqrt(varx * vary)
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "n": t.column("n"),
+            "corr_qty_price": pa.array(np.round(corr, 6), pa.float64()),
+        }
+    )
+
+
+SQL_CORR_STATS = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# pivot — events pivoted to one fixed wide row per day.  The pivot
+# column set is DECLARED (not discovered), so every batch collapses to
+# O(days-in-batch) wide rows inside map_batches and the exchange is a
+# plain per-day Sum over 5 int columns — no dynamic schema, no
+# second pass, no driver-side crosstab.
+# --------------------------------------------------------------------------
+
+_PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_DAY_US = 86_400_000_000
+
+
+def q_pivot_events(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // _DAY_US
+        et = b["event_type"].to_numpy()
+        frame = {"day_bucket": day}
+        for t in _PIVOT_EVENT_TYPES:
+            frame[f"n_{t}"] = (et == t).astype(np.int64)
+        g = pd.DataFrame(frame).groupby("day_bucket", sort=False).sum().reset_index()
+        return pa.table(
+            {
+                "day_bucket": pa.array(g["day_bucket"].to_numpy(), pa.int64()),
+                **{
+                    f"n_{t}": pa.array(g[f"n_{t}"].to_numpy(), pa.int64())
+                    for t in _PIVOT_EVENT_TYPES
+                },
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("day_bucket")
+        .aggregate(
+            *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _PIVOT_EVENT_TYPES]
+        )
+    )
+    return _to_table(agg)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+FROM events GROUP BY day_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# tf-idf term weighting — the two-aggregate-one-pass shape.  Term count
+# and document frequency are BOTH per-word sums of per-batch partials
+# (a document is one row, so it lives in exactly one batch and the
+# per-batch distinct-(doc,word) count sums to the exact global df).
+# Only (word, cnt, df) partial rows cross the exchange — O(vocab) per
+# batch, never O(tokens) — and idf needs just the scalar corpus size,
+# read from parquet metadata without a scan.
+# --------------------------------------------------------------------------
+
+def q_tfidf_topk(sf_dir: str):
+    path = _t(sf_dir, "documents")
+    n_docs = pa.parquet.read_metadata(path).num_rows
+    ds = _read_pq(path, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        doc = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        pairs = pa.table({"doc": doc.filter(mask), "word": flat.filter(mask)})
+        cnt = pairs.group_by("word").aggregate([("doc", "count")])
+        df = (
+            pairs.group_by(["doc", "word"])
+            .aggregate([])
+            .group_by("word")
+            .aggregate([("doc", "count")])
+        )
+        zeros_c = np.zeros(len(cnt), dtype=np.int64)
+        zeros_d = np.zeros(len(df), dtype=np.int64)
+        return pa.table(
+            {
+                "word": pa.concat_arrays(
+                    [cnt.column("word").combine_chunks(), df.column("word").combine_chunks()]
+                ),
+                "cnt": pa.array(
+                    np.concatenate(
+                        [cnt.column("doc_count").to_numpy(), zeros_d]
+                    ),
+                    pa.int64(),
+                ),
+                "df": pa.array(
+                    np.concatenate(
+                        [zeros_c, df.column("doc_count").to_numpy()]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("cnt").to_numpy().astype(np.float64)
+        df = batch.column("df").to_numpy().astype(np.float64)
+        tfidf = np.round(cnt * np.log(float(n_docs) / df), 6)
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "cnt": batch.column("cnt"),
+                "df": batch.column("df"),
+                "tfidf": pa.array(tfidf, pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("df", alias_name="df"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort(["tfidf", "word"], descending=[True, False])
+        .limit(20)
+    )
+    return _to_table(agg)
+
+
+# ordered by the ROUNDED score on both sides (DuckDB resolves the
+# ORDER BY alias to the rounded select expression) with a word
+# tie-break, so the top-20 set is deterministic across engines.
+SQL_TFIDF_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+  FROM documents
+), t2 AS (
+  SELECT doc_id, word FROM toks WHERE word <> ''
+), stats AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM t2 GROUP BY word
+)
+SELECT word, cnt, df,
+       round(cnt * ln((SELECT count(*) FROM documents)::DOUBLE / df), 6) AS tfidf
+FROM stats ORDER BY tfidf DESC, word LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join — the sub-linear broadcast structure for a
+# build side whose raw key set is too big to ship per task: the filter
+# is built DISTRIBUTED (each build batch emits a partial bitmap, OR-
+# reduced on the driver to m/8 bytes), broadcast once via ray.put, and
+# each probe batch tests 2 splitmix64-derived bit positions
+# vectorized.  Bloom survivors (members + ~0.1% false positives at
+# 10 bits/key) then pass an exact pc.is_in verify, so results are
+# exact while the expensive membership structure stays O(bits) not
+# O(keys × 8 bytes).
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 17  # 16 KB bitmap — ≥10 bits/key for the filtered dimension
+
+
+def _bloom_positions(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    from ..functions.sketches import hash_values
+
+    h = hash_values(keys).view(np.uint64)
+    return (h % _BLOOM_BITS).astype(np.int64), (
+        (h >> np.uint64(32)) % _BLOOM_BITS
+    ).astype(np.int64)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    # build side: the filtered part dimension (p_size >= 40)
+    build = _read_pq(_t(sf_dir, "part"), columns=["p_partkey", "p_size"])
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            batch.filter(pc.greater_equal(batch.column("p_size"), 40))
+            .column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+        )
+        bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+        for pos in _bloom_positions(keys):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table(
+            {
+                "bits": pa.array([bits.tobytes()], pa.binary()),
+                "keys": pa.array([keys.astype(np.int64).tobytes()], pa.binary()),
+            }
+        )
+
+    bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    exact_parts = []
+    for b in build.map_batches(build_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for row_bits, row_keys in zip(
+            b.column("bits").to_pylist(), b.column("keys").to_pylist()
+        ):
+            bloom |= np.frombuffer(row_bits, dtype=np.uint8)
+            exact_parts.append(np.frombuffer(row_keys, dtype=np.int64))
+    bloom_ref = ray.put(bloom)
+    exact_ref = ray.put(np.unique(np.concatenate(exact_parts)))
+
+    probe = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)  # object-store local after first fetch
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        p1, p2 = _bloom_positions(pk)
+        maybe = (
+            ((bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1)
+            & ((bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1)
+        ).astype(bool)
+        cand = batch.filter(pa.array(maybe))
+        # exact verify on the (few) Bloom survivors only
+        ok = pc.is_in(
+            cand.column("l_partkey"),
+            value_set=pa.array(ray.get(exact_ref), pa.int64()),
+        )
+        hit = cand.filter(ok)
+        rev = pc.multiply(
+            hit.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), hit.column("l_discount")),
+        )
+        return (
+            pa.table({"l_returnflag": hit.column("l_returnflag"), "revenue": rev})
+            .group_by("l_returnflag")
+            .aggregate([("revenue", "count"), ("revenue", "sum")])
+        )
+
+    agg = (
+        probe.map_batches(probe_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("revenue_count", alias_name="n"),
+            Sum("revenue_sum", alias_name="revenue"),
+        )
+    )
+    t = _to_table(agg)
+    return t.set_column(
+        t.schema.get_field_index("revenue"),
+        "revenue",
+        pc.round(t.column("revenue"), ndigits=2),
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -2028,6 +2364,10 @@ QUERIES = {
     "percentiles": q_percentiles,
     "vocab_topk": q_vocab_topk,
     "funnel": q_funnel,
+    "corr_stats": q_corr_stats,
+    "pivot_events": q_pivot_events,
+    "tfidf_topk": q_tfidf_topk,
+    "bloom_semi_join": q_bloom_semi_join,
 }
 
 ORACLES = {
@@ -2066,4 +2406,8 @@ ORACLES = {
     "langid": SQL_LANGID
     % {lang: _sw_sql(lang) for lang in ("de", "en", "es", "fr", "zh")},
     "quality": SQL_QUALITY % {"en": _sw_sql("en")},
+    "corr_stats": SQL_CORR_STATS,
+    "pivot_events": SQL_PIVOT_EVENTS,
+    "tfidf_topk": SQL_TFIDF_TOPK,
+    "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
 }
