@@ -301,3 +301,57 @@ def test_generators_deterministic():
     assert make_html(paras, rng) == make_html(paras, rng2)
     assert make_pdf(paras) == make_pdf(paras)
     assert make_tool_markup(paras, _rng(1)) == make_tool_markup(paras, _rng(1))
+
+
+# --- bloom / moments (late round-2 query kernels) ----------------------
+
+
+def test_bloom_positions_deterministic_and_low_fp():
+    import numpy as np
+
+    from pdf_extractor_ray.pipelines.queries import _BLOOM_BITS, _bloom_positions
+
+    rng = np.random.default_rng(7)
+    members = rng.choice(10_000_000, size=4000, replace=False).astype(np.int64)
+    p1, p2 = _bloom_positions(members)
+    q1, q2 = _bloom_positions(members)
+    assert (p1 == q1).all() and (p2 == q2).all()
+    assert p1.min() >= 0 and p1.max() < _BLOOM_BITS
+    bits = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for pos in (p1, p2):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+    def maybe(keys):
+        a, b = _bloom_positions(keys)
+        return (
+            ((bits[a >> 3] >> (a & 7).astype(np.uint8)) & 1)
+            & ((bits[b >> 3] >> (b & 7).astype(np.uint8)) & 1)
+        ).astype(bool)
+
+    # no false negatives, ever
+    assert maybe(members).all()
+    # false-positive rate near the analytic bound for k=2, n=4000, m=2^17
+    non = rng.choice(10_000_000, size=100_000, replace=False).astype(np.int64)
+    non = np.setdiff1d(non, members)
+    fp = maybe(non).mean()
+    assert fp < 0.01, fp
+
+
+def test_moment_partials_match_corrcoef():
+    """Merged (n,Σx,Σy,Σx²,Σy²,Σxy) partials reproduce np.corrcoef to
+    1e-12 — the q_corr_stats math, independent of Ray."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(25.0, 8.0, size=10_000)
+    y = 900.0 * x + rng.normal(0.0, 9000.0, size=10_000) + 15_000.0
+    want = np.corrcoef(x, y)[0, 1]
+
+    sx_, sy_ = 25.0, 38_000.0  # the fixed shifts used by q_corr_stats
+    parts = np.zeros(6)
+    for lo in range(0, 10_000, 1024):  # batch-at-a-time partials
+        bx, by = x[lo : lo + 1024] - sx_, y[lo : lo + 1024] - sy_
+        parts += [len(bx), bx.sum(), by.sum(), (bx * bx).sum(), (by * by).sum(), (bx * by).sum()]
+    n, sx, sy, sxx, syy, sxy = parts
+    got = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(got - want) < 1e-12
