@@ -2317,6 +2317,173 @@ GROUP BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# cohort retention — per-user first-activity day → (cohort, offset)
+# distinct-user counts.  Combiner-first: each batch collapses to its
+# distinct (user_id, day) pairs before the user-key exchange; the
+# bucketed per-user pass computes cohort=min(day) and pre-counts
+# (cohort, offset) inside the bucket, so the final exchange is the tiny
+# days×days retention grid, never user rows.
+# --------------------------------------------------------------------------
+
+def q_cohort_retention(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def distinct_pairs(b: pd.DataFrame) -> pa.Table:
+        day = b["ts"].to_numpy().astype("datetime64[us]").astype("int64") // _DAY_US
+        g = (
+            pd.DataFrame({"user_id": b["user_id"].to_numpy(), "day": day})
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.drop_duplicates(["user_id", "day"])  # across-batch dups
+        cohort = b.groupby("user_id", sort=False)["day"].transform("min")
+        g = (
+            pd.DataFrame(
+                {"cohort_day": cohort.to_numpy(), "day_offset": b["day"].to_numpy() - cohort.to_numpy()}
+            )
+            .groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(g["cohort_day"].to_numpy(), pa.int64()),
+                "day_offset": pa.array(g["day_offset"].to_numpy(), pa.int64()),
+                "n_users": pa.array(g["n_users"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pandas")
+    grid = _bucketed(pairs, "user_id", per_bucket)
+    agg = grid.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+    return _to_table(agg)
+
+
+SQL_COHORT_RETENTION = """
+WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+fw AS (SELECT user_id, min(day) AS cohort_day FROM uw GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN fw USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# approximate grouped percentiles via a mergeable fixed-bin histogram
+# sketch — the scale path for `percentiles` when groups are too large
+# for the per-group exact sort: each batch collapses to (lang, bin,
+# cnt) partials (O(langs×bins) per batch regardless of rows), the
+# exchange sums them, and the finalize walks the ≤(langs×bins) summed
+# histogram.  The estimate — the upper edge of the first bin whose
+# cumulative count reaches ceil(q·n) — is a DETERMINISTIC function of
+# the data, so unlike most sketches it gets a full value-hash oracle;
+# the error bound (≤ one bin width vs exact quantile_disc) is pinned in
+# tests/test_aux_stages.py.
+# --------------------------------------------------------------------------
+
+_HIST_BIN = 64
+
+
+def q_approx_percentiles(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": b["lang"].to_numpy(),
+                    "bin": b["n_chars"].to_numpy() // _HIST_BIN,
+                }
+            )
+            .groupby(["lang", "bin"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = _to_table(
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "bin"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    df = hist.to_pandas().sort_values(["lang", "bin"])
+    out = {"lang": [], "n": [], "p50_est": [], "p90_est": [], "p99_est": []}
+    for lang, g in df.groupby("lang", sort=True):
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        edges = ((g["bin"].to_numpy() + 1) * _HIST_BIN).astype("int64")
+        out["lang"].append(lang)
+        out["n"].append(n)
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            rank = int(np.ceil(q * n))
+            out[col].append(int(edges[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "p50_est": pa.array(out["p50_est"], pa.int64()),
+            "p90_est": pa.array(out["p90_est"], pa.int64()),
+            "p99_est": pa.array(out["p99_est"], pa.int64()),
+        }
+    )
+
+
+SQL_APPROX_PERCENTILES = f"""
+WITH h AS (SELECT lang, n_chars // {_HIST_BIN} AS bin, count(*) AS cnt
+           FROM documents GROUP BY lang, bin),
+c AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY lang) AS total FROM h)
+SELECT lang, CAST(max(total) AS BIGINT) AS n,
+  CAST(min(CASE WHEN cum >= ceil(0.5*total) THEN (bin+1)*{_HIST_BIN} END) AS BIGINT) AS p50_est,
+  CAST(min(CASE WHEN cum >= ceil(0.9*total) THEN (bin+1)*{_HIST_BIN} END) AS BIGINT) AS p90_est,
+  CAST(min(CASE WHEN cum >= ceil(0.99*total) THEN (bin+1)*{_HIST_BIN} END) AS BIGINT) AS p99_est
+FROM c GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# distributed k-means over the embeddings table (semantic clustering
+# for data curation — SemDeDup-style).  Iterative, so no SQL oracle
+# (rows-only driver check); cluster purity on planted clusters is
+# pinned in tests/test_aux_stages.py.
+# --------------------------------------------------------------------------
+
+def q_kmeans(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    from ..stages.similarity import kmeans_assign, kmeans_fit
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, max_iters=8, seed=3)
+    assigned = kmeans_assign(ds, cent)
+    out = assigned.groupby("cluster").aggregate(
+        Count(alias_name="n_vecs"),
+        Mean("cos_to_centroid", alias_name="mean_cos"),
+    )
+    t = _to_table(out)
+    return t.set_column(
+        t.schema.get_field_index("mean_cos"),
+        "mean_cos",
+        pc.round(t.column("mean_cos"), ndigits=4),
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -2368,6 +2535,9 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "tfidf_topk": q_tfidf_topk,
     "bloom_semi_join": q_bloom_semi_join,
+    "cohort_retention": q_cohort_retention,
+    "approx_percentiles": q_approx_percentiles,
+    "kmeans": q_kmeans,
 }
 
 ORACLES = {
@@ -2410,4 +2580,6 @@ ORACLES = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "tfidf_topk": SQL_TFIDF_TOPK,
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "approx_percentiles": SQL_APPROX_PERCENTILES,
 }

@@ -171,3 +171,116 @@ def ivf_topk(
 
     scored = ds.map_batches(ivf_score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(topk_per_query, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# distributed k-means (training-data curation / semantic clustering)
+# --------------------------------------------------------------------------
+
+def kmeans_fit(
+    ds,
+    k: int = 10,
+    vec_col: str = "embedding",
+    max_iters: int = 10,
+    tol: float = 1e-4,
+    seed: int = 3,
+    sample: int = 2048,
+) -> np.ndarray:
+    """Distributed spherical Lloyd's over the FULL dataset (unlike
+    ``kmeans_centroids``, which clusters a driver-side sample for IVF
+    coarse quantization).  Per round: centroids broadcast once via
+    ``ray.put``; every batch does one matmul assignment and collapses
+    to exactly k MOMENT rows (cluster, n, s0..s{d-1}) — the mergeable
+    combiner — so the exchange moves O(k·d) per batch and the driver
+    only ever sees the k×(d+2) summed moment table, never vectors.
+    Rounds are full streaming passes; stops early when the max centroid
+    shift (L2) drops below ``tol``.  Deterministic up to FP summation
+    order across partitions."""
+    from ray.data.aggregate import Sum
+
+    # k-means++ seeding on a bounded driver-side sample (plain random
+    # seeds can land two in one true cluster and zero in another —
+    # Lloyd's cannot escape that; ++ spreads seeds by squared distance).
+    # The sample must be SPREAD, not ds.limit(): the head of the lake
+    # can miss whole clusters, leaving them seedless forever.
+    n_total = ds.count()
+    frac = min(1.0, sample / max(n_total, 1))
+    head = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sv = _normalize(np.asarray([r[vec_col] for r in head.take(sample)], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(k, len(sv))
+    seeds = [int(rng.randint(len(sv)))]
+    d2 = ((sv - sv[seeds[0]]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(len(sv), p=p))
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((sv - sv[nxt]) ** 2).sum(axis=1))
+    cent = sv[seeds].copy()
+    d = cent.shape[1]
+    scols = [f"s{i}" for i in range(d)]
+
+    def moments_fn(cent_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            unit = _normalize(
+                np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            )
+            assign = (unit @ c.T).argmax(axis=1)
+            n = np.bincount(assign, minlength=k).astype(np.int64)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, unit)
+            cols: dict[str, pa.Array] = {
+                "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+            for i, sc in enumerate(scols):
+                cols[sc] = pa.array(sums[:, i], pa.float64())
+            return pa.table(cols)
+
+        return partial
+
+    for _ in range(max_iters):
+        cent_ref = ray.put(cent)
+        agg = (
+            ds.map_batches(moments_fn(cent_ref), batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("cluster")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                *[Sum(sc, alias_name=sc) for sc in scols],
+            )
+        )
+        rows = {r["cluster"]: r for r in agg.take_all()}  # ≤ k rows
+        new_cent = cent.copy()
+        for j in range(k):
+            r = rows.get(j)
+            if r and r["n"] > 0:
+                new_cent[j] = np.array([r[sc] for sc in scols]) / r["n"]
+        new_cent = _normalize(new_cent)
+        shift = float(np.sqrt(((new_cent - cent) ** 2).sum(axis=1)).max())
+        cent = new_cent
+        if shift < tol:
+            break
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Attach a ``cluster`` (int64) and ``cos_to_centroid`` (float64)
+    column — centroids broadcast once, one matmul per batch."""
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        unit = _normalize(
+            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        )
+        cos = unit @ c.T
+        a = cos.argmax(axis=1)
+        return batch.append_column(
+            "cluster", pa.array(a.astype(np.int64), pa.int64())
+        ).append_column(
+            "cos_to_centroid",
+            pa.array(cos[np.arange(len(a)), a], pa.float64()),
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

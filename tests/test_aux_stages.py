@@ -357,3 +357,75 @@ def test_grouped_hll_accuracy(ray_session):
     assert len(m) == len(exact) == len(got)
     rel_err = (m["approx_users"] - m["n"]).abs() / m["n"]
     assert (rel_err < 0.05).all(), m
+
+
+def test_approx_percentiles_within_one_bin(ray_session):
+    """The histogram-sketch estimate is bounded by construction: the
+    exact quantile_disc value lies in the reported bin, so
+    0 < est - exact <= bin width (the estimate is the bin's UPPER
+    edge).  Pins the sketch error vs the exact oracle at sf0.01."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines.queries import _HIST_BIN, q_approx_percentiles
+
+    sf = "/root/testdata/sf0.01"
+    got = q_approx_percentiles(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    exact = con.execute(
+        """SELECT lang, quantile_disc(n_chars, 0.5) AS p50,
+                  quantile_disc(n_chars, 0.9) AS p90,
+                  quantile_disc(n_chars, 0.99) AS p99
+           FROM documents GROUP BY lang"""
+    ).df()
+    m = got.merge(exact, on="lang")
+    assert len(m) == len(got) == len(exact)
+    for est, ex in (("p50_est", "p50"), ("p90_est", "p90"), ("p99_est", "p99")):
+        diff = m[est] - m[ex]
+        assert ((diff > 0) & (diff <= _HIST_BIN)).all(), m[["lang", est, ex]]
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Distributed Lloyd's (kmeans_fit: broadcast centroids, mergeable
+    per-batch moment partials) recovers 6 well-separated planted
+    clusters with >=0.95 majority-label purity, and kmeans_assign's
+    cluster column agrees with a driver-side numpy assignment against
+    the returned centroids."""
+    from pdf_extractor_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.RandomState(11)
+    k, per, dim = 6, 60, 16
+    centers = rng.normal(size=(k, dim)) * 4.0
+    vecs = np.concatenate(
+        [centers[j] + rng.normal(scale=0.2, size=(per, dim)) for j in range(k)]
+    )
+    labels = np.repeat(np.arange(k), per)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+            "label": pa.array(labels, pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    cent = kmeans_fit(ds, k=k, max_iters=10, seed=5, sample=256)
+    assert cent.shape == (k, dim)
+    out = kmeans_assign(ds, cent).select_columns(["vec_id", "cluster", "label"])
+    df = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    assert len(df) == k * per
+    purity = (
+        df.groupby("cluster")["label"]
+        .agg(lambda s: s.value_counts().iloc[0])
+        .sum()
+        / len(df)
+    )
+    assert purity >= 0.95, purity
+    # assignment agrees with numpy argmax against the same centroids
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    want = (unit @ cent.T).argmax(axis=1)
+    got = df.sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == want).mean() >= 0.99
