@@ -100,6 +100,39 @@ _FP_OFFSET = 14695981039346656037
 _FP_MASK = (1 << 64) - 1
 
 
+# --------------------------------------------------------------------------
+# PII redaction — RE2-compatible patterns applied in a FIXED order
+# (SSN before phone: the 3-4 tail of an SSN would otherwise be eaten
+# by the phone pattern).  Both pyarrow.compute and DuckDB use RE2, so
+# the vectorized Arrow kernel and the SQL oracle redact identically.
+# --------------------------------------------------------------------------
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_array(arr):
+    """Vectorized PII scrub over a pyarrow string array — one
+    ``replace_substring_regex`` kernel pass per pattern, no Python
+    per-row loop."""
+    import pyarrow.compute as _pc
+
+    for pat, repl in PII_PATTERNS:
+        arr = _pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    return arr
+
+
+def redact_pii(text: str) -> str:
+    """Scalar twin of :func:`redact_pii_array` (tests / oracle.py)."""
+    for pat, repl in PII_PATTERNS:
+        text = re.sub(pat, repl, text, flags=re.ASCII)  # RE2 \d == [0-9]
+    return text
+
+
 def fingerprint(text: str) -> int:
     """FNV-1a 64-bit hash over the whitespace-normalized text — a
     cheap, stable document fingerprint (exact-dedup key).  Returned as

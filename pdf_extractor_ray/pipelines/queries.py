@@ -2469,8 +2469,11 @@ def q_kmeans(sf_dir: str):
 
     from ..stages.similarity import kmeans_assign, kmeans_fit
 
-    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    cent = kmeans_fit(ds, k=8, max_iters=8, seed=3)
+    path = _t(sf_dir, "embeddings")
+    ds = _read_pq(path, columns=["vec_id", "embedding"])
+    # row count from parquet metadata — saves kmeans_fit a count() pass
+    n_total = pa.parquet.read_metadata(path).num_rows
+    cent = kmeans_fit(ds, k=8, max_iters=8, seed=3, n_total=n_total)
     assigned = kmeans_assign(ds, cent)
     out = assigned.groupby("cluster").aggregate(
         Count(alias_name="n_vecs"),
@@ -2482,6 +2485,257 @@ def q_kmeans(sf_dir: str):
         "mean_cos",
         pc.round(t.column("mean_cos"), ndigits=4),
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction — the training-data scrub stage.  The corpus carries no
+# PII, so each row's text is AUGMENTED with deterministic doc_id-derived
+# PII (email/IP/SSN/phone) before redaction — both engines construct
+# the identical augmented string, so the oracle exercises every pattern
+# on every row instead of vacuously matching nothing.  One vectorized
+# replace_substring_regex pass per pattern (RE2 on both sides); the
+# full redacted text is value-hashed.
+# --------------------------------------------------------------------------
+
+def q_pii_redact(sf_dir: str):
+    from ..functions.textstats import redact_pii_array
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        id_s = pc.cast(d, pa.string())
+        ip_s = pc.cast(pc.subtract(d, pc.multiply(pc.divide(d, 256), 256)), pa.string())
+        tel_s = pc.cast(
+            pc.add(pc.subtract(d, pc.multiply(pc.divide(d, 9000), 9000)), 1000),
+            pa.string(),
+        )
+        aug = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact u",
+            id_s,
+            "@ex-mail.org ip 10.0.",
+            ip_s,
+            ".7 ssn 123-45-6789 tel 555-",
+            tel_s,
+            "",
+        )
+        return pa.table({"doc_id": d, "redacted": redact_pii_array(aug)})
+
+    return _to_table(ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    text || ' contact u' || doc_id || '@ex-mail.org ip 10.0.'
+         || (doc_id % 256) || '.7 ssn 123-45-6789 tel 555-' || (1000 + doc_id % 9000),
+    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# document chunking — explode each document into fixed-size overlapping
+# character windows (size 128, stride 96), the LLM-training chunker.
+# Vectorized explode: one utf8_slice_codeunits kernel pass PER CHUNK
+# INDEX over the whole batch (not per row) — kernel calls scale with
+# max-chunks-per-doc (~6 here), not row count.  Corpus is ASCII so
+# Arrow codeunit slicing == DuckDB character substr; for general UTF-8
+# lakes switch to a byte-offset chunker.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 128, 96
+
+
+def q_chunk_docs(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column("text"))
+        max_len = pc.max(n).as_py() or 0
+        parts = []
+        i = 0
+        while i * _CHUNK_STRIDE < max_len:  # chunk i exists iff start < len
+            start = i * _CHUNK_STRIDE
+            sub = batch.filter(pc.greater(n, start))
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": sub.column("doc_id"),
+                        "chunk_idx": pa.array(
+                            np.full(sub.num_rows, i, dtype=np.int64), pa.int64()
+                        ),
+                        "chunk": pc.utf8_slice_codeunits(
+                            sub.column("text"), start=start, stop=start + _CHUNK_SIZE
+                        ),
+                    }
+                )
+            )
+            i += 1
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk": pa.array([], pa.string()),
+                }
+            )
+        return pa.concat_tables(parts)
+
+    return _to_table(ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_CHUNK_DOCS = f"""
+SELECT doc_id, u AS chunk_idx, substr(text, u*{_CHUNK_STRIDE}+1, {_CHUNK_SIZE}) AS chunk
+FROM (SELECT doc_id, text,
+             unnest(range(0, (len(text)-1)//{_CHUNK_STRIDE} + 1)) AS u
+      FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination — flag training documents containing any
+# eval-set snippet.  The eval side (docs with doc_id % 83 == 0; snippet
+# = chars 9..48 of each) is FIXED-SIZE relative to the lake, so it is
+# pulled once to the driver and broadcast via ray.put; the scan side
+# streams, one vectorized match_substring kernel pass per snippet per
+# batch.  n_hits counts how many eval snippets the doc contains
+# (duplicate snippets count separately, mirroring the SQL join).
+# --------------------------------------------------------------------------
+
+def q_decontaminate(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    def eval_side(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        mask = pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 83), 83)), 0)
+        return batch.filter(mask).select(["text"])
+
+    ev = _to_table(ds.map_batches(eval_side, batch_format="pyarrow", zero_copy_batch=True))
+    snippets = [t[8 : 8 + 40] for t in ev.column("text").to_pylist()]
+    snips_ref = ray.put(snippets)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        snips = ray.get(snips_ref)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        text = batch.column("text")
+        for s in snips:
+            hits += pc.match_substring(text, s).to_numpy(zero_copy_only=False)
+        keep = hits > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_hits": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return _to_table(ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_DECONTAMINATE = """
+WITH ev AS (SELECT substr(text, 9, 40) AS snip FROM documents WHERE doc_id % 83 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM documents d JOIN ev ON contains(d.text, ev.snip)
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# rank / lag window functions — per-user row_number and value delta
+# under (ts, event_id) ordering, via the one-exchange _bucketed shape
+# (vectorized pandas cumcount/shift inside the bucket).
+# --------------------------------------------------------------------------
+
+def q_rank_window(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = b.groupby("user_id", sort=False)
+        rn = (g.cumcount() + 1).to_numpy()
+        delta = (b["value"] - g["value"].shift(1)).fillna(0.0).to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(b["user_id"].to_numpy(), pa.int64()),
+                "rn": pa.array(rn, pa.int64()),
+                "delta": pa.array(np.round(delta, 6), pa.float64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_RANK_WINDOW = """
+SELECT event_id, user_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  round(coalesce(value - lag(value) OVER w, 0), 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling — per-stratum keep rates (en 50%,
+# rest 20%) decided by a pure function of doc_id so every worker,
+# every retry, and the SQL oracle select the identical sample; one
+# combiner pass emits per-(batch, lang) integer partials, one tiny
+# Sum exchange finalizes.  All-integer output → exact value hash.
+# --------------------------------------------------------------------------
+
+def q_sample_stratified(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        lang = b["lang"].to_numpy()
+        rate = np.where(lang == "en", 50, 20)
+        keep = (b["doc_id"].to_numpy() % 100) < rate
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": lang,
+                    "n_total": np.ones(len(b), dtype=np.int64),
+                    "n_kept": keep.astype(np.int64),
+                    "kept_chars": np.where(keep, b["n_chars"].to_numpy(), 0),
+                }
+            )
+            .groupby("lang", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_total": pa.array(g["n_total"].to_numpy(), pa.int64()),
+                "n_kept": pa.array(g["n_kept"].to_numpy(), pa.int64()),
+                "kept_chars": pa.array(g["kept_chars"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+    )
+    return _to_table(out)
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM (SELECT lang, n_chars,
+             (doc_id % 100) < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS keep
+      FROM documents)
+GROUP BY lang
+"""
 
 
 QUERIES = {
@@ -2538,6 +2792,11 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "approx_percentiles": q_approx_percentiles,
     "kmeans": q_kmeans,
+    "pii_redact": q_pii_redact,
+    "chunk_docs": q_chunk_docs,
+    "decontaminate": q_decontaminate,
+    "rank_window": q_rank_window,
+    "sample_stratified": q_sample_stratified,
 }
 
 ORACLES = {
@@ -2582,4 +2841,9 @@ ORACLES = {
     "bloom_semi_join": SQL_BLOOM_SEMI_JOIN,
     "cohort_retention": SQL_COHORT_RETENTION,
     "approx_percentiles": SQL_APPROX_PERCENTILES,
+    "pii_redact": SQL_PII_REDACT,
+    "chunk_docs": SQL_CHUNK_DOCS,
+    "decontaminate": SQL_DECONTAMINATE,
+    "rank_window": SQL_RANK_WINDOW,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
 }

@@ -185,6 +185,7 @@ def kmeans_fit(
     tol: float = 1e-4,
     seed: int = 3,
     sample: int = 2048,
+    n_total: int | None = None,
 ) -> np.ndarray:
     """Distributed spherical Lloyd's over the FULL dataset (unlike
     ``kmeans_centroids``, which clusters a driver-side sample for IVF
@@ -203,7 +204,8 @@ def kmeans_fit(
     # Lloyd's cannot escape that; ++ spreads seeds by squared distance).
     # The sample must be SPREAD, not ds.limit(): the head of the lake
     # can miss whole clusters, leaving them seedless forever.
-    n_total = ds.count()
+    if n_total is None:  # callers with parquet inputs should pass the
+        n_total = ds.count()  # metadata row count and skip this pass
     frac = min(1.0, sample / max(n_total, 1))
     head = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
     sv = _normalize(np.asarray([r[vec_col] for r in head.take(sample)], dtype=np.float64))

@@ -4,6 +4,7 @@ geometry / latex sink / evaluate pipeline."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -429,3 +430,72 @@ def test_kmeans_recovers_planted_clusters(ray_session):
     want = (unit @ cent.T).argmax(axis=1)
     got = df.sort_values("vec_id")["cluster"].to_numpy()
     assert (got == want).mean() >= 0.99
+
+
+def test_redact_pii_planted():
+    """Every pattern class is scrubbed; scalar and vectorized kernels
+    agree (the Arrow RE2 path is what runs in the pipeline; the scalar
+    twin is what documents the semantics)."""
+    from pdf_extractor_ray.functions.textstats import redact_pii, redact_pii_array
+
+    cases = [
+        ("mail me at alice.smith+x@sub.example.co.uk now", "mail me at <EMAIL> now"),
+        ("ssn 123-45-6789 end", "ssn <SSN> end"),
+        ("server 192.168.0.1 down", "server <IP> down"),
+        ("call 555-1234 or 555.9876", "call <PHONE> or <PHONE>"),
+        # SSN must win over the phone pattern on its 3-4 tail
+        ("id 987-65-4321 tel 321-7654", "id <SSN> tel <PHONE>"),
+        ("no pii here at all", "no pii here at all"),
+    ]
+    for raw, want in cases:
+        assert redact_pii(raw) == want, raw
+    arr = pa.array([c[0] for c in cases])
+    got = redact_pii_array(arr).to_pylist()
+    assert got == [c[1] for c in cases]
+
+
+def test_chunk_docs_reassembles(ray_session):
+    """Chunking invariants at sf0.001: chunk 0 of every doc is a text
+    prefix, consecutive chunks overlap by size-stride, and stripping
+    the overlap from chunks 1..n reassembles the exact document."""
+    from pdf_extractor_ray.pipelines.queries import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        q_chunk_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    chunks = q_chunk_docs(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    text_by_id = dict(zip(docs["doc_id"], docs["text"]))
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    n_docs = 0
+    for doc_id, g in chunks.groupby("doc_id"):
+        g = g.sort_values("chunk_idx")
+        assert list(g["chunk_idx"]) == list(range(len(g)))
+        parts = list(g["chunk"])
+        assert all(len(p) <= _CHUNK_SIZE for p in parts)
+        rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
+        assert rebuilt == text_by_id[doc_id], doc_id
+        n_docs += 1
+    assert n_docs == len(docs)
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    """Every eval doc is flagged (it contains its own snippet), and a
+    doc sharing a 40-char window with an eval doc is exactly the
+    cross-contamination the query reports."""
+    from pdf_extractor_ray.pipelines.queries import q_decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    got = q_decontaminate(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs[docs["doc_id"] % 83 == 0]
+    snips = [t[8:48] for t in ev["text"]]
+    want = {
+        int(r.doc_id): sum(s in r.text for s in snips)
+        for r in docs.itertuples()
+        if any(s in r.text for s in snips)
+    }
+    assert dict(zip(got["doc_id"], got["n_hits"])) == want
+    assert set(ev["doc_id"]) <= set(got["doc_id"])
