@@ -2738,6 +2738,140 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# repetition stats — Gopher/C4-style duplicate-word signal per document
+# (n_words vs n_distinct_words).  Vectorized explode: pandas str.split
+# + explode + per-doc nunique inside the batch; integer-only output so
+# the value hash is exact (a dup RATIO would hit round-half divergence
+# between numpy half-even and DuckDB half-away on x/2^k values).
+# --------------------------------------------------------------------------
+
+def q_repetition(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pa.Table:
+        words = b.set_index("doc_id")["text"].str.split(" ").explode()
+        g = words.groupby(level=0).agg(["size", "nunique"])
+        return pa.table(
+            {
+                "doc_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_words": pa.array(g["size"].to_numpy(), pa.int64()),
+                "n_distinct": pa.array(g["nunique"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _to_table(ds.map_batches(stats, batch_format="pandas"))
+
+
+SQL_REPETITION = """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group z-score normalization — the aggregate-then-broadcast-back
+# shape: one combiner pass emits (lang, n, sum, sumsq) moment partials,
+# the tiny summed moment table (≤ #langs rows) is broadcast via
+# ray.put, and a second map pass standardizes every row against its
+# group's population mean/std.  No per-row exchange ever happens — the
+# wide data crosses NO shuffle.
+# --------------------------------------------------------------------------
+
+def q_zscore(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def moments(b: pd.DataFrame) -> pa.Table:
+        x = b["n_chars"].to_numpy(dtype=np.float64)
+        g = (
+            pd.DataFrame({"lang": b["lang"].to_numpy(), "n": 1, "s": x, "ss": x * x})
+            .groupby("lang", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.float64()),
+                "ss": pa.array(g["ss"].to_numpy(), pa.float64()),
+            }
+        )
+
+    mom = _to_table(
+        ds.map_batches(moments, batch_format="pandas")
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+    ).to_pandas()
+    stats = {
+        r.lang: (r.s / r.n, float(np.sqrt(max(r.ss / r.n - (r.s / r.n) ** 2, 0.0))))
+        for r in mom.itertuples()
+    }
+    stats_ref = ray.put(stats)
+
+    def standardize(b: pd.DataFrame) -> pa.Table:
+        st = ray.get(stats_ref)
+        mean = b["lang"].map(lambda l: st[l][0]).to_numpy(dtype=np.float64)
+        std = b["lang"].map(lambda l: st[l][1]).to_numpy(dtype=np.float64)
+        z = (b["n_chars"].to_numpy(dtype=np.float64) - mean) / std
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(b["lang"].to_numpy(), pa.string()),
+                "z": pa.array(np.round(z, 3), pa.float64()),
+            }
+        )
+
+    return _to_table(ds.map_batches(standardize, batch_format="pandas"))
+
+
+SQL_ZSCORE = """
+SELECT doc_id, lang,
+  round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+        / stddev_pop(n_chars) OVER (PARTITION BY lang), 3) AS z
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered group-concat — per-user event-type path under (ts, event_id)
+# ordering (the classic clickstream export), via the one-exchange
+# _bucketed shape with a vectorized str-join inside the bucket.
+# --------------------------------------------------------------------------
+
+def q_group_concat(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = b.groupby("user_id", sort=False)["event_type"].agg(
+            path=">".join, n_events="size"
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "path": pa.array(g["path"], pa.string()),
+                "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_GROUP_CONCAT = """
+SELECT user_id,
+  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -2797,6 +2931,9 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "rank_window": q_rank_window,
     "sample_stratified": q_sample_stratified,
+    "repetition": q_repetition,
+    "zscore": q_zscore,
+    "group_concat": q_group_concat,
 }
 
 ORACLES = {
@@ -2846,4 +2983,7 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "rank_window": SQL_RANK_WINDOW,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "repetition": SQL_REPETITION,
+    "zscore": SQL_ZSCORE,
+    "group_concat": SQL_GROUP_CONCAT,
 }
