@@ -2872,6 +2872,39 @@ FROM events GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup — k-means clusters bound the pairwise
+# cosine to within-cluster work (the published sub-quadratic
+# construction).  Iterative fit → no SQL oracle (rows-only check);
+# the planted-near-dup behavior is pinned in tests.
+# --------------------------------------------------------------------------
+
+def q_semdedup(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.similarity import semantic_dedup
+
+    # same planted near-dups as q_embed_neardup (the raw table has
+    # none above the threshold), same 0.95 verify threshold — the two
+    # queries agree on what counts as a near-duplicate
+    ds = _embeddings_with_planted_neardups(sf_dir)
+    flagged = semantic_dedup(ds, k=8, threshold=0.95)
+
+    def dup_int(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("is_dup"),
+            "n_dropped",
+            pc.cast(batch.column("is_dup"), pa.int64()),
+        )
+
+    out = (
+        flagged.map_batches(dup_int, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Count(alias_name="n_vecs"), Sum("n_dropped", alias_name="n_dropped"))
+    )
+    return _to_table(out)
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -2934,6 +2967,7 @@ QUERIES = {
     "repetition": q_repetition,
     "zscore": q_zscore,
     "group_concat": q_group_concat,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {

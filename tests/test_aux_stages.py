@@ -499,3 +499,42 @@ def test_decontaminate_flags_planted_overlap(ray_session):
     }
     assert dict(zip(got["doc_id"], got["n_hits"])) == want
     assert set(ev["doc_id"]) <= set(got["doc_id"])
+
+
+def test_semantic_dedup_drops_planted_neardups(ray_session):
+    """SemDeDup shape: 4 well-separated clusters, each with 10 base
+    vectors plus 3 planted near-copies of its first member.  Threshold
+    math: centers have norm ~6*sqrt(12)=21, so base pairs sit at
+    cosine ~1-(noise/21)^2 ~ 0.999 while planted copies (noise 1e-4)
+    sit at ~1-1e-10 — the 0.99999 threshold separates them cleanly.
+    The within-cluster prune must drop exactly the planted copies
+    (keep-min-id) and no base vector."""
+    from pdf_extractor_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    k, base_n, dim = 4, 10, 12
+    centers = rng.normal(size=(k, dim)) * 6.0
+    vids, vecs, planted = [], [], set()
+    nid = 0
+    for j in range(k):
+        base = centers[j] + rng.normal(scale=0.3, size=(base_n, dim))
+        for b in base:
+            vids.append(nid); vecs.append(b); nid += 1
+        anchor = base[0]
+        for _ in range(3):
+            vids.append(nid)
+            vecs.append(anchor + rng.normal(scale=1e-4, size=dim))
+            planted.add(nid)
+            nid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(vids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    flagged = semantic_dedup(ds, k=k, threshold=0.99999, seed=5, n_total=len(vids))
+    df = pa.concat_tables(list(flagged.iter_batches(batch_format="pyarrow"))).to_pandas()
+    assert len(df) == len(vids)
+    dropped = set(df[df["is_dup"]]["vec_id"])
+    assert dropped == planted, (sorted(dropped), sorted(planted))

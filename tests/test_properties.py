@@ -125,3 +125,35 @@ def test_normalize_idempotent(text):
     # full chain is idempotent modulo a leading Solution marker, which
     # the first pass already removed
     assert normalize_full(full) == full
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_redact_pii_idempotent(text):
+    """Replacement tokens contain no digits or @, so a second pass can
+    never find new matches — redaction is a projection."""
+    from pdf_extractor_ray.functions.textstats import redact_pii
+
+    once = redact_pii(text)
+    assert redact_pii(once) == once
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=700))
+@settings(max_examples=200, deadline=None)
+def test_chunk_windows_reassemble(text):
+    """The pure chunking rule (start = i*stride while start < len)
+    loses nothing: stripping the size-stride overlap from chunks 1..n
+    rebuilds the document exactly.  Mirrors q_chunk_docs' kernel math
+    without a Ray session."""
+    from pdf_extractor_ray.pipelines.queries import _CHUNK_SIZE, _CHUNK_STRIDE
+
+    chunks = []
+    i = 0
+    while i * _CHUNK_STRIDE < len(text):
+        start = i * _CHUNK_STRIDE
+        chunks.append(text[start : start + _CHUNK_SIZE])
+        i += 1
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+    assert rebuilt == text
+    assert all(len(c) <= _CHUNK_SIZE for c in chunks)
