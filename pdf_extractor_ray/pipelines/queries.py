@@ -2905,6 +2905,118 @@ def q_semdedup(sf_dir: str):
     return _to_table(out)
 
 
+# --------------------------------------------------------------------------
+# left-outer join — customers that never ordered survive with null
+# order columns; the aggregate then separates matched from unmatched
+# rows per segment.  Uses Ray's distributed hash JoinOperator with the
+# same cpus//4 partition sizing as q_join_hash (its aggregator actor
+# pool thrashes past ~CPUs/4 on one node).
+# --------------------------------------------------------------------------
+
+def q_outer_join(sf_dir: str):
+    customer = _read_pq(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderkey"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = customer.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=max(8, cpus // 4),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        matched = pc.cast(pc.is_valid(batch.column("o_orderkey")), pa.int64())
+        t = pa.table(
+            {
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_rows": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_orders": matched,
+                "n_orderless": pc.subtract(pa.scalar(1, pa.int64()), matched),
+            }
+        )
+        return t.group_by("c_mktsegment").aggregate(
+            [("n_rows", "sum"), ("n_orders", "sum"), ("n_orderless", "sum")]
+        ).rename_columns(["c_mktsegment", "n_rows", "n_orders", "n_orderless"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_orderless", alias_name="n_orderless"),
+        )
+    )
+    return _to_table(out)
+
+
+SQL_OUTER_JOIN = """
+SELECT c.c_mktsegment,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE grouping sets — all four (lang, source) rollup levels in ONE
+# combiner pass: each batch emits its partials for every grouping set
+# (with 'ALL' sentinels instead of SQL's NULLs — engine-neutral
+# hashing), so the exchange still moves only aggregate rows and the
+# final groupby is a plain Sum.
+# --------------------------------------------------------------------------
+
+def q_cube(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        frames = []
+        for keys in ((["lang", "source"]), (["lang"]), (["source"]), ([])):
+            if keys:
+                g = b.groupby(keys, sort=False).agg(
+                    n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+                ).reset_index()
+            else:
+                g = pd.DataFrame(
+                    {"n_docs": [len(b)], "total_chars": [b["n_chars"].sum()]}
+                )
+            for col in ("lang", "source"):
+                if col not in g:
+                    g[col] = "ALL"
+            frames.append(g[["lang", "source", "n_docs", "total_chars"]])
+        m = pd.concat(frames, ignore_index=True)
+        return pa.table(
+            {
+                "lang": pa.array(m["lang"], pa.string()),
+                "source": pa.array(m["source"], pa.string()),
+                "n_docs": pa.array(m["n_docs"].to_numpy(), pa.int64()),
+                "total_chars": pa.array(m["total_chars"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+    return _to_table(out)
+
+
+SQL_CUBE = """
+SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -2968,6 +3080,8 @@ QUERIES = {
     "zscore": q_zscore,
     "group_concat": q_group_concat,
     "semdedup": q_semdedup,
+    "outer_join": q_outer_join,
+    "cube": q_cube,
 }
 
 ORACLES = {
@@ -3020,4 +3134,6 @@ ORACLES = {
     "repetition": SQL_REPETITION,
     "zscore": SQL_ZSCORE,
     "group_concat": SQL_GROUP_CONCAT,
+    "outer_join": SQL_OUTER_JOIN,
+    "cube": SQL_CUBE,
 }
