@@ -3017,6 +3017,42 @@ GROUP BY CUBE (lang, source)
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic export shuffle — the pre-training global shuffle, as a
+# SORT by a pseudorandom permutation key (Lehmer LCG of doc_id) rather
+# than random_shuffle: same data movement (one all-to-all), but
+# deterministic across workers/retries/engines, so the oracle can
+# verify the ORDER itself via an order-sensitive LIMIT.  At 100 TB the
+# sort-by-key shuffle is also the resumable form — re-running a failed
+# output partition reproduces identical bytes.
+# --------------------------------------------------------------------------
+
+_LCG_A, _LCG_M = 48271, 2147483647  # Lehmer/MINSTD — multiplies stay in int64
+
+
+def q_shuffle_export(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id")
+        h = pc.subtract(
+            pc.multiply(d, _LCG_A),
+            pc.multiply(
+                pc.divide(pc.multiply(d, _LCG_A), _LCG_M), pa.scalar(_LCG_M, pa.int64())
+            ),
+        )
+        return batch.append_column("h", pc.cast(h, pa.int64()))
+
+    out = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True).sort("h").limit(50)
+    return _to_table(out)
+
+
+SQL_SHUFFLE_EXPORT = f"""
+SELECT doc_id, lang, (doc_id * {_LCG_A}) % {_LCG_M} AS h
+FROM documents ORDER BY h LIMIT 50
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3082,6 +3118,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "outer_join": q_outer_join,
     "cube": q_cube,
+    "shuffle_export": q_shuffle_export,
 }
 
 ORACLES = {
@@ -3136,4 +3173,5 @@ ORACLES = {
     "group_concat": SQL_GROUP_CONCAT,
     "outer_join": SQL_OUTER_JOIN,
     "cube": SQL_CUBE,
+    "shuffle_export": SQL_SHUFFLE_EXPORT,
 }
