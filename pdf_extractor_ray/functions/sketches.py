@@ -86,3 +86,52 @@ def hll_estimate(reg: np.ndarray) -> float:
         if zeros:
             est = m * np.log(m / zeros)
     return float(est)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, public construction) —
+# heavy-hitter estimation with a fixed-size mergeable array: depth
+# rows of width counters; add = +1 at one hashed slot per row; merge =
+# elementwise sum; estimate = min over rows (always >= true count,
+# <= true + (e/width)·N with prob 1-e^-depth).
+# --------------------------------------------------------------------------
+
+CMS_DEPTH, CMS_WIDTH = 4, 2048
+_CMS_ROW_SALTS = np.array(
+    [0x9E3779B97F4A7C15 * (d + 1) & 0xFFFFFFFFFFFFFFFF for d in range(64)],
+    dtype=np.uint64,
+)
+
+
+def cms_new(depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> np.ndarray:
+    return np.zeros((depth, width), dtype=np.int64)
+
+
+def _cms_slots(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) slot indices — one independent hash row per depth via
+    salted splitmix64 re-mixing (vectorized, no Python loop)."""
+    h = hashes.astype(np.uint64)
+    return np.stack(
+        [(_splitmix64(h ^ _CMS_ROW_SALTS[d]) % np.uint64(width)).astype(np.int64)
+         for d in range(depth)]
+    )
+
+
+def cms_add(cms: np.ndarray, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+    depth, width = cms.shape
+    slots = _cms_slots(hashes, depth, width)
+    c = np.ones(len(hashes), dtype=np.int64) if counts is None else counts.astype(np.int64)
+    for d in range(depth):
+        np.add.at(cms[d], slots[d], c)
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_estimate(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    depth, width = cms.shape
+    slots = _cms_slots(hashes, depth, width)
+    return np.min(
+        np.stack([cms[d][slots[d]] for d in range(depth)]), axis=0
+    ).astype(np.int64)

@@ -112,8 +112,14 @@ def extraction_pipeline(
     that costs nothing on well-behaved lakes."""
     if isinstance(source, ray.data.Dataset):
         ds = source
+        est_bytes = None  # unknown size → conservative sort shuffle
     else:
         ds = read_transcripts(source)
+        try:  # lake size drives the size-aware shuffle-strategy choice
+            files = lake_files(source) if isinstance(source, str) else list(source)
+            est_bytes = sum(os.path.getsize(f) for f in files)
+        except OSError:
+            est_bytes = None
 
     if salt_turns is None and auto_salt_threshold:
         if max_conversation_turns(source) > auto_salt_threshold:
@@ -142,7 +148,7 @@ def extraction_pipeline(
             zero_copy_batch=True,
         )
 
-    ds = stitch_conversations(ds, salt_turns=salt_turns)
+    ds = stitch_conversations(ds, salt_turns=salt_turns, est_bytes=est_bytes)
 
     if global_sort:
         ds = ds.map_batches(add_sort_keys, batch_format="pyarrow")

@@ -3053,6 +3053,65 @@ FROM documents ORDER BY h LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# heavy hitters via Count-Min sketch — frequent-token detection with a
+# FIXED-size mergeable partial: each batch emits one row (flattened
+# depth×width counter array + its local top candidates), the driver
+# sums the ≤blocks small arrays and estimates only the candidate
+# union.  No oracle (a sketch), but deterministic: blake2b word hashes
+# and (count desc, word asc) tie-break; the CMS overcount bound is
+# pinned in tests.  Scale note: per-batch partial is 64 KB regardless
+# of rows; past ~10^5 blocks insert one tree-combine map stage.
+# --------------------------------------------------------------------------
+
+_HH_TOPK, _HH_CAND = 20, 64
+
+
+def q_heavy_hitters(sf_dir: str):
+    from ..functions.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_add,
+        cms_estimate,
+        cms_new,
+        hash_values,
+    )
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        counts = b["text"].str.split(" ").explode().value_counts()
+        words = counts.index.to_numpy()
+        cnts = counts.to_numpy()
+        cms = cms_new()
+        cms_add(cms, hash_values(words), cnts)
+        cand = words[:_HH_CAND]  # value_counts is count-desc already
+        return pa.table(
+            {
+                "cms": pa.array([cms.reshape(-1)], pa.list_(pa.int64())),
+                "cands": pa.array([list(map(str, cand))], pa.list_(pa.string())),
+            }
+        )
+
+    rows = _to_table(ds.map_batches(partial, batch_format="pandas"))
+    merged = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    cands: set[str] = set()
+    for i in range(rows.num_rows):
+        merged += np.asarray(rows.column("cms")[i].as_py(), dtype=np.int64)
+        cands.update(rows.column("cands")[i].as_py())
+    cms = merged.reshape(CMS_DEPTH, CMS_WIDTH)
+    cand_list = sorted(cands)
+    est = cms_estimate(cms, hash_values(np.array(cand_list, dtype=object)))
+    order = sorted(range(len(cand_list)), key=lambda i: (-int(est[i]), cand_list[i]))
+    top = order[:_HH_TOPK]
+    return pa.table(
+        {
+            "word": pa.array([cand_list[i] for i in top], pa.string()),
+            "est_count": pa.array([int(est[i]) for i in top], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3119,6 +3178,7 @@ QUERIES = {
     "outer_join": q_outer_join,
     "cube": q_cube,
     "shuffle_export": q_shuffle_export,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES = {

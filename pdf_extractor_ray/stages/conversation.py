@@ -270,26 +270,44 @@ def add_bucket_column(num_buckets: int):
     return _add
 
 
-def _prefer_hash_shuffle(ds) -> None:
+#: Exchange sizes above this engage the hash-shuffle strategy
+#: automatically (compressed input bytes as the proxy).  Measured on
+#: the 10× lake (873 MB, 2.11 M turns, 32 CPUs): sort 405.8 s vs hash
+#: 146.9 s — sort's range materialization degrades superlinearly once
+#: the exchange outgrows memory comfort, while hash streams.  Below it
+#: (sf0.1 = 89 MB) sort wins under this sandbox's CPU throttling (see
+#: docstring).  Env-tunable for other clusters.
+HASH_SHUFFLE_MIN_BYTES = int(
+    __import__("os").environ.get("GRAFT_HASH_SHUFFLE_MIN_BYTES", 256 << 20)
+)
+
+
+def _prefer_hash_shuffle(ds, est_bytes: int | None = None) -> None:
     """Configure the conv/bucket exchange's shuffle strategy.
 
-    DEFAULT: Ray's sort-based shuffle (plain tasks, no aggregator
-    actor pool).  A/B on the sf0.1 bench lake, 6 alternating trials
-    per arm @32 CPUs: sort 19.8–23.7 s (mean 21.6) vs hash-shuffle
-    24.9–47.1 s (mean 31.8; mean 24.7 after giving each aggregator a
-    full CPU via ``hash_shuffle_operator_actor_num_cpus_per_partition
-    _override``).  An earlier calm-box measurement had hash 25% ahead —
-    but its aggregator ACTORS (0.5 CPU each by default) are the first
-    thing the sandbox's CPU throttling starves, turning block sends
-    into multi-second waits (observed 844 s of aggregate send wall for
-    a 280 MB exchange), while the sort path's plain tasks degrade
-    gracefully.  Robustness wins for the default.
+    DATA-SIZE-AWARE default: sort-based shuffle for small exchanges,
+    hash-based above ``HASH_SHUFFLE_MIN_BYTES`` of (compressed) input.
 
-    Opt-in: ``GRAFT_HASH_SHUFFLE=1`` re-enables the hash strategy with
-    the tuned sizing (aggregators = cpus/4 — the 16 default deadlocks
-    successive shuffles on small clusters because finished datasets'
-    aggregators linger; partitions = 2×cpus, not the 200 default; a
-    FULL CPU per aggregator, which is what stabilizes it).
+    Why not one answer: A/B on the sf0.1 bench lake (89 MB), 6
+    alternating trials per arm @32 CPUs: sort 19.8–23.7 s (mean 21.6)
+    vs hash-shuffle 24.9–47.1 s (mean 31.8; mean 24.7 after giving
+    each aggregator a full CPU via ``hash_shuffle_operator_actor_num_
+    cpus_per_partition_override``) — the hash aggregator ACTORS are
+    the first thing the sandbox's CPU throttling starves (observed
+    844 s of aggregate send wall for a 280 MB exchange), while sort's
+    plain tasks degrade gracefully.  But at 10× the data (873 MB,
+    2.11 M turns) the ranking INVERTS hard: sort 405.8 s vs hash
+    146.9 s — sort pays range materialization that grows superlinearly
+    with exchange size, hash streams.  Small → robust sort; large →
+    scalable hash; at 100 TB every exchange is "large".
+
+    Overrides: ``GRAFT_HASH_SHUFFLE=1`` forces hash, ``=0`` forces
+    sort, regardless of size.
+
+    Hash sizing when engaged: aggregators = cpus/4 (the 16 default
+    deadlocks successive shuffles on small clusters because finished
+    datasets' aggregators linger); partitions = 2×cpus, not the 200
+    default; a FULL CPU per aggregator (the stabilizer).
 
     Scoped to THIS pipeline: datasets snapshot a DataContext copy at
     creation (read_api passes ``DataContext.get_current().copy()``), so
@@ -298,8 +316,11 @@ def _prefer_hash_shuffle(ds) -> None:
     unrelated datasets keep their shuffle behavior."""
     import os
 
-    if os.environ.get("GRAFT_HASH_SHUFFLE") != "1":
-        return  # session default: sort-based shuffle
+    override = os.environ.get("GRAFT_HASH_SHUFFLE")
+    if override == "0":
+        return  # forced sort
+    if override != "1" and (est_bytes is None or est_bytes < HASH_SHUFFLE_MIN_BYTES):
+        return  # small exchange (or unknown size): sort-based shuffle
     try:
         import ray
         from ray.data.context import ShuffleStrategy
@@ -316,11 +337,17 @@ def _prefer_hash_shuffle(ds) -> None:
 
 
 def stitch_conversations(
-    ds, *, salt_turns: int | None = None, num_buckets: int | None = None
+    ds,
+    *,
+    salt_turns: int | None = None,
+    num_buckets: int | None = None,
+    est_bytes: int | None = None,
 ):
     """The wide step.  ``ds`` is the turn-extraction output (schema
-    TURN_EXTRACTED + optional ts column).  Returns extracted rows."""
-    _prefer_hash_shuffle(ds)
+    TURN_EXTRACTED + optional ts column).  Returns extracted rows.
+    ``est_bytes`` (compressed input size, from the lake's file sizes)
+    drives the size-aware shuffle-strategy choice."""
+    _prefer_hash_shuffle(ds, est_bytes)
     if salt_turns:
         return _stitch_salted(ds, salt_turns)
     b = num_buckets or _default_num_buckets()

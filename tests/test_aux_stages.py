@@ -538,3 +538,46 @@ def test_semantic_dedup_drops_planted_neardups(ray_session):
     assert len(df) == len(vids)
     dropped = set(df[df["is_dup"]]["vec_id"])
     assert dropped == planted, (sorted(dropped), sorted(planted))
+
+
+def test_cms_bounds_and_merge():
+    """Count-Min invariants on a synthetic Zipf stream: estimates never
+    undercount, overcount stays within the (e/width)*N bound, and a
+    merged pair of sketches equals one sketch over the union."""
+    from pdf_extractor_ray.functions.sketches import (
+        cms_add,
+        cms_estimate,
+        cms_merge,
+        cms_new,
+        hash_values,
+    )
+
+    rng = np.random.RandomState(3)
+    keys = rng.zipf(1.3, size=20000) % 3000
+    vals, counts = np.unique(keys, return_counts=True)
+    half = len(keys) // 2
+    a, b, full = cms_new(), cms_new(), cms_new()
+    for sk, chunk in ((a, keys[:half]), (b, keys[half:]), (full, keys)):
+        v, c = np.unique(chunk, return_counts=True)
+        cms_add(sk, hash_values(v), c)
+    assert (cms_merge(a, b) == full).all()
+    est = cms_estimate(full, hash_values(vals))
+    assert (est >= counts).all()  # never undercounts
+    bound = np.e / full.shape[1] * len(keys)
+    # with depth 4 the expected failure probability is e^-4 per key
+    assert ((est - counts) <= bound).mean() > 0.99
+
+
+def test_heavy_hitters_matches_exact_top(ray_session):
+    """The CMS heavy-hitter query at sf0.001: every reported estimate
+    >= the exact count, and the reported top-5 IS the exact top-5 (the
+    corpus's frequent words tower over the sketch error)."""
+    from pdf_extractor_ray.pipelines.queries import q_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = q_heavy_hitters(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    exact = docs["text"].str.split(" ").explode().value_counts()
+    for r in got.itertuples():
+        assert r.est_count >= exact[r.word], (r.word, r.est_count, exact[r.word])
+    assert set(got["word"].head(5)) == set(exact.head(5).index)
