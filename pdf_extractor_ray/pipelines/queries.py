@@ -39,8 +39,19 @@ def _t(sf_dir: str, name: str) -> str:
 def _read_pq(path: str, **kwargs) -> ray.data.Dataset:
     """Drop-in ``read_parquet`` that strips writer metadata at the scan
     (see sources/scan.py — unhashable schemas break Ray's schema-dedup
-    fast paths inside the read task itself)."""
-    return scan_parquet(path, **kwargs)
+    fast paths inside the read task itself) and applies the size-aware
+    shuffle strategy to the dataset's context: any groupby/sort derived
+    from this read uses the hash exchange once the input outgrows
+    ``conversation.HASH_SHUFFLE_MIN_BYTES`` (the 10× lake measured
+    sort 405.8 s vs hash 146.9 s — see stages/conversation.py)."""
+    from ..stages.conversation import _prefer_hash_shuffle
+
+    ds = scan_parquet(path, **kwargs)
+    try:
+        _prefer_hash_shuffle(ds, os.path.getsize(path))
+    except OSError:
+        pass
+    return ds
 
 
 def _to_table(ds: ray.data.Dataset) -> pa.Table:

@@ -581,3 +581,27 @@ def test_heavy_hitters_matches_exact_top(ray_session):
     for r in got.itertuples():
         assert r.est_count >= exact[r.word], (r.word, r.est_count, exact[r.word])
     assert set(got["word"].head(5)) == set(exact.head(5).index)
+
+
+def test_kmeans_exchange_path_matches_driver_reduce(ray_session, monkeypatch):
+    """The distributed groupby exchange (the 100-TB path, engaged when
+    blocks*k exceeds KMEANS_DRIVER_REDUCE_MAX_ROWS) fits the same
+    centroids as the small-scale driver reduce — same moment partials,
+    different reduction order, so allclose rather than bit-equal."""
+    from pdf_extractor_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(300, 8)) + np.repeat(
+        rng.normal(size=(3, 8)) * 5.0, 100, axis=0
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    c_driver = sim.kmeans_fit(ds, k=3, max_iters=4, seed=9, n_total=len(vecs))
+    monkeypatch.setattr(sim, "KMEANS_DRIVER_REDUCE_MAX_ROWS", 0)
+    c_exchange = sim.kmeans_fit(ds, k=3, max_iters=4, seed=9, n_total=len(vecs))
+    np.testing.assert_allclose(c_driver, c_exchange, atol=1e-9)
