@@ -605,3 +605,35 @@ def test_kmeans_exchange_path_matches_driver_reduce(ray_session, monkeypatch):
     monkeypatch.setattr(sim, "KMEANS_DRIVER_REDUCE_MAX_ROWS", 0)
     c_exchange = sim.kmeans_fit(ds, k=3, max_iters=4, seed=9, n_total=len(vecs))
     np.testing.assert_allclose(c_driver, c_exchange, atol=1e-9)
+
+
+def test_extraction_tolerates_null_and_empty_payloads(ray_session):
+    """Real lakes carry nulls: a null text, an empty string, and a
+    null tool column must flow through the full pipeline (parse →
+    stitch → order) without crashing, yielding empty extracted text
+    for the degenerate turns and correct text for the healthy ones."""
+    from pdf_extractor_ray.pipelines.extract import extraction_pipeline
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2", "c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+            "role": pa.array(["assistant"] * 4, pa.string()),
+            "text": pa.array(
+                ["<html><body><p>hello world</p></body></html>", None, "", "plain text turn"],
+                pa.string(),
+            ),
+            "tool": pa.array(["html", None, "html", None], pa.string()),
+            "ts": pa.array([0, 1, 0, 1], pa.timestamp("us")),
+        }
+    )
+    ds = extraction_pipeline(ray.data.from_arrow(t))
+    out = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    assert out.num_rows == 4
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["extracted_text"]
+        for r in out.to_pylist()
+    }
+    assert got[("c1", 0)] == "hello world"
+    assert got[("c1", 1)] == "" and got[("c2", 0)] == ""
+    assert got[("c2", 1)] == "plain text turn"
