@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet  # noqa: F401 — registers pa.parquet (read_metadata)
 import ray
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
@@ -2600,32 +2601,47 @@ def q_chunk_docs(sf_dir: str):
     return _to_table(ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True))
 
 
+# n_chunks = ceil(len/stride): emits ZERO chunks for an empty text,
+# matching the Ray side's start < len rule ((len-1)//stride + 1 would
+# emit one empty chunk at len=0 under DuckDB's truncating //)
 SQL_CHUNK_DOCS = f"""
 SELECT doc_id, u AS chunk_idx, substr(text, u*{_CHUNK_STRIDE}+1, {_CHUNK_SIZE}) AS chunk
 FROM (SELECT doc_id, text,
-             unnest(range(0, (len(text)-1)//{_CHUNK_STRIDE} + 1)) AS u
+             unnest(range(0, (len(text) + {_CHUNK_STRIDE - 1})//{_CHUNK_STRIDE})) AS u
       FROM documents)
 """
 
 
 # --------------------------------------------------------------------------
 # benchmark decontamination — flag training documents containing any
-# eval-set snippet.  The eval side (docs with doc_id % 83 == 0; snippet
-# = chars 9..48 of each) is FIXED-SIZE relative to the lake, so it is
-# pulled once to the driver and broadcast via ray.put; the scan side
-# streams, one vectorized match_substring kernel pass per snippet per
-# batch.  n_hits counts how many eval snippets the doc contains
-# (duplicate snippets count separately, mirroring the SQL join).
+# eval-set snippet.  The eval set here is derived from the lake itself
+# (docs with doc_id % 83 == 0; snippet = chars 9..48), standing in for
+# an external benchmark table — so it is HARD-CAPPED at the
+# _DECON_MAX_SNIPPETS lowest doc_ids to stay genuinely fixed-size (a
+# %-based selection alone grows linearly with the lake, making the
+# flag pass O(rows × snippets) ≈ quadratic).  The capped set is pulled
+# once to the driver and broadcast via ray.put; the scan side streams,
+# one vectorized match_substring kernel pass per snippet per batch.
+# n_hits counts how many eval snippets the doc contains (duplicate
+# snippets count separately, mirroring the SQL join).
 # --------------------------------------------------------------------------
+
+_DECON_MAX_SNIPPETS = 256
+
 
 def q_decontaminate(sf_dir: str):
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
     def eval_side(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id")
         mask = pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 83), 83)), 0)
-        return batch.filter(mask).select(["text"])
+        return batch.filter(mask).select(["doc_id", "text"])
 
-    ev = _to_table(ds.map_batches(eval_side, batch_format="pyarrow", zero_copy_batch=True))
+    ev = (
+        _to_table(ds.map_batches(eval_side, batch_format="pyarrow", zero_copy_batch=True))
+        .sort_by("doc_id")
+        .slice(0, _DECON_MAX_SNIPPETS)
+    )
     snippets = [t[8 : 8 + 40] for t in ev.column("text").to_pylist()]
     snips_ref = ray.put(snippets)
 
@@ -2646,8 +2662,9 @@ def q_decontaminate(sf_dir: str):
     return _to_table(ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True))
 
 
-SQL_DECONTAMINATE = """
-WITH ev AS (SELECT substr(text, 9, 40) AS snip FROM documents WHERE doc_id % 83 = 0)
+SQL_DECONTAMINATE = f"""
+WITH ev AS (SELECT substr(text, 9, 40) AS snip FROM documents
+            WHERE doc_id % 83 = 0 ORDER BY doc_id LIMIT {_DECON_MAX_SNIPPETS})
 SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM documents d JOIN ev ON contains(d.text, ev.snip)
 GROUP BY d.doc_id
@@ -2761,6 +2778,7 @@ def q_repetition(sf_dir: str):
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def stats(b: pd.DataFrame) -> pa.Table:
+        b = b.dropna(subset=["text"])  # mirror the oracle's WHERE text IS NOT NULL
         words = b.set_index("doc_id")["text"].str.split(" ").explode()
         g = words.groupby(level=0).agg(["size", "nunique"])
         return pa.table(
@@ -2778,7 +2796,7 @@ SQL_REPETITION = """
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
-FROM documents
+FROM documents WHERE text IS NOT NULL
 """
 
 
@@ -3105,10 +3123,18 @@ def q_heavy_hitters(sf_dir: str):
         )
 
     rows = _to_table(ds.map_batches(partial, batch_format="pandas"))
-    merged = np.zeros(CMS_DEPTH * CMS_WIDTH, dtype=np.int64)
+    # vectorized merge: flatten the list column once and sum the
+    # (blocks, depth*width) matrix — no per-row as_py conversion
+    flat = (
+        rows.column("cms")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(rows.num_rows, CMS_DEPTH * CMS_WIDTH)
+    )
+    merged = flat.sum(axis=0, dtype=np.int64)
     cands: set[str] = set()
     for i in range(rows.num_rows):
-        merged += np.asarray(rows.column("cms")[i].as_py(), dtype=np.int64)
         cands.update(rows.column("cands")[i].as_py())
     cms = merged.reshape(CMS_DEPTH, CMS_WIDTH)
     cand_list = sorted(cands)

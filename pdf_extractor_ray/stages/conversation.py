@@ -31,6 +31,7 @@ text crosses the later shuffles.
 from __future__ import annotations
 
 import json
+import os
 
 import pyarrow as pa
 
@@ -278,7 +279,7 @@ def add_bucket_column(num_buckets: int):
 #: (sf0.1 = 89 MB) sort wins under this sandbox's CPU throttling (see
 #: docstring).  Env-tunable for other clusters.
 HASH_SHUFFLE_MIN_BYTES = int(
-    __import__("os").environ.get("GRAFT_HASH_SHUFFLE_MIN_BYTES", 256 << 20)
+    os.environ.get("GRAFT_HASH_SHUFFLE_MIN_BYTES", 256 << 20)
 )
 
 
@@ -314,8 +315,6 @@ def _prefer_hash_shuffle(ds, est_bytes: int | None = None) -> None:
     mutating ``ds.context`` before deriving the groupby affects only
     datasets built from ``ds`` — the session-global context and
     unrelated datasets keep their shuffle behavior."""
-    import os
-
     override = os.environ.get("GRAFT_HASH_SHUFFLE")
     if override == "0":
         return  # forced sort

@@ -31,8 +31,11 @@ def vecs_to_numpy(col) -> np.ndarray:
         col = col.combine_chunks()
     if isinstance(col, (pa.ListArray, pa.LargeListArray, pa.FixedSizeListArray)):
         if isinstance(col, pa.FixedSizeListArray):
+            if col.null_count:  # a null row would reshape into garbage
+                return np.asarray(col.to_pylist(), dtype=np.float64)
             d = col.type.list_size
-            flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            # flatten() (not .values) — slice- and null-offset-aware
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             return flat.reshape(len(col), d)
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)

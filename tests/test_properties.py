@@ -138,13 +138,14 @@ def test_redact_pii_idempotent(text):
     assert redact_pii(once) == once
 
 
-@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=700))
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=700))
 @settings(max_examples=200, deadline=None)
 def test_chunk_windows_reassemble(text):
     """The pure chunking rule (start = i*stride while start < len)
     loses nothing: stripping the size-stride overlap from chunks 1..n
-    rebuilds the document exactly.  Mirrors q_chunk_docs' kernel math
-    without a Ray session."""
+    rebuilds the document exactly; an EMPTY document yields zero
+    chunks (both the Ray explode and the ceil(len/stride) oracle).
+    Mirrors q_chunk_docs' kernel math without a Ray session."""
     from pdf_extractor_ray.pipelines.queries import _CHUNK_SIZE, _CHUNK_STRIDE
 
     chunks = []
@@ -153,6 +154,11 @@ def test_chunk_windows_reassemble(text):
         start = i * _CHUNK_STRIDE
         chunks.append(text[start : start + _CHUNK_SIZE])
         i += 1
+    # chunk count == the oracle's ceil(len/stride) range bound
+    assert len(chunks) == (len(text) + _CHUNK_STRIDE - 1) // _CHUNK_STRIDE
+    if not text:
+        assert chunks == []
+        return
     overlap = _CHUNK_SIZE - _CHUNK_STRIDE
     rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
     assert rebuilt == text
