@@ -217,14 +217,16 @@ def scaling() -> None:
         env = dict(
             os.environ, RAY_GRAFT_CPUS=str(ncpu), RAY_GRAFT_SKIP_QUERIES="1"
         )
-        out = subprocess.run(
+        res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if res.returncode != 0:  # surface the child's diagnostics
+            print(res.stderr, file=sys.stderr, end="")
+            raise RuntimeError(f"scaling trial @{ncpu} cpus failed (exit {res.returncode})")
+        return json.loads(res.stdout.strip().splitlines()[-1])
 
     # Single-trial numbers swing ±15% on this shared box (external
     # load); set GRAFT_SCALING_TRIALS=3 for a median-of-three
@@ -262,10 +264,13 @@ def _ensure_lake_subprocess() -> None:
     if os.path.exists(os.path.join(bench_lake_path(sf_name), "_DONE")):
         return
     env = dict(os.environ, RAY_GRAFT_GENLAKE_ONLY="1")
-    subprocess.run(
-        [sys.executable, os.path.abspath(__file__)], env=env, check=True,
-        capture_output=True,
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        capture_output=True, text=True,
     )
+    if res.returncode != 0:  # surface the child's diagnostics, don't eat them
+        print(res.stderr, file=sys.stderr, end="")
+        raise RuntimeError(f"bench lake generation failed (exit {res.returncode})")
 
 
 if __name__ == "__main__":

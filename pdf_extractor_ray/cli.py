@@ -66,20 +66,21 @@ def cmd_evaluate(args) -> int:
     golden = pq.read_table(args.golden)
     report, mism = evaluate_against_golden(ds, golden)
     rollup = flag_rollup(read_extracted(args.out))
-    # per-row review routing (reference evaluator's review_priority)
-    pri_ds = review_priorities(read_extracted(args.out))
+    out = {"report": report.__dict__, "flags": rollup}
     if args.priorities_out:
-        # materialize once: the write and the count rollup share the
-        # computed rows (review artifacts are small)
-        pri_ds = pri_ds.materialize()
+        # per-row review routing (reference evaluator's review_priority)
+        # — a full extra pass with a per-row snippet build, so computed
+        # only when its artifact was asked for; materialize once so the
+        # write and the count rollup share the rows (artifacts are small)
+        pri_ds = review_priorities(read_extracted(args.out)).materialize()
         pri_ds.write_parquet(args.priorities_out)
-    pri = {
-        r["review_priority"]: int(r["n"])
-        for r in pri_ds.groupby("review_priority")
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    }
-    print(json.dumps({"report": report.__dict__, "flags": rollup, "priorities": pri}))
+        out["priorities"] = {
+            r["review_priority"]: int(r["n"])
+            for r in pri_ds.groupby("review_priority")
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        }
+    print(json.dumps(out))
     if mism.num_rows:
         print(f"{mism.num_rows} mismatches; first: {mism.slice(0, 3).to_pylist()}", file=sys.stderr)
     return 0 if report.failed == 0 and report.missing == 0 else 1
@@ -106,7 +107,9 @@ def cmd_review(args) -> int:
         for spec in args.decide:
             key, _, decision = spec.rpartition("=")
             parts = key.split(":", 2)
-            if len(parts) != 3 or not decision or not parts[1].lstrip("-").isdigit():
+            import re as _re
+
+            if len(parts) != 3 or not decision or not _re.fullmatch(r"-?\d+", parts[1]):
                 print(
                     f"error: bad --decide {spec!r}; expected CONV:TURN:UNIT=DECISION",
                     file=sys.stderr,

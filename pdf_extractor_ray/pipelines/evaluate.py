@@ -159,10 +159,6 @@ def evaluate_against_golden(
     return report, mism_table
 
 
-def _key_cols_ds(ds: ray.data.Dataset) -> ray.data.Dataset:
-    return ds.select_columns(["conv_id", "turn_idx", "unit_id", "extracted_text"])
-
-
 def flag_rollup(ds: ray.data.Dataset) -> dict:
     """A4-style aggregate rollup over the flags struct column —
     distributed (partial counts per batch, summed)."""

@@ -45,6 +45,13 @@ def scan_parquet(
     the read's declared schema.  Assumes all files share one schema
     (true for every lake/table this engine reads).
     """
+    if isinstance(paths, str) and "://" in paths:
+        # remote URI (s3://, gcs://, hdfs://) — delegate path expansion
+        # and filesystem handling to Ray; the driver-side footer read
+        # (and its schema-hash fast path) is a local-lake optimization
+        if columns is not None:
+            kwargs["columns"] = list(columns)
+        return ray.data.read_parquet(paths, **kwargs)
     files = parquet_files(paths) if isinstance(paths, str) else list(paths)
     if not files:
         # nothing at the top level (e.g. nested layout) — let Ray's own

@@ -359,7 +359,14 @@ def write_page_images(ds, out_dir: str) -> pa.Table:
         )
 
     manifest = ds.map_batches(write_batch, batch_format="pyarrow", batch_size=32)
-    return pa.concat_tables(
-        list(manifest.iter_batches(batch_format="pyarrow")),
-        promote_options="permissive",
-    )
+    batches = list(manifest.iter_batches(batch_format="pyarrow"))
+    if not batches:  # no PDF payloads in the lake → empty manifest, not a crash
+        return pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("page_num", pa.int32()),
+                ("path", pa.string()),
+                ("n_bytes", pa.int64()),
+            ]
+        ).empty_table()
+    return pa.concat_tables(batches, promote_options="permissive")
