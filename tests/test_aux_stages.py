@@ -637,3 +637,42 @@ def test_extraction_tolerates_null_and_empty_payloads(ray_session):
     assert got[("c1", 0)] == "hello world"
     assert got[("c1", 1)] == "" and got[("c2", 0)] == ""
     assert got[("c2", 1)] == "plain text turn"
+
+
+def test_size_aware_shuffle_strategy(ray_session, monkeypatch):
+    """The conv_id exchange picks the hash strategy above
+    HASH_SHUFFLE_MIN_BYTES and leaves the context default below it
+    (the 10x lake measured sort 405.8 s vs hash 146.9 s); explicit
+    GRAFT_HASH_SHUFFLE=0/1 overrides beat the size heuristic."""
+    from ray.data.context import ShuffleStrategy
+
+    from pdf_extractor_ray.stages import conversation as cv
+
+    def fresh():
+        return ray.data.from_arrow(
+            pa.table({"conv_id": pa.array(["c"], pa.string())})
+        )
+
+    monkeypatch.delenv("GRAFT_HASH_SHUFFLE", raising=False)
+    ds = fresh()
+    cv._prefer_hash_shuffle(ds, cv.HASH_SHUFFLE_MIN_BYTES + 1)
+    assert ds.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+
+    ds = fresh()
+    default = ds.context.shuffle_strategy
+    cv._prefer_hash_shuffle(ds, cv.HASH_SHUFFLE_MIN_BYTES - 1)
+    assert ds.context.shuffle_strategy == default
+
+    ds = fresh()
+    cv._prefer_hash_shuffle(ds, None)  # unknown size -> conservative
+    assert ds.context.shuffle_strategy == default
+
+    monkeypatch.setenv("GRAFT_HASH_SHUFFLE", "0")
+    ds = fresh()
+    cv._prefer_hash_shuffle(ds, cv.HASH_SHUFFLE_MIN_BYTES + 1)
+    assert ds.context.shuffle_strategy == default
+
+    monkeypatch.setenv("GRAFT_HASH_SHUFFLE", "1")
+    ds = fresh()
+    cv._prefer_hash_shuffle(ds, None)
+    assert ds.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
