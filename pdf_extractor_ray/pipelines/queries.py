@@ -3149,6 +3149,43 @@ def q_heavy_hitters(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# ntile — per-lang quartile assignment by (n_chars, doc_id) order,
+# completing the rank family (row_number/lag live in q_rank_window).
+# SQL ntile semantics: the first (n % 4) buckets get the extra row.
+# Lang has few distinct values, so the exchange uses a groupby on the
+# lang key directly (≤ #langs groups — skew-safe because group count,
+# not group size, is what's bounded here; inside the group the work is
+# one vectorized argsort).
+# --------------------------------------------------------------------------
+
+def q_ntile(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def per_lang(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n_chars", "doc_id"], kind="stable")
+        n = len(g)
+        base, extra = divmod(n, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        tiles = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(g["lang"].to_numpy(), pa.string()),
+                "quartile": pa.array(tiles, pa.int64()),
+            }
+        )
+
+    return _to_table(ds.groupby("lang").map_groups(per_lang, batch_format="pandas"))
+
+
+SQL_NTILE = """
+SELECT doc_id, lang,
+  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3216,6 +3253,7 @@ QUERIES = {
     "cube": q_cube,
     "shuffle_export": q_shuffle_export,
     "heavy_hitters": q_heavy_hitters,
+    "ntile": q_ntile,
 }
 
 ORACLES = {
@@ -3271,4 +3309,5 @@ ORACLES = {
     "outer_join": SQL_OUTER_JOIN,
     "cube": SQL_CUBE,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
+    "ntile": SQL_NTILE,
 }
