@@ -3186,6 +3186,51 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# event-transition matrix — per-user (prev_event_type → event_type)
+# bigram counts under (ts, event_id) ordering, the sequence-mining /
+# Markov-chain estimation primitive.  One user-key exchange via
+# _bucketed; the per-bucket pandas shift+groupby is vectorized and the
+# final exchange moves only the tiny (from, to, n) matrix.
+# --------------------------------------------------------------------------
+
+def q_transitions(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = b.groupby("user_id", sort=False)["event_type"].shift(1)
+        m = pd.DataFrame({"from_type": prev, "to_type": b["event_type"]}).dropna(
+            subset=["from_type"]
+        )
+        g = m.groupby(["from_type", "to_type"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "from_type": pa.array(g["from_type"], pa.string()),
+                "to_type": pa.array(g["to_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        _bucketed(ds, "user_id", per_bucket)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _to_table(out)
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (SELECT event_type AS to_type,
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS from_type
+             FROM events)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3254,6 +3299,7 @@ QUERIES = {
     "shuffle_export": q_shuffle_export,
     "heavy_hitters": q_heavy_hitters,
     "ntile": q_ntile,
+    "transitions": q_transitions,
 }
 
 ORACLES = {
@@ -3310,4 +3356,5 @@ ORACLES = {
     "cube": SQL_CUBE,
     "shuffle_export": SQL_SHUFFLE_EXPORT,
     "ntile": SQL_NTILE,
+    "transitions": SQL_TRANSITIONS,
 }
