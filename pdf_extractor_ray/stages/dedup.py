@@ -631,24 +631,43 @@ def embedding_neardup_pairs(
             }
         )
 
+    # In-bucket verify caps the pairwise matmul: an LSH bucket larger
+    # than this is sub-split with further deterministic hyperplane bits
+    # (near-identical vectors stay together — the same recall trade the
+    # banding itself makes).  Measured need: a table whose vectors share
+    # one dominant direction put ~all 20k rows in the SAME bucket of
+    # every LSH table, and the O(n²) verify hung.
+    _VERIFY_CAP = 4096
+
     def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df.groupby(["table_id", "bucket"], sort=False)["vec_id"].transform("size")
         multi = df.loc[cnt >= 2]
         a_out, b_out, c_out = [], [], []
         for _, g in multi.groupby(["table_id", "bucket"], sort=False):
             rows = g.sort_values("vec_id").drop_duplicates("vec_id")
-            ids = rows["vec_id"].to_list()
+            ids = rows["vec_id"].to_numpy()
             vecs = np.asarray(rows[vec_col].to_list(), dtype=np.float64)
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = vecs / norms
-            cos = unit @ unit.T
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if cos[i, j] >= cos_threshold:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
-                        c_out.append(round(float(cos[i, j]), 6))
+            labels = np.zeros(len(ids), dtype=np.int64)
+            rng = np.random.RandomState(seed + 977)
+            for _ in range(32):
+                counts = np.bincount(labels)
+                oversized = np.flatnonzero(counts > _VERIFY_CAP)
+                if not len(oversized):
+                    break
+                side = (unit @ rng.normal(size=unit.shape[1])) > 0
+                labels = labels * 2 + np.where(np.isin(labels, oversized), side, 0)
+                _, labels = np.unique(labels, return_inverse=True)
+            for lbl in np.unique(labels):
+                m = labels == lbl
+                sub_ids, sub = ids[m], unit[m]
+                cos = sub @ sub.T
+                ii, jj = np.nonzero(np.triu(cos, 1) >= cos_threshold)
+                a_out.extend(sub_ids[ii].tolist())
+                b_out.extend(sub_ids[jj].tolist())
+                c_out.extend(np.round(cos[ii, jj], 6).tolist())
         return _pairs_df(a_out, b_out, "cosine", c_out)
 
     def add_coarse(batch: pa.Table) -> pa.Table:

@@ -350,6 +350,15 @@ def kmeans_assign(ds, centroids: np.ndarray, vec_col: str = "embedding"):
 # WITHIN a cluster, never across the corpus.
 # --------------------------------------------------------------------------
 
+#: Pairwise cosine runs only inside sub-buckets of at most this many
+#: vectors.  A real lake's kmeans clusters are SKEWED — measured on a
+#: 20k-vector table: one spherical-kmeans cluster captured 18,200
+#: vectors, whose 18,200² cosine matrix (2.6 GB, O(n²)) hung the
+#: prune task.  Oversized clusters are LSH-sub-split (seeded random
+#: hyperplanes) until under the cap.
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
 def semantic_dedup(
     ds,
     k: int = 8,
@@ -359,17 +368,22 @@ def semantic_dedup(
     max_iters: int = 8,
     seed: int = 3,
     n_total: int | None = None,
+    max_cluster: int = SEMDEDUP_MAX_CLUSTER,
 ):
     """Drop near-semantic duplicates: fit k-means (broadcast-centroid
     rounds, moment partials), assign every vector, then inside each
     cluster mark a vector a duplicate when its cosine to a LOWER-id
     cluster member exceeds ``threshold`` (keep-min-id, matching the
-    exact-dedup convention).  Returns (kept_ids_dataset, summary_ds).
+    exact-dedup convention).
 
-    Partitioning assumption (document per SemDeDup): cluster sizes are
-    bounded (corpus/k on average) so the per-cluster pairwise matmul
-    fits a worker; a skew-heavy lake needs a larger k or a sub-split
-    of oversized clusters."""
+    Skew guard: a cluster larger than ``max_cluster`` is sub-split
+    with deterministic random-hyperplane bits (one extra bit per round,
+    applied only to still-oversized sub-buckets) before the pairwise
+    verify — near-identical vectors land on the same side of every
+    hyperplane with overwhelming probability, so recall loss is
+    confined to pairs merely NEAR the threshold (the same trade
+    embedding LSH makes).  This bounds the per-group matmul at
+    max_cluster² regardless of how skewed the kmeans clustering is."""
     cent = kmeans_fit(
         ds, k=k, vec_col=vec_col, max_iters=max_iters, seed=seed, n_total=n_total
     )
@@ -381,12 +395,27 @@ def semantic_dedup(
         ids = g[id_col].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        unit = _normalize(
-            np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
-        )
-        cos = unit @ unit.T
-        # duplicate iff any LOWER-id member is within the threshold
-        dup = (np.triu(cos, 1) > threshold).any(axis=0)
+        unit = _normalize(np.stack(g[vec_col].to_numpy()[order]).astype(np.float64))
+        n, d = unit.shape
+        # LSH sub-split of an oversized cluster (deterministic planes)
+        labels = np.zeros(n, dtype=np.int64)
+        rng = np.random.RandomState(seed + 101)
+        for _ in range(32):
+            counts = np.bincount(labels)
+            oversized = np.flatnonzero(counts > max_cluster)
+            if not len(oversized):
+                break
+            side = (unit @ rng.normal(size=d)) > 0
+            mask = np.isin(labels, oversized)
+            labels = labels * 2 + np.where(mask, side, 0)
+            # compact label space so bincount stays small
+            _, labels = np.unique(labels, return_inverse=True)
+        dup = np.zeros(n, dtype=bool)
+        for lbl in np.unique(labels):
+            m = labels == lbl
+            sub = unit[m]
+            cos = sub @ sub.T
+            dup[m] = (np.triu(cos, 1) > threshold).any(axis=0)
         return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),
