@@ -591,6 +591,7 @@ def embedding_neardup_pairs(
     num_planes: int = 8,
     n_tables: int = 6,
     seed: int = 7,
+    verify_cap: int = 4096,
 ):
     """Random-hyperplane LSH (``n_tables`` independent tables of
     ``num_planes`` bits — recall amplification) + exact cosine verify
@@ -631,14 +632,12 @@ def embedding_neardup_pairs(
             }
         )
 
-    # In-bucket verify caps the pairwise matmul: an LSH bucket larger
-    # than this is sub-split with further deterministic hyperplane bits
-    # (near-identical vectors stay together — the same recall trade the
-    # banding itself makes).  Measured need: a table whose vectors share
-    # one dominant direction put ~all 20k rows in the SAME bucket of
-    # every LSH table, and the O(n²) verify hung.
-    _VERIFY_CAP = 4096
-
+    # In-bucket verify caps the pairwise matmul at verify_cap: an LSH
+    # bucket larger than that is sub-split with further deterministic
+    # hyperplane bits (near-identical vectors stay together — the same
+    # recall trade the banding itself makes).  Measured need: a table
+    # whose vectors share one dominant direction put ~all 20k rows in
+    # the SAME bucket of every LSH table, and the O(n²) verify hung.
     def verify_coarse(df: pd.DataFrame) -> pd.DataFrame:
         cnt = df.groupby(["table_id", "bucket"], sort=False)["vec_id"].transform("size")
         multi = df.loc[cnt >= 2]
@@ -654,7 +653,7 @@ def embedding_neardup_pairs(
             rng = np.random.RandomState(seed + 977)
             for _ in range(32):
                 counts = np.bincount(labels)
-                oversized = np.flatnonzero(counts > _VERIFY_CAP)
+                oversized = np.flatnonzero(counts > verify_cap)
                 if not len(oversized):
                     break
                 side = (unit @ rng.normal(size=unit.shape[1])) > 0

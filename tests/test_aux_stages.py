@@ -676,3 +676,40 @@ def test_size_aware_shuffle_strategy(ray_session, monkeypatch):
     ds = fresh()
     cv._prefer_hash_shuffle(ds, None)
     assert ds.context.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+
+
+def test_skew_caps_preserve_planted_neardups(ray_session):
+    """The oversized-group sub-split guards (semantic_dedup
+    max_cluster, embedding_neardup_pairs verify_cap) must not separate
+    near-identical vectors even when forced to split aggressively —
+    with caps far below the group sizes, the planted near-dups are
+    still all found."""
+    from pdf_extractor_ray.pipelines.queries import _embeddings_with_planted_neardups
+    from pdf_extractor_ray.stages.dedup import embedding_neardup_pairs
+    from pdf_extractor_ray.stages.similarity import semantic_dedup
+
+    sf = "/root/testdata/sf0.001"
+    ds = _embeddings_with_planted_neardups(sf)
+    pairs = pa.concat_tables(
+        list(
+            embedding_neardup_pairs(ds, cos_threshold=0.95, verify_cap=8).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    ).to_pandas()
+    planted = set(range(20)) if len(pairs) >= 20 else set(pairs["id_a"])
+    # every planted (i, i+offset) pair survives the forced sub-splits
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    offset = int(pairs["id_b"].min()) - int(pairs["id_a"].min())
+    want = {(i, i + offset) for i in sorted({a for a, _ in got})}
+    assert want <= got
+
+    flagged = pa.concat_tables(
+        list(
+            semantic_dedup(ds, k=4, threshold=0.95, max_cluster=8)
+            .iter_batches(batch_format="pyarrow")
+        )
+    ).to_pandas()
+    dup_ids = set(flagged[flagged["is_dup"]]["vec_id"])
+    # the planted copies (higher ids) are the dups; base rows survive
+    assert dup_ids == {b for _, b in got}, (sorted(dup_ids), sorted(got))
