@@ -3231,6 +3231,110 @@ GROUP BY from_type, to_type
 """
 
 
+# --------------------------------------------------------------------------
+# set operations — INTERSECT / EXCEPT semantics as one combiner pass:
+# per-batch (user, in_first_half, in_second_half) bool partials, one
+# Max exchange per user, then a pure projection to 'both' /
+# 'only_first' / 'only_second'.  No distinct-shuffle of raw events —
+# only one row per (batch, user) crosses.
+# --------------------------------------------------------------------------
+
+_SETOPS_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch µs
+
+
+def q_set_ops(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b["user_id"].to_numpy(),
+                    "in_a": (us < _SETOPS_SPLIT_US).astype("int64"),
+                    "in_b": (us >= _SETOPS_SPLIT_US).astype("int64"),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .max()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "in_a": pa.array(g["in_a"].to_numpy(), pa.int64()),
+                "in_b": pa.array(g["in_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+    )
+
+    def status(batch: pa.Table) -> pa.Table:
+        a = batch.column("in_a").to_numpy(zero_copy_only=False) > 0
+        b = batch.column("in_b").to_numpy(zero_copy_only=False) > 0
+        st = np.where(a & b, "both", np.where(a, "only_first", "only_second"))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "status": pa.array(st, pa.string()),
+            }
+        )
+
+    return _to_table(agg.map_batches(status, batch_format="pyarrow"))
+
+
+SQL_SET_OPS = f"""
+SELECT user_id,
+  CASE WHEN in_a AND in_b THEN 'both'
+       WHEN in_a THEN 'only_first' ELSE 'only_second' END AS status
+FROM (SELECT user_id,
+             max(epoch_us(ts) <  {_SETOPS_SPLIT_US}) AS in_a,
+             max(epoch_us(ts) >= {_SETOPS_SPLIT_US}) AS in_b
+      FROM events GROUP BY user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# semi-structured extraction — pull a typed field out of the JSON
+# `props` column with ONE vectorized RE2 kernel pass (Arrow has no JSON
+# kernel; for flat single-key props a regex extract is exact), then a
+# plain grouped aggregate.  The DuckDB oracle uses its real JSON
+# extractor, so the comparison also validates the regex against a true
+# JSON parser.
+# --------------------------------------------------------------------------
+
+def q_props_extract(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch.column("event_type"), "k": k})
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="k_total"),
+        )
+    )
+    return _to_table(out)
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3300,6 +3404,8 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "ntile": q_ntile,
     "transitions": q_transitions,
+    "set_ops": q_set_ops,
+    "props_extract": q_props_extract,
 }
 
 ORACLES = {
@@ -3357,4 +3463,6 @@ ORACLES = {
     "shuffle_export": SQL_SHUFFLE_EXPORT,
     "ntile": SQL_NTILE,
     "transitions": SQL_TRANSITIONS,
+    "set_ops": SQL_SET_OPS,
+    "props_extract": SQL_PROPS_EXTRACT,
 }
