@@ -3243,8 +3243,6 @@ _SETOPS_SPLIT_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z in epoch µs
 
 
 def q_set_ops(sf_dir: str):
-    from ray.data.aggregate import Max
-
     ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
 
     def partial(b: pd.DataFrame) -> pa.Table:
@@ -3269,24 +3267,23 @@ def q_set_ops(sf_dir: str):
             }
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("user_id")
-        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
-    )
-
-    def status(batch: pa.Table) -> pa.Table:
-        a = batch.column("in_a").to_numpy(zero_copy_only=False) > 0
-        b = batch.column("in_b").to_numpy(zero_copy_only=False) > 0
-        st = np.where(a & b, "both", np.where(a, "only_first", "only_second"))
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        # merge partials + project to status in ONE bucketed pass —
+        # Ray's aggregate exchange costs ~5 s of fixed setup for this
+        # tiny input; the _bucketed shape measured 15.2 → 5.3 s
+        g = b.groupby("user_id", sort=False).max().reset_index()
+        a = g["in_a"].to_numpy() > 0
+        bb = g["in_b"].to_numpy() > 0
+        st = np.where(a & bb, "both", np.where(a, "only_first", "only_second"))
         return pa.table(
             {
-                "user_id": batch.column("user_id"),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
                 "status": pa.array(st, pa.string()),
             }
         )
 
-    return _to_table(agg.map_batches(status, batch_format="pyarrow"))
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _to_table(_bucketed(partials, "user_id", per_bucket))
 
 
 SQL_SET_OPS = f"""
