@@ -3332,6 +3332,62 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# grouped mode — each user's most frequent event type, with an explicit
+# deterministic tie-break (count DESC, then event_type ASC) so both
+# engines agree where SQL's mode() would be arbitrary.  Combiner-first:
+# per-batch (user, type, n) partials collapse the event stream before
+# the user-key exchange; the bucketed pass merges partials and picks
+# the argmax vectorized.
+# --------------------------------------------------------------------------
+
+def q_grouped_mode(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            b.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        m = (
+            b.groupby(["user_id", "event_type"], sort=False)["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+            .drop_duplicates("user_id")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+                "mode_type": pa.array(m["event_type"], pa.string()),
+                "n": pa.array(m["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return _to_table(_bucketed(partials, "user_id", per_bucket))
+
+
+SQL_GROUPED_MODE = """
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+FROM (SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3403,6 +3459,7 @@ QUERIES = {
     "transitions": q_transitions,
     "set_ops": q_set_ops,
     "props_extract": q_props_extract,
+    "grouped_mode": q_grouped_mode,
 }
 
 ORACLES = {
@@ -3462,4 +3519,5 @@ ORACLES = {
     "transitions": SQL_TRANSITIONS,
     "set_ops": SQL_SET_OPS,
     "props_extract": SQL_PROPS_EXTRACT,
+    "grouped_mode": SQL_GROUPED_MODE,
 }
