@@ -62,10 +62,26 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def hash_values(values) -> np.ndarray:
     """Stable 64-bit hashes.  Integer inputs (the hot path — ids/keys)
     hash vectorized via splitmix64; anything else falls back to a
-    per-value blake2b of the string form."""
+    per-value blake2b of the string form.
+
+    A sketch must only ever be fed ONE hash family per logical column,
+    or merged HLL/CMS estimates silently inflate — so int-LIKE inputs
+    (an int64 column that became float64/object through a null or a
+    pandas conversion) are normalized back to int64 and hashed with
+    splitmix64, the same space their int-dtype siblings use."""
     arr = np.asarray(values)
     if arr.dtype.kind in "iu":
         return _splitmix64(arr)
+    if arr.dtype.kind == "f" and len(arr):
+        ints = arr.astype(np.int64)
+        if not np.isnan(arr).any() and np.array_equal(
+            ints.astype(arr.dtype), arr
+        ):
+            return _splitmix64(ints)
+    if arr.dtype.kind == "O" and len(arr) and all(
+        isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in arr
+    ):
+        return _splitmix64(arr.astype(np.int64))
     out = np.empty(len(values), dtype=np.uint64)
     for i, v in enumerate(values):
         out[i] = int.from_bytes(

@@ -3056,7 +3056,13 @@ GROUP BY CUBE (lang, source)
 # output partition reproduces identical bytes.
 # --------------------------------------------------------------------------
 
-_LCG_A, _LCG_M = 48271, 2147483647  # Lehmer/MINSTD — multiplies stay in int64
+# Lehmer/MINSTD.  h is injective only for doc_id < 2^31-1; above that,
+# key collisions are possible — so the sort key is the COMPOSITE
+# (h, doc_id), which is deterministic and engine-independent for ALL
+# ids regardless of collisions.  Hard bound: doc_id*48271 must fit
+# int64 (checked-multiply on both engines), i.e. doc_id < 2^63/48271
+# ≈ 1.9e14 — four orders of magnitude above a 100-TB lake's ~2e10 docs.
+_LCG_A, _LCG_M = 48271, 2147483647
 
 
 def q_shuffle_export(sf_dir: str):
@@ -3072,13 +3078,17 @@ def q_shuffle_export(sf_dir: str):
         )
         return batch.append_column("h", pc.cast(h, pa.int64()))
 
-    out = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True).sort("h").limit(50)
+    out = (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["h", "doc_id"])
+        .limit(50)
+    )
     return _to_table(out)
 
 
 SQL_SHUFFLE_EXPORT = f"""
 SELECT doc_id, lang, (doc_id * {_LCG_A}) % {_LCG_M} AS h
-FROM documents ORDER BY h LIMIT 50
+FROM documents ORDER BY h, doc_id LIMIT 50
 """
 
 

@@ -33,6 +33,34 @@ def parquet_files(path: str) -> list[str]:
     )
 
 
+def filter_fields(flt, schema: pa.Schema) -> list[str]:
+    """Field names a dataset filter expression references, discovered
+    STRUCTURALLY: bind the expression against a zero-row table and add
+    each field the Arrow binder reports missing until it binds clean.
+    pyarrow exposes no public field-inspection API on Expression, but
+    the binder's ``No match for FieldRef.Name(x)`` error names the
+    exact missing field, so this terminates in ≤ len(schema) rounds
+    with the precise referenced set — no substring matching against
+    ``str(filter)`` (which over/under-includes when a field name
+    appears inside a literal or renders differently)."""
+    import re
+
+    import pyarrow.dataset as pads
+
+    fields: list[str] = []
+    for _ in range(len(schema.names) + 1):
+        probe = pa.schema([schema.field(f) for f in fields]).empty_table()
+        try:
+            pads.dataset(probe).to_table(filter=flt)
+            return fields
+        except Exception as e:  # binder names the first unbound field
+            m = re.search(r"FieldRef\.Name\(([^)]*)\)", str(e))
+            if not m or m.group(1) in fields or m.group(1) not in schema.names:
+                return list(schema.names)  # unparseable → read everything
+            fields.append(m.group(1))
+    return fields
+
+
 def scan_parquet(
     paths: str | list[str],
     columns: list[str] | tuple[str, ...] | None = None,
@@ -70,9 +98,8 @@ def scan_parquet(
     read_cols = list(columns)
     flt = kwargs.get("filter")
     if flt is not None:
-        expr_text = str(flt)
         read_cols += [
-            f for f in schema.names if f not in read_cols and f in expr_text
+            f for f in filter_fields(flt, schema) if f not in read_cols
         ]
     schema = pa.schema([schema.field(c) for c in read_cols])
     kwargs["columns"] = read_cols

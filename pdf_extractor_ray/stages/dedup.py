@@ -48,6 +48,30 @@ from ..functions.textstats import fingerprint
 _PAIR_BUCKETS = 32
 
 
+def bounded_windows(n: int, cap: int):
+    """Yield (start, stop) windows of at most ``cap`` rows covering
+    ``range(n)``, adjacent windows overlapping by ONE row.
+
+    Hard bound for pairwise-verify groups that hyperplane sub-splits
+    cannot shrink: identical / exactly collinear vectors land on the
+    same side of EVERY hyperplane, so a flood of >cap duplicates of one
+    embedding stays a single oversized label through all split rounds
+    and the O(n²) matmul runs unbounded.  Slicing the (id-sorted) label
+    into cap-sized windows bounds every matmul at cap²; the one-row
+    overlap keeps mass-duplicate chunks transitively connected (the
+    shared row pairs with both sides), so downstream connected
+    components / keep-min-id semantics still collapse the whole flood.
+    Recall loss is confined to cross-window pairs of a label that was
+    genuinely diverse yet unsplittable — the same trade LSH banding
+    already makes."""
+    if n <= cap:
+        yield (0, n)
+        return
+    step = cap - 1
+    for s in range(0, n - 1, step):
+        yield (s, min(s + cap, n))
+
+
 def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pa.Table:
     """(id_a, id_b, <extra>) block with an EXPLICIT, metadata-free
     Arrow schema — identical whether or not the lists are empty.  The
@@ -661,12 +685,17 @@ def embedding_neardup_pairs(
                 _, labels = np.unique(labels, return_inverse=True)
             for lbl in np.unique(labels):
                 m = labels == lbl
-                sub_ids, sub = ids[m], unit[m]
-                cos = sub @ sub.T
-                ii, jj = np.nonzero(np.triu(cos, 1) >= cos_threshold)
-                a_out.extend(sub_ids[ii].tolist())
-                b_out.extend(sub_ids[jj].tolist())
-                c_out.extend(np.round(cos[ii, jj], 6).tolist())
+                lbl_ids, lbl_unit = ids[m], unit[m]
+                # bounded_windows: labels the hyperplane loop could not
+                # shrink (identical-vector floods) are hard-chunked so
+                # the matmul never exceeds verify_cap².
+                for s, e in bounded_windows(len(lbl_ids), verify_cap):
+                    sub_ids, sub = lbl_ids[s:e], lbl_unit[s:e]
+                    cos = sub @ sub.T
+                    ii, jj = np.nonzero(np.triu(cos, 1) >= cos_threshold)
+                    a_out.extend(sub_ids[ii].tolist())
+                    b_out.extend(sub_ids[jj].tolist())
+                    c_out.extend(np.round(cos[ii, jj], 6).tolist())
         return _pairs_df(a_out, b_out, "cosine", c_out)
 
     def add_coarse(batch: pa.Table) -> pa.Table:

@@ -14,6 +14,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .dedup import bounded_windows as _bounded_windows
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
@@ -412,10 +414,18 @@ def semantic_dedup(
             _, labels = np.unique(labels, return_inverse=True)
         dup = np.zeros(n, dtype=bool)
         for lbl in np.unique(labels):
-            m = labels == lbl
-            sub = unit[m]
-            cos = sub @ sub.T
-            dup[m] = (np.triu(cos, 1) > threshold).any(axis=0)
+            m = np.flatnonzero(labels == lbl)
+            # bounded_windows: a flood of identical vectors defeats the
+            # hyperplane splits (same side of every plane), so the label
+            # is hard-chunked into max_cluster windows overlapping by one
+            # id-sorted row; OR-ing dup flags across windows preserves
+            # keep-min-id for mass duplicates (the overlap row carries
+            # dup status across the chunk boundary).
+            for s, e in _bounded_windows(len(m), max_cluster):
+                w = m[s:e]
+                sub = unit[w]
+                cos = sub @ sub.T
+                dup[w] |= (np.triu(cos, 1) > threshold).any(axis=0)
         return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),

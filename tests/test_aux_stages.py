@@ -713,3 +713,80 @@ def test_skew_caps_preserve_planted_neardups(ray_session):
     dup_ids = set(flagged[flagged["is_dup"]]["vec_id"])
     # the planted copies (higher ids) are the dups; base rows survive
     assert dup_ids == {b for _, b in got}, (sorted(dup_ids), sorted(got))
+
+
+def test_identical_vector_flood_stays_bounded(ray_session):
+    """A flood of >cap IDENTICAL vectors defeats hyperplane sub-splits
+    (same side of every plane).  bounded_windows must (a) keep every
+    matmul at most cap rows and (b) keep the flood one connected
+    component / one survivor — the ADVICE round-2 medium finding."""
+    import numpy as np
+
+    from pdf_extractor_ray.stages.dedup import (
+        bounded_windows,
+        connected_components,
+        embedding_neardup_pairs,
+    )
+    from pdf_extractor_ray.stages.similarity import semantic_dedup
+
+    # pure helper: windows cover, never exceed cap, overlap by one row
+    for n, cap in [(1, 4), (4, 4), (5, 4), (50, 8), (17, 8)]:
+        wins = list(bounded_windows(n, cap))
+        assert all(e - s <= cap for s, e in wins)
+        covered = set()
+        for s, e in wins:
+            covered |= set(range(s, e))
+        assert covered == set(range(n))
+        for (s1, e1), (s2, e2) in zip(wins, wins[1:]):
+            assert s2 == e1 - 1  # one-row overlap chains the chunks
+
+    n = 50
+    vec = [0.6, 0.8, 0.0, 0.0]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array([vec] * n, pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+
+    pairs = embedding_neardup_pairs(ds, cos_threshold=0.95, verify_cap=8)
+    labels = pa.concat_tables(
+        list(connected_components(pairs).iter_batches(batch_format="pyarrow"))
+    ).to_pandas()
+    # all 50 identical vectors collapse to ONE component labelled 0
+    assert set(labels["node"]) == set(range(n))
+    assert set(labels["label"]) == {0}
+
+    flagged = pa.concat_tables(
+        list(
+            semantic_dedup(
+                ds, k=2, threshold=0.95, max_cluster=8, n_total=n
+            ).iter_batches(batch_format="pyarrow")
+        )
+    ).to_pandas()
+    keep = sorted(flagged[~flagged["is_dup"]]["vec_id"])
+    assert keep == [0], keep  # exactly the min id survives
+
+
+def test_filter_fields_structural():
+    """filter_fields extracts referenced columns structurally — a field
+    name appearing inside a string LITERAL must not widen the read, and
+    every genuinely referenced field must be found (ADVICE r2 low)."""
+    import pyarrow.compute as pcc
+
+    from pdf_extractor_ray.sources.scan import filter_fields
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("source", pa.string()),
+        ]
+    )
+    flt = (pcc.field("n_chars") > 10) & (pcc.field("lang") == "source")
+    got = filter_fields(flt, schema)
+    # 'source' appears only as a literal — must NOT be included
+    assert sorted(got) == ["lang", "n_chars"], got
+    assert filter_fields(pcc.field("doc_id") >= 0, schema) == ["doc_id"]

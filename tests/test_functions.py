@@ -355,3 +355,24 @@ def test_moment_partials_match_corrcoef():
     n, sx, sy, sxx, syy, sxy = parts
     got = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(got - want) < 1e-12
+
+
+def test_hash_values_one_family_per_logical_column():
+    """An int64 key column that degraded to float64/object (null or
+    pandas conversion) must hash into the SAME space as its int-dtype
+    siblings, or merged HLL/CMS estimates silently inflate (ADVICE r2)."""
+    import numpy as np
+
+    from pdf_extractor_ray.functions.sketches import hash_values
+
+    ints = np.arange(100, dtype=np.int64)
+    as_float = ints.astype(np.float64)
+    as_object = np.array([int(x) for x in ints], dtype=object)
+    base = hash_values(ints)
+    assert np.array_equal(hash_values(as_float), base)
+    assert np.array_equal(hash_values(as_object), base)
+    # genuinely fractional floats stay in the string family (and are
+    # at least self-consistent)
+    fr = np.array([0.5, 1.5])
+    assert np.array_equal(hash_values(fr), hash_values(fr))
+    assert not np.array_equal(hash_values(fr), hash_values(np.array([0, 1])))
