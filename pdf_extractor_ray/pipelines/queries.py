@@ -1194,15 +1194,32 @@ FROM events GROUP BY event_type
 
 def q_topk_per_group(sf_dir: str):
     """Top-3 docs by n_chars per language (deterministic id tiebreak) —
-    the grouped top-k shape (few groups → plain map_groups)."""
+    COMBINER shape: each batch emits its own per-lang top-3, so the
+    exchange moves ≤ 3 rows per (batch, lang) and the final per-lang
+    merge group is O(3 × batches) regardless of language size.  (lang
+    is low-cardinality; a whole-group map_groups would put ~half a
+    100-TB corpus in one task.)  Top-k is trivially combinable:
+    top3(A ∪ B) = top3(top3(A) ∪ top3(B))."""
     ds = _read_pq(
         _t(sf_dir, "documents"), columns=["lang", "doc_id", "n_chars"]
     )
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+    def top3(b: pd.DataFrame) -> pa.Table:
+        t = (
+            b.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .groupby("lang", sort=False)
+            .head(3)
+        )
+        return pa.table(
+            {
+                "lang": pa.array(t["lang"], pa.string()),
+                "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
+                "n_chars": pa.array(t["n_chars"].to_numpy(), pa.int64()),
+            }
+        )
 
-    return _to_table(ds.groupby("lang").map_groups(top3, batch_format="pandas"))
+    partials = ds.map_batches(top3, batch_format="pandas")
+    return _merge_partials(partials, key="lang", per_bucket=top3)
 
 
 SQL_TOPK_PER_GROUP = """
@@ -1487,31 +1504,196 @@ GROUP BY b.band
 
 
 # --------------------------------------------------------------------------
-# exact grouped percentiles (few groups → per-group vectorized numpy;
-# DuckDB quantile_disc rule: sorted[ceil(q*n) - 1])
+# exact grouped percentiles — two BOUNDED passes, no whole-group
+# materialization.  ``lang`` is low-cardinality (at 100 TB one language
+# is ~half the corpus), so the old ``groupby(lang).map_groups(sort)``
+# was an unsplittable single-task OOM.  Instead:
+#   pass 1: the mergeable (lang, bin, cnt) histogram (same combiner as
+#           q_approx_percentiles) locates each quantile's bin and its
+#           local rank — exchange volume O(langs × bins), independent
+#           of corpus size;
+#   pass 2: per-batch (lang, value) counts restricted to the LOCATED
+#           bins (≤ 3 bins × bin-width distinct integer values per
+#           lang) — the exact order statistic is read off the summed
+#           value counts.  DuckDB quantile_disc rule: sorted[⌈q·n⌉-1].
 # --------------------------------------------------------------------------
 
-def q_percentiles(sf_dir: str):
+_STAT_BUCKETS = 8
+
+
+def _merge_partials(partials, key: str, per_bucket):
+    """Merge tiny per-batch combiner outputs with ONE bucketed exchange.
+    ``Dataset.groupby().aggregate()`` pays ~5 s fixed setup per exchange
+    even on a few-thousand-row partial stream (measured: set_ops 15.2 s
+    → 5.3 s through this shape); the bucket hash runs over combiner
+    OUTPUT (O(groups) rows/batch), never over the data.  ``per_bucket``
+    must be an explicit-schema Arrow-returning merge of one bucket's
+    partials (all partials of one ``key`` value land in one bucket)."""
+    import zlib
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_pylist()
+        b = [zlib.crc32(str(v).encode()) % _STAT_BUCKETS for v in k]
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    return _to_table(
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _sum_partials(partials, keys: list[str], sum_cols: list[str], schema: pa.Schema):
+    """``_merge_partials`` specialization: grouped SUM of the partials."""
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
+        return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in schema})
+
+    return _merge_partials(partials, keys[0], per_bucket)
+
+
+def _lang_hist(sf_dir: str) -> pd.DataFrame:
+    """Summed per-(lang, n_chars-bin) histogram of the documents table
+    — the shared mergeable partial under q_percentiles / q_ntile /
+    q_approx_percentiles.  Returns a (lang, bin, cnt) frame sorted by
+    (lang, bin); size O(langs × bins) regardless of corpus size."""
     ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
 
-    def pcts(g: pd.DataFrame) -> pd.DataFrame:
-        a = np.sort(g["n_chars"].to_numpy())
-        n = len(a)
-
-        def disc(q: float) -> int:
-            return int(a[max(0, int(np.ceil(q * n)) - 1)])
-
-        return pd.DataFrame(
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": b["lang"].to_numpy(),
+                    "bin": b["n_chars"].to_numpy() // _HIST_BIN,
+                }
+            )
+            .groupby(["lang", "bin"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
             {
-                "lang": pd.Series([g["lang"].iloc[0]], dtype="object"),
-                "n": pd.Series([n], dtype="int64"),
-                "p50": pd.Series([disc(0.5)], dtype="int64"),
-                "p90": pd.Series([disc(0.9)], dtype="int64"),
-                "p99": pd.Series([disc(0.99)], dtype="int64"),
+                "lang": pa.array(g["lang"], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
             }
         )
 
-    return _to_table(ds.groupby("lang").map_groups(pcts, batch_format="pandas"))
+    hist = _sum_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "bin"],
+        sum_cols=["cnt"],
+        schema=pa.schema(
+            [("lang", pa.string()), ("bin", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )
+    return hist.to_pandas().sort_values(["lang", "bin"]).reset_index(drop=True)
+
+
+def _lang_nchars_order_stats(sf_dir: str, ranks_for):
+    """EXACT per-language order statistics of ``n_chars`` at requested
+    1-indexed ranks without materializing any language group.
+
+    ``ranks_for(n) -> dict[label, rank]`` (ranks < 1 are skipped).
+    Returns ``{lang: {"n": n, "stats": {label: (value, k_within,
+    cnt_at_value)}}}`` where ``value`` is the rank-th smallest n_chars,
+    ``k_within`` its 1-indexed rank among rows with that exact value,
+    and ``cnt_at_value`` that value's total count."""
+    hist = _lang_hist(sf_dir)
+
+    # locate each rank's bin + local rank (driver work over the tiny
+    # histogram only)
+    want: dict[str, dict] = {}
+    needed_bins: set[tuple[str, int]] = set()
+    for lang, g in hist.groupby("lang", sort=False):
+        cnt = g["cnt"].to_numpy()
+        bins = g["bin"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        locs = {}
+        for label, rank in ranks_for(n).items():
+            if rank < 1:
+                continue
+            i = int(np.searchsorted(cum, rank))
+            local = int(rank - (cum[i - 1] if i else 0))
+            locs[label] = (int(bins[i]), local)
+            needed_bins.add((lang, int(bins[i])))
+        want[lang] = {"n": n, "locs": locs}
+
+    # pass 2: exact value counts inside the located bins only
+    needed_df = pd.DataFrame(
+        sorted(needed_bins), columns=["lang", "bin"]
+    )
+
+    def val_partial(b: pd.DataFrame) -> pa.Table:
+        t = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(),
+                "bin": b["n_chars"].to_numpy() // _HIST_BIN,
+                "val": b["n_chars"].to_numpy(),
+            }
+        ).merge(needed_df, on=["lang", "bin"])
+        g = t.groupby(["lang", "val"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "val": pa.array(g["val"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    vals = (
+        _sum_partials(
+            ds.map_batches(val_partial, batch_format="pandas"),
+            keys=["lang", "val"],
+            sum_cols=["cnt"],
+            schema=pa.schema(
+                [("lang", pa.string()), ("val", pa.int64()), ("cnt", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["lang", "val"])
+    )
+
+    out: dict[str, dict] = {}
+    for lang, info in want.items():
+        v = vals[vals["lang"] == lang]
+        vv = v["val"].to_numpy()
+        vc = v["cnt"].to_numpy()
+        vbin = vv // _HIST_BIN
+        stats = {}
+        for label, (b, local) in info["locs"].items():
+            m = vbin == b
+            bv, bc = vv[m], vc[m]
+            cum = np.cumsum(bc)
+            i = int(np.searchsorted(cum, local))
+            k_within = int(local - (cum[i - 1] if i else 0))
+            stats[label] = (int(bv[i]), k_within, int(bc[i]))
+        out[lang] = {"n": info["n"], "stats": stats}
+    return out
+
+
+def q_percentiles(sf_dir: str):
+    stats = _lang_nchars_order_stats(
+        sf_dir,
+        lambda n: {
+            "p50": int(np.ceil(0.5 * n)),
+            "p90": int(np.ceil(0.9 * n)),
+            "p99": int(np.ceil(0.99 * n)),
+        },
+    )
+    langs = sorted(stats)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array([stats[l]["n"] for l in langs], pa.int64()),
+            "p50": pa.array([stats[l]["stats"]["p50"][0] for l in langs], pa.int64()),
+            "p90": pa.array([stats[l]["stats"]["p90"][0] for l in langs], pa.int64()),
+            "p99": pa.array([stats[l]["stats"]["p99"][0] for l in langs], pa.int64()),
+        }
+    )
 
 
 SQL_PERCENTILES = """
@@ -2407,34 +2589,7 @@ _HIST_BIN = 64
 
 
 def q_approx_percentiles(sf_dir: str):
-    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
-
-    def partial(b: pd.DataFrame) -> pa.Table:
-        g = (
-            pd.DataFrame(
-                {
-                    "lang": b["lang"].to_numpy(),
-                    "bin": b["n_chars"].to_numpy() // _HIST_BIN,
-                }
-            )
-            .groupby(["lang", "bin"], sort=False)
-            .size()
-            .reset_index(name="cnt")
-        )
-        return pa.table(
-            {
-                "lang": pa.array(g["lang"], pa.string()),
-                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
-                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
-            }
-        )
-
-    hist = _to_table(
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "bin"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    df = hist.to_pandas().sort_values(["lang", "bin"])
+    df = _lang_hist(sf_dir)  # shared mergeable histogram partials
     out = {"lang": [], "n": [], "p50_est": [], "p90_est": [], "p99_est": []}
     for lang, g in df.groupby("lang", sort=True):
         cum = g["cnt"].cumsum().to_numpy()
@@ -3163,30 +3318,164 @@ def q_heavy_hitters(sf_dir: str):
 # ntile — per-lang quartile assignment by (n_chars, doc_id) order,
 # completing the rank family (row_number/lag live in q_rank_window).
 # SQL ntile semantics: the first (n % 4) buckets get the extra row.
-# Lang has few distinct values, so the exchange uses a groupby on the
-# lang key directly (≤ #langs groups — skew-safe because group count,
-# not group size, is what's bounded here; inside the group the work is
-# one vectorized argsort).
+#
+# Scale shape (round-3 rebuild — lang is LOW-cardinality, so the old
+# whole-group map_groups held ~half the corpus in one task at 100 TB):
+# quartile BOUNDARY rows are exact order statistics at ranks c1..c3 of
+# the (n_chars, doc_id) order.  The two-pass histogram machinery
+# (_lang_nchars_order_stats) yields each boundary's exact n_chars value
+# v and its residual rank k among rows tied at v; when 0 < k <
+# cnt_at_v the boundary DOC_ID is resolved with two more bounded
+# passes (doc_id-bin counts at v → collect the ≤ _NTILE_DBIN unique
+# doc_ids of one bin).  Tiles are then assigned MAP-SIDE against the
+# broadcast boundary pairs — no task ever holds a language group, and
+# every exchange is O(langs × bins).  (doc_id, n_chars) is a strict
+# total order (ids unique), so the assignment is exact, not
+# tie-approximate.
 # --------------------------------------------------------------------------
 
-def q_ntile(sf_dir: str):
-    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+_NTILE_DBIN = 4096  # doc_id-bin width for boundary-tie resolution
+_NTILE_INF = 2**62  # sentinel: beyond any real doc_id / n_chars
 
-    def per_lang(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["n_chars", "doc_id"], kind="stable")
-        n = len(g)
+
+def q_ntile(sf_dir: str):
+    def ranks_for(n: int) -> dict[str, int]:
         base, extra = divmod(n, 4)
         sizes = [base + (1 if i < extra else 0) for i in range(4)]
-        tiles = np.repeat(np.arange(1, 5, dtype=np.int64), sizes)
+        c = np.cumsum(sizes)
+        return {f"b{j}": int(c[j - 1]) for j in (1, 2, 3)}
+
+    stats = _lang_nchars_order_stats(sf_dir, ranks_for)
+
+    # boundary doc_id resolution: only ties straddling a boundary need it
+    needs = []  # (lang, j, v, k)
+    for lang, info in stats.items():
+        for label, (v, k, cnt) in info["stats"].items():
+            if 0 < k < cnt:
+                needs.append((lang, int(label[1]), v, k))
+    dstar: dict[tuple[str, int], int] = {}
+    if needs:
+        need_df = pd.DataFrame(needs, columns=["lang", "j", "val", "k"])
+        cols = ["lang", "n_chars", "doc_id"]
+
+        def c1_partial(b: pd.DataFrame) -> pa.Table:
+            t = pd.DataFrame(
+                {
+                    "lang": b["lang"].to_numpy(),
+                    "val": b["n_chars"].to_numpy(),
+                    "dbin": b["doc_id"].to_numpy() // _NTILE_DBIN,
+                }
+            ).merge(need_df[["lang", "j", "val"]], on=["lang", "val"])
+            g = t.groupby(["lang", "j", "dbin"], sort=False).size().reset_index(name="cnt")
+            return pa.table(
+                {
+                    "lang": pa.array(g["lang"], pa.string()),
+                    "j": pa.array(g["j"].to_numpy(), pa.int64()),
+                    "dbin": pa.array(g["dbin"].to_numpy(), pa.int64()),
+                    "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+                }
+            )
+
+        c1 = (
+            _sum_partials(
+                _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
+                    c1_partial, batch_format="pandas"
+                ),
+                keys=["lang", "j", "dbin"],
+                sum_cols=["cnt"],
+                schema=pa.schema(
+                    [
+                        ("lang", pa.string()),
+                        ("j", pa.int64()),
+                        ("dbin", pa.int64()),
+                        ("cnt", pa.int64()),
+                    ]
+                ),
+            )
+            .to_pandas()
+            .sort_values(["lang", "j", "dbin"])
+        )
+        targets = []  # (lang, j, val, dbin, local_rank)
+        for (lang, j, v, k) in needs:
+            g = c1[(c1["lang"] == lang) & (c1["j"] == j)]
+            cum = g["cnt"].cumsum().to_numpy()
+            i = int(np.searchsorted(cum, k))
+            targets.append(
+                (lang, j, v, int(g["dbin"].to_numpy()[i]), k - (int(cum[i - 1]) if i else 0))
+            )
+        tgt_df = pd.DataFrame(
+            targets, columns=["lang", "j", "val", "dbin", "r"]
+        )
+
+        def c2_partial(b: pd.DataFrame) -> pa.Table:
+            t = pd.DataFrame(
+                {
+                    "lang": b["lang"].to_numpy(),
+                    "val": b["n_chars"].to_numpy(),
+                    "dbin": b["doc_id"].to_numpy() // _NTILE_DBIN,
+                    "doc_id": b["doc_id"].to_numpy(),
+                }
+            ).merge(tgt_df[["lang", "j", "val", "dbin"]], on=["lang", "val", "dbin"])
+            return pa.table(
+                {
+                    "lang": pa.array(t["lang"], pa.string()),
+                    "j": pa.array(t["j"].to_numpy(), pa.int64()),
+                    "doc_id": pa.array(t["doc_id"].to_numpy(), pa.int64()),
+                }
+            )
+
+        # ≤ _NTILE_DBIN unique doc_ids per (lang, j) — tiny by bound
+        c2 = (
+            _to_table(
+                _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
+                    c2_partial, batch_format="pandas"
+                )
+            )
+            .to_pandas()
+            .sort_values(["lang", "j", "doc_id"])
+        )
+        for (lang, j, v, dbin, r) in targets:
+            ids = c2[(c2["lang"] == lang) & (c2["j"] == j)]["doc_id"].to_numpy()
+            dstar[(lang, j)] = int(ids[r - 1])
+
+    # per-lang boundary pairs (v, d) — tile = 1 + #{boundaries < row}
+    boundaries: dict[str, list[tuple[int, int]]] = {}
+    for lang, info in stats.items():
+        bs = []
+        for j in (1, 2, 3):
+            label = f"b{j}"
+            if label not in info["stats"]:  # rank 0 → empty leading tile
+                bs.append((-_NTILE_INF, -_NTILE_INF))
+                continue
+            v, k, cnt = info["stats"][label]
+            d = dstar.get((lang, j), _NTILE_INF if k >= cnt else None)
+            assert d is not None
+            bs.append((v, d))
+        boundaries[lang] = bs
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tile = np.ones(len(lang), dtype=np.int64)
+        for lg, bs in boundaries.items():
+            m = lang == lg
+            if not m.any():
+                continue
+            for (v, d) in bs:
+                tile[m] += ((nc[m] > v) | ((nc[m] == v) & (did[m] > d))).astype(
+                    np.int64
+                )
         return pa.table(
             {
-                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-                "lang": pa.array(g["lang"].to_numpy(), pa.string()),
-                "quartile": pa.array(tiles, pa.int64()),
+                "doc_id": pa.array(did, pa.int64()),
+                "lang": pa.array(lang, pa.string()),
+                "quartile": pa.array(tile, pa.int64()),
             }
         )
 
-    return _to_table(ds.groupby("lang").map_groups(per_lang, batch_format="pandas"))
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    return _to_table(ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True))
 
 
 SQL_NTILE = """

@@ -790,3 +790,43 @@ def test_filter_fields_structural():
     # 'source' appears only as a literal — must NOT be included
     assert sorted(got) == ["lang", "n_chars"], got
     assert filter_fields(pcc.field("doc_id") >= 0, schema) == ["doc_id"]
+
+
+def test_ntile_and_percentiles_deskewed(ray_session, tmp_path):
+    """Round-3 de-skew rebuild: q_ntile / q_percentiles must stay exact
+    on (a) a HOT value straddling quartile boundaries (forces the
+    doc_id-tiebreak passes), (b) languages with n < 4 rows (empty
+    tiles), matching DuckDB ntile/quantile_disc — with no whole-group
+    map_groups anywhere."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    rows = []
+    # hot lang: 1000 docs, 600 of them share n_chars=512 so every
+    # quartile boundary falls inside the tie run
+    for i in range(1000):
+        rows.append((i, "hot", 512 if i % 5 != 0 else 64 + (i % 7) * 100))
+    # tiny langs exercise empty tiles
+    rows.append((2000, "tiny1", 10))
+    rows.extend([(2100 + i, "tiny2", 10 + i) for i in range(3)])
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for fn, sql in ((Q.q_ntile, Q.SQL_NTILE), (Q.q_percentiles, Q.SQL_PERCENTILES)):
+        got = fn(str(tmp_path)).to_pandas()
+        want = con.sql(sql).df()
+        g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
+        w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
