@@ -221,6 +221,75 @@ def minhash_candidate_pairs(
     )
 
 
+#: Max bytes of candidate text the driver may collect + broadcast;
+#: above this, pair_texts switches to the reduce-side exchange join.
+PAIR_TEXT_BROADCAST_MAX = 256 << 20
+
+
+def _attach_texts_exchange(pairs, texts, id_col, text_col, num_buckets=_PAIR_BUCKETS):
+    """Reduce-side fallback for ``pair_texts``: attach text_a / text_b
+    with two tag + union + bucketed-groupby hash joins when the
+    candidate text set exceeds the broadcast cap.  Carries every pairs
+    column through the exchange; candidate text bytes move exactly
+    twice (once per side) and never touch the driver.  Uses the same
+    map_groups exchange as connected_components — immune to the
+    JoinOperator empty-first-block schema bug."""
+    fields = [(f.name, f.type) for f in pairs.schema().base_schema]
+    cur = pairs
+    for side in ("a", "b"):
+        key, out_col = f"id_{side}", f"text_{side}"
+        cur_fields = list(fields)  # both keyed fns build columns in
+        # cur_fields + (out_col, _k, _src) insertion order → identical
+        # union schemas
+
+        def pairs_keyed(
+            batch: pa.Table, key=key, out_col=out_col, cur_fields=cur_fields
+        ) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: batch.column(name) for name, _ in cur_fields}
+            cols[out_col] = pa.nulls(n, pa.string())
+            cols["_k"] = batch.column(key)
+            cols["_src"] = pa.array(np.zeros(n, dtype=np.int8), pa.int8())
+            return pa.table(cols)
+
+        def texts_keyed(
+            batch: pa.Table, out_col=out_col, cur_fields=cur_fields
+        ) -> pa.Table:
+            n = batch.num_rows
+            cols = {name: pa.nulls(n, t) for name, t in cur_fields}
+            cols[out_col] = pc.cast(batch.column(text_col), pa.string())
+            cols["_k"] = batch.column(id_col)
+            cols["_src"] = pa.array(np.ones(n, dtype=np.int8), pa.int8())
+            return pa.table(cols)
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            k = batch.column("_k").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "_bucket", pa.array((k % num_buckets).astype("int32"))
+            )
+
+        def merge(
+            df: pd.DataFrame, out_col=out_col, cur_fields=cur_fields
+        ) -> pa.Table:
+            left = df[df["_src"] == 0]
+            right = df.loc[df["_src"] == 1, ["_k", out_col]].drop_duplicates("_k")
+            m = left.drop(columns=[out_col]).merge(right, on="_k", how="left")
+            out = {name: pa.array(m[name], type=t) for name, t in cur_fields}
+            out[out_col] = pa.array(m[out_col], type=pa.string())
+            return pa.table(out)
+
+        unioned = cur.map_batches(pairs_keyed, batch_format="pyarrow").union(
+            texts.map_batches(texts_keyed, batch_format="pyarrow")
+        )
+        cur = (
+            unioned.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket", num_partitions=num_buckets)
+            .map_groups(merge, batch_format="pandas")
+        )
+        fields = cur_fields + [(out_col, pa.string())]
+    return cur
+
+
 def pair_texts(
     ds,
     pairs,
@@ -234,12 +303,14 @@ def pair_texts(
     and attach per batch over the pairs dataset.
 
     Assumption (documented, same as the LSH design): near-dup
-    candidates ≪ corpus, so the candidate text set is broadcastable.
-    (A ``Dataset.join`` of filtered docs onto pairs is the fallback for
-    adversarial candidate-heavy lakes, but Ray 2.49's JoinOperator
-    loses its schema broadcast when an input's first block is empty —
-    exactly what a filtered corpus produces — so the broadcast path is
-    the robust default here.)"""
+    candidates ≪ corpus, so the candidate ID set is broadcastable.
+    The candidate TEXT set is additionally GUARDED: its bytes are
+    measured (in the object store, never on the driver) and above
+    ``PAIR_TEXT_BROADCAST_MAX`` the attach switches to
+    ``_attach_texts_exchange`` — a reduce-side hash join (tag + union
+    + bucketed groupby), immune to Ray 2.49's JoinOperator losing its
+    schema broadcast when an input's first block is empty (exactly
+    what a filtered corpus produces)."""
     import ray
 
     ids_tbl = _collect(pairs.select_columns(["id_a", "id_b"]))
@@ -262,9 +333,14 @@ def pair_texts(
         c = ray.get(cand_ref)  # local object-store hit after first fetch
         return batch.filter(pc.is_in(batch.column(id_col), value_set=c))
 
-    cand_rows = _collect(
-        ds.map_batches(filt, batch_format="pyarrow").select_columns([id_col, text_col])
+    filtered = (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .select_columns([id_col, text_col])
+        .materialize()  # bounded by the candidate set; spillable
     )
+    if (filtered.size_bytes() or 0) > PAIR_TEXT_BROADCAST_MAX:
+        return _attach_texts_exchange(pairs, filtered, id_col, text_col)
+    cand_rows = _collect(filtered)
     text_map_ref = ray.put(
         dict(
             zip(

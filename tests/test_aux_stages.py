@@ -830,3 +830,38 @@ def test_ntile_and_percentiles_deskewed(ray_session, tmp_path):
         g = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
         w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_pair_texts_exchange_fallback(ray_session, monkeypatch):
+    """An adversarial near-dup-heavy lake whose candidate texts exceed
+    the broadcast cap must take the reduce-side exchange join and still
+    produce EXACTLY the broadcast path's result (VERDICT r2 item 5)."""
+    from pdf_extractor_ray.stages import dedup as dd
+
+    # 40 docs in 20 near-dup pairs — every doc is a candidate, so the
+    # candidate text set == corpus (the adversarial shape)
+    ids, texts = [], []
+    for i in range(20):
+        base = f"document {i} contents: " + " ".join(f"w{i}k{j}" for j in range(30))
+        ids += [i * 2, i * 2 + 1]
+        texts += [base, base + " tail"]
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+
+    def run():
+        ds = ray.data.from_arrow(tbl)
+        pairs = dd.minhash_candidate_pairs(ds, est_threshold=0.5).materialize()
+        out = dd.pair_texts(ds, pairs)
+        df = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow"))
+        ).to_pandas()
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(dd, "PAIR_TEXT_BROADCAST_MAX", 1)  # force exchange
+    exchanged = run()
+    assert len(broadcast) >= 20
+    pd.testing.assert_frame_equal(
+        broadcast[sorted(broadcast.columns)], exchanged[sorted(exchanged.columns)]
+    )

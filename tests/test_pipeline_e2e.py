@@ -109,3 +109,23 @@ def diff_report(got: pa.Table, golden: pa.Table) -> str:
             idx = mask[mask].index[:5]
             return f"first diffs in {col}:\n got={g.loc[idx]}\n want={o.loc[idx]}"
     return "tables differ in nested/flag columns"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_actor_pool_matches_oracle(small_lake):
+    """The ``use_actor_pool=True`` branch (heavy-init parsers — the
+    warm-pdfplumber-in-actor-state configuration from the reference's
+    north star) must run end-to-end and equal the sequential oracle
+    exactly; keeps the actor configuration from rotting (VERDICT r2
+    item 7)."""
+    from pdf_extractor_ray.config import RunConfig
+
+    golden = _canon(
+        oracle_extract(
+            pa.concat_tables([pq.read_table(p) for p in sorted_parquets(small_lake)])
+        )
+    )
+    run = RunConfig(use_actor_pool=True, extract_concurrency=2, num_cpus_per_actor=1.0)
+    got = _canon(run_pipeline(small_lake, run=run))
+    assert got.num_rows == golden.num_rows, (got.num_rows, golden.num_rows)
+    assert got.equals(golden), diff_report(got, golden)
