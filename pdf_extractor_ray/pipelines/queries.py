@@ -3707,6 +3707,123 @@ WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------------
+# sequence packing — GPT-style training-data packing: documents
+# concatenated in doc_id order and chopped into fixed-length packs,
+# each doc assigned to the pack where its first char lands
+# (pack_id = exclusive-prefix-sum(n_chars) // _PACK_LEN).  The
+# distributed primitive is an ORDERED GLOBAL PREFIX SUM in two bounded
+# passes:
+#   1. per-batch (range, sum) partials over contiguous doc_id ranges
+#      (range = doc_id // _PACK_RANGE, ≤ _PACK_RANGE rows each by id
+#      uniqueness — a skew-free partition key) → tiny exchange →
+#      exclusive per-range global offsets on the driver (O(ranges));
+#   2. ONE bucketed exchange co-locates each range; inside, the
+#      within-range exclusive cumsum is a vectorized pandas
+#      groupby-cumsum plus the broadcast range offset.
+# No task ever holds more than a bucket of ≤65k-row ranges; the first
+# exchange moves one row per (batch, range).
+# --------------------------------------------------------------------------
+
+_PACK_LEN = 2048  # pack capacity in chars (token proxy)
+_PACK_RANGE = 65536  # doc_id range width = prefix-sum partition
+
+
+def q_pack_sequences(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        rng = pc.divide(b.column("doc_id"), _PACK_RANGE)
+        g = pa.TableGroupBy(
+            pa.table({"range": rng, "n_chars": b.column("n_chars")}), "range"
+        ).aggregate([("n_chars", "sum")])
+        return g.rename_columns(["range", "total"])
+
+    sums = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["range"],
+        sum_cols=["total"],
+        schema=pa.schema([("range", pa.int64()), ("total", pa.int64())]),
+    ).to_pandas().sort_values("range")
+    offsets = dict(
+        zip(
+            sums["range"].to_numpy(),
+            np.concatenate([[0], np.cumsum(sums["total"].to_numpy())[:-1]]),
+        )
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["_range", "doc_id"], kind="mergesort")
+        local = b.groupby("_range", sort=False)["n_chars"].cumsum() - b["n_chars"]
+        start = local.to_numpy() + b["_range"].map(offsets).to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "start_off": pa.array(start.astype("int64"), pa.int64()),
+                "pack_id": pa.array((start // _PACK_LEN).astype("int64"), pa.int64()),
+            }
+        )
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        rng = batch.column("doc_id").to_numpy(zero_copy_only=False) // _PACK_RANGE
+        return batch.append_column("_range", pa.array(rng, pa.int64())).append_column(
+            "_bucket", pa.array((rng % _STAT_BUCKETS).astype("int32"))
+        )
+
+    return _to_table(
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+SELECT doc_id,
+  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS start_off,
+  CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       // {_PACK_LEN} AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# quantile-threshold filter — the curation gate "drop the shortest
+# decile per language", built on the SAME bounded two-pass exact order
+# statistics as q_percentiles (no whole-group materialization), then a
+# map-side broadcast filter (one mask per language per batch).
+# --------------------------------------------------------------------------
+
+def q_quantile_filter(sf_dir: str):
+    stats = _lang_nchars_order_stats(
+        sf_dir, lambda n: {"p10": int(np.ceil(0.1 * n))}
+    )
+    thresh = {lang: info["stats"]["p10"][0] for lang, info in stats.items()}
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(lang), dtype=bool)
+        for lg, p10 in thresh.items():  # few langs, vectorized inside
+            m = lang == lg
+            keep[m] = nc[m] >= p10
+        return batch.filter(pa.array(keep))
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    return _to_table(ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_QUANTILE_FILTER = """
+WITH t AS (SELECT lang, quantile_disc(n_chars, 0.1) AS p10
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN t USING (lang)
+WHERE d.n_chars >= t.p10
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3779,6 +3896,8 @@ QUERIES = {
     "set_ops": q_set_ops,
     "props_extract": q_props_extract,
     "grouped_mode": q_grouped_mode,
+    "pack_sequences": q_pack_sequences,
+    "quantile_filter": q_quantile_filter,
 }
 
 ORACLES = {
@@ -3839,4 +3958,6 @@ ORACLES = {
     "set_ops": SQL_SET_OPS,
     "props_extract": SQL_PROPS_EXTRACT,
     "grouped_mode": SQL_GROUPED_MODE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "quantile_filter": SQL_QUANTILE_FILTER,
 }

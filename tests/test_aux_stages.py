@@ -865,3 +865,37 @@ def test_pair_texts_exchange_fallback(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         broadcast[sorted(broadcast.columns)], exchanged[sorted(exchanged.columns)]
     )
+
+
+def test_pack_sequences_multi_range(ray_session, tmp_path, monkeypatch):
+    """The distributed prefix sum must stay exact across MANY ranges
+    (the sf tables fit one _PACK_RANGE, so force tiny ranges and
+    sparse/duplicate-free ids spanning several buckets)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    rng = np.random.RandomState(3)
+    ids = np.sort(rng.choice(100_000, size=3_000, replace=False)).astype("int64")
+    nch = rng.randint(1, 500, size=3_000).astype("int64")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(["en"] * 3_000, pa.string()),
+                "n_chars": pa.array(nch, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    monkeypatch.setattr(Q, "_PACK_RANGE", 1024)  # ~98 ranges
+    got = Q.q_pack_sequences(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(Q.SQL_PACK_SEQUENCES).df()
+    g = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
