@@ -3824,6 +3824,272 @@ WHERE d.n_chars >= t.p10
 """
 
 
+# --------------------------------------------------------------------------
+# per-group Shannon entropy — diversity of the source mix within each
+# language (the corpus-balance diagnostic a curation pipeline runs
+# before mixing).  Pure combiner shape: per-batch (lang, source, cnt)
+# partials → one tiny exchange of O(langs × sources) rows → the log/sum
+# arithmetic runs over that bounded table only.  Float note: terms are
+# summed in sorted-source order and rounded to 6 digits, matching the
+# oracle's rounding (sub-ulp libm ln() differences wash out at 1e-6).
+# --------------------------------------------------------------------------
+
+def q_group_entropy(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, ["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "cnt": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["lang", "source"],
+            sum_cols=["cnt"],
+            schema=pa.schema(
+                [("lang", pa.string()), ("source", pa.string()), ("cnt", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["lang", "source"])
+    )
+    rows = []
+    for lang, g in counts.groupby("lang", sort=True):
+        cnt = g["cnt"].to_numpy(dtype=np.float64)
+        p = cnt / cnt.sum()
+        rows.append((lang, len(g), round(float(-(p * np.log(p)).sum()), 6)))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n_sources": pa.array([r[1] for r in rows], pa.int64()),
+            "entropy": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_GROUP_ENTROPY = """
+WITH c AS (SELECT lang, source, count(*) AS cnt
+           FROM documents GROUP BY lang, source),
+     t AS (SELECT lang, sum(cnt) AS tot FROM c GROUP BY lang)
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n_sources,
+       round(-sum((CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+                  * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy
+FROM c JOIN t USING (lang) GROUP BY c.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split — the standard corpus split as a
+# pure function of the row key (Lehmer LCG, the q_shuffle_export
+# permutation), so the assignment is identical across workers, retries,
+# resumes and engines; per-split counts/char totals come back through
+# the same mergeable-partial exchange (3 rows total cross it).
+# --------------------------------------------------------------------------
+
+def q_train_split(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        s = (d * _LCG_A) % _LCG_M % 10
+        split = np.where(s < 8, "train", np.where(s == 8, "val", "test"))
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"split": split, "n_docs": 1, "sum_chars": nc})
+            .groupby("split", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "split": pa.array(g["split"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "sum_chars": pa.array(g["sum_chars"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["split"],
+        sum_cols=["n_docs", "sum_chars"],
+        schema=pa.schema(
+            [("split", pa.string()), ("n_docs", pa.int64()), ("sum_chars", pa.int64())]
+        ),
+    )
+    return out.sort_by("split")
+
+
+SQL_TRAIN_SPLIT = f"""
+SELECT CASE WHEN (doc_id * {_LCG_A}) % {_LCG_M} % 10 < 8 THEN 'train'
+            WHEN (doc_id * {_LCG_A}) % {_LCG_M} % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1 ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
+# winsorized mean — per-language outlier-robust mean of n_chars with
+# tails clamped to [p10, p90].  The cut points are exact order
+# statistics from the bounded two-pass histogram machinery
+# (_lang_nchars_order_stats — no whole-group materialization); the
+# clamp + sum is map-side against the broadcast cut table, so the only
+# exchange is the O(langs) partial-sum merge.  wmean is ONE division of
+# exact int64s on both sides (then round 6) — bit-stable.
+# --------------------------------------------------------------------------
+
+def q_winsorize(sf_dir: str):
+    stats = _lang_nchars_order_stats(
+        sf_dir,
+        lambda n: {"p10": int(np.ceil(0.1 * n)), "p90": int(np.ceil(0.9 * n))},
+    )
+    cuts = {
+        lang: (info["stats"]["p10"][0], info["stats"]["p90"][0])
+        for lang, info in stats.items()
+    }
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False).copy()
+        for lg, (lo, hi) in cuts.items():  # few langs; clamp vectorized
+            m = lang == lg
+            nc[m] = np.clip(nc[m], lo, hi)
+        g = (
+            pd.DataFrame({"lang": lang, "n": 1, "wsum": nc})
+            .groupby("lang", sort=False, as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "wsum": pa.array(g["wsum"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+    agg = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        sum_cols=["n", "wsum"],
+        schema=pa.schema(
+            [("lang", pa.string()), ("n", pa.int64()), ("wsum", pa.int64())]
+        ),
+    ).to_pandas().sort_values("lang")
+    agg["wmean"] = (agg["wsum"] / agg["n"]).round(6)
+    return pa.Table.from_pandas(agg.reset_index(drop=True))
+
+
+SQL_WINSORIZE = """
+WITH t AS (SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
+                  quantile_disc(n_chars, 0.9) AS hi
+           FROM documents GROUP BY lang)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(greatest(d.n_chars, t.lo), t.hi)) AS BIGINT) AS wsum,
+       round(CAST(sum(least(greatest(d.n_chars, t.lo), t.hi)) AS DOUBLE)
+             / count(*), 6) AS wmean
+FROM documents d JOIN t USING (lang) GROUP BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# global time-ordered running total — cumulative revenue over the whole
+# event stream, SUM(...) OVER (ORDER BY ts, event_id).  The TIMESTAMP
+# flavor of the q_pack_sequences two-pass distributed prefix sum: the
+# partition key is the time RANGE (1h slices — rows tied on ts share a
+# range, so the order key never straddles partitions):
+#   1. per-batch (range, sum) partials → tiny exchange → exclusive
+#      per-range global offsets on the driver (O(ranges));
+#   2. one bucketed exchange co-locates each range; inside, a
+#      vectorized within-range cumsum + the broadcast offset.
+# Values are 2-decimal doubles → ×100 int64 cents make the cumsum EXACT
+# (a float running sum could never hash-match the oracle over 10^5
+# adds).  np.rint and the oracle's round() agree because value*100 is
+# always within ~1e-9 of an integer, never near a .5 tie.
+# --------------------------------------------------------------------------
+
+_RT_RANGE_US = 3_600_000_000  # 1-hour prefix-sum partition
+
+
+def q_running_total(sf_dir: str):
+    import zlib
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = pa.TableGroupBy(
+            pa.table({"range": pc.divide(t, _RT_RANGE_US), "cents": cents}), "range"
+        ).aggregate([("cents", "sum")])
+        return g.rename_columns(["range", "total"])
+
+    sums = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["range"],
+            sum_cols=["total"],
+            schema=pa.schema([("range", pa.int64()), ("total", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("range")
+    )
+    offsets = dict(
+        zip(
+            sums["range"].to_numpy(),
+            np.concatenate([[0], np.cumsum(sums["total"].to_numpy())[:-1]]),
+        )
+    )
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        rng = pc.divide(t, _RT_RANGE_US)
+        bucket = pa.array(
+            [zlib.crc32(str(v).encode()) % _STAT_BUCKETS for v in rng.to_pylist()],
+            pa.int32(),
+        )
+        return (
+            batch.append_column("_ts_us", t)
+            .append_column("_range", rng)
+            .append_column("_bucket", bucket)
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["_range", "_ts_us", "event_id"], kind="mergesort")
+        cents = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        b = b.assign(_cents=cents)
+        cum = b.groupby("_range", sort=False)["_cents"].cumsum()
+        total = cum.to_numpy() + b["_range"].map(offsets).to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "cum_cents": pa.array(total.astype("int64"), pa.int64()),
+            }
+        )
+
+    return _to_table(
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT))
+            OVER (ORDER BY ts, event_id) AS BIGINT) AS cum_cents
+FROM events
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -3898,6 +4164,10 @@ QUERIES = {
     "grouped_mode": q_grouped_mode,
     "pack_sequences": q_pack_sequences,
     "quantile_filter": q_quantile_filter,
+    "group_entropy": q_group_entropy,
+    "train_split": q_train_split,
+    "winsorize": q_winsorize,
+    "running_total": q_running_total,
 }
 
 ORACLES = {
@@ -3960,4 +4230,8 @@ ORACLES = {
     "grouped_mode": SQL_GROUPED_MODE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantile_filter": SQL_QUANTILE_FILTER,
+    "group_entropy": SQL_GROUP_ENTROPY,
+    "train_split": SQL_TRAIN_SPLIT,
+    "winsorize": SQL_WINSORIZE,
+    "running_total": SQL_RUNNING_TOTAL,
 }
