@@ -1591,22 +1591,59 @@ def _lang_hist(sf_dir: str) -> pd.DataFrame:
     return hist.to_pandas().sort_values(["lang", "bin"]).reset_index(drop=True)
 
 
-def _lang_nchars_order_stats(sf_dir: str, ranks_for):
-    """EXACT per-language order statistics of ``n_chars`` at requested
-    1-indexed ranks without materializing any language group.
+def _grouped_order_stats(ds_factory, key: str, value_of, ranks_for):
+    """EXACT per-key order statistics of a derived int64 value at
+    requested 1-indexed ranks without materializing any key group —
+    two bounded histogram passes whose exchanges carry O(keys × bins)
+    rows regardless of corpus size.
 
-    ``ranks_for(n) -> dict[label, rank]`` (ranks < 1 are skipped).
-    Returns ``{lang: {"n": n, "stats": {label: (value, k_within,
-    cnt_at_value)}}}`` where ``value`` is the rank-th smallest n_chars,
-    ``k_within`` its 1-indexed rank among rows with that exact value,
-    and ``cnt_at_value`` that value's total count."""
-    hist = _lang_hist(sf_dir)
+    ``ds_factory() -> Dataset`` (called once per pass — a fresh lazy
+    scan each time, nothing is pinned); ``value_of(pa.Table) ->
+    np.int64 array``; ``ranks_for(n) -> dict[label, rank]`` (ranks < 1
+    are skipped).  ``key`` must be a string column.  Returns ``{key:
+    {"n": n, "stats": {label: (value, k_within, cnt_at_value)}}}``
+    where ``value`` is the rank-th smallest, ``k_within`` its 1-indexed
+    rank among rows tied at that value, and ``cnt_at_value`` the tie
+    count."""
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "key": b.column(key).to_numpy(zero_copy_only=False),
+                    "bin": value_of(b) // _HIST_BIN,
+                }
+            )
+            .groupby(["key", "bin"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "key": pa.array(g["key"], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist = (
+        _sum_partials(
+            ds_factory().map_batches(hist_partial, batch_format="pyarrow"),
+            keys=["key", "bin"],
+            sum_cols=["cnt"],
+            schema=pa.schema(
+                [("key", pa.string()), ("bin", pa.int64()), ("cnt", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["key", "bin"])
+    )
 
     # locate each rank's bin + local rank (driver work over the tiny
     # histogram only)
     want: dict[str, dict] = {}
     needed_bins: set[tuple[str, int]] = set()
-    for lang, g in hist.groupby("lang", sort=False):
+    for k, g in hist.groupby("key", sort=False):
         cnt = g["cnt"].to_numpy()
         bins = g["bin"].to_numpy()
         cum = np.cumsum(cnt)
@@ -1618,48 +1655,46 @@ def _lang_nchars_order_stats(sf_dir: str, ranks_for):
             i = int(np.searchsorted(cum, rank))
             local = int(rank - (cum[i - 1] if i else 0))
             locs[label] = (int(bins[i]), local)
-            needed_bins.add((lang, int(bins[i])))
-        want[lang] = {"n": n, "locs": locs}
+            needed_bins.add((k, int(bins[i])))
+        want[k] = {"n": n, "locs": locs}
 
     # pass 2: exact value counts inside the located bins only
-    needed_df = pd.DataFrame(
-        sorted(needed_bins), columns=["lang", "bin"]
-    )
+    needed_df = pd.DataFrame(sorted(needed_bins), columns=["key", "bin"])
 
-    def val_partial(b: pd.DataFrame) -> pa.Table:
+    def val_partial(b: pa.Table) -> pa.Table:
+        v = value_of(b)
         t = pd.DataFrame(
             {
-                "lang": b["lang"].to_numpy(),
-                "bin": b["n_chars"].to_numpy() // _HIST_BIN,
-                "val": b["n_chars"].to_numpy(),
+                "key": b.column(key).to_numpy(zero_copy_only=False),
+                "bin": v // _HIST_BIN,
+                "val": v,
             }
-        ).merge(needed_df, on=["lang", "bin"])
-        g = t.groupby(["lang", "val"], sort=False).size().reset_index(name="cnt")
+        ).merge(needed_df, on=["key", "bin"])
+        g = t.groupby(["key", "val"], sort=False).size().reset_index(name="cnt")
         return pa.table(
             {
-                "lang": pa.array(g["lang"], pa.string()),
+                "key": pa.array(g["key"], pa.string()),
                 "val": pa.array(g["val"].to_numpy(), pa.int64()),
                 "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
             }
         )
 
-    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
     vals = (
         _sum_partials(
-            ds.map_batches(val_partial, batch_format="pandas"),
-            keys=["lang", "val"],
+            ds_factory().map_batches(val_partial, batch_format="pyarrow"),
+            keys=["key", "val"],
             sum_cols=["cnt"],
             schema=pa.schema(
-                [("lang", pa.string()), ("val", pa.int64()), ("cnt", pa.int64())]
+                [("key", pa.string()), ("val", pa.int64()), ("cnt", pa.int64())]
             ),
         )
         .to_pandas()
-        .sort_values(["lang", "val"])
+        .sort_values(["key", "val"])
     )
 
     out: dict[str, dict] = {}
-    for lang, info in want.items():
-        v = vals[vals["lang"] == lang]
+    for k, info in want.items():
+        v = vals[vals["key"] == k]
         vv = v["val"].to_numpy()
         vc = v["cnt"].to_numpy()
         vbin = vv // _HIST_BIN
@@ -1671,8 +1706,19 @@ def _lang_nchars_order_stats(sf_dir: str, ranks_for):
             i = int(np.searchsorted(cum, local))
             k_within = int(local - (cum[i - 1] if i else 0))
             stats[label] = (int(bv[i]), k_within, int(bc[i]))
-        out[lang] = {"n": info["n"], "stats": stats}
+        out[k] = {"n": info["n"], "stats": stats}
     return out
+
+
+def _lang_nchars_order_stats(sf_dir: str, ranks_for):
+    """Per-language exact order statistics of ``n_chars`` (the
+    documents-table specialization of ``_grouped_order_stats``)."""
+    return _grouped_order_stats(
+        lambda: _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"]),
+        "lang",
+        lambda b: b.column("n_chars").to_numpy(zero_copy_only=False),
+        ranks_for,
+    )
 
 
 def q_percentiles(sf_dir: str):
@@ -4090,6 +4136,468 @@ FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# median absolute deviation — the robust spread statistic, composed
+# from TWO bounded order-statistic passes (median of n_chars, then
+# median of |n_chars − median|) via the generalized
+# _grouped_order_stats; the per-lang medians ride along as a broadcast
+# dict, so four O(langs × bins) exchanges total and no group ever
+# materializes.
+# --------------------------------------------------------------------------
+
+def q_mad(sf_dir: str):
+    med_stats = _lang_nchars_order_stats(
+        sf_dir, lambda n: {"m": int(np.ceil(0.5 * n))}
+    )
+    med = {lang: info["stats"]["m"][0] for lang, info in med_stats.items()}
+
+    def dev_of(b: pa.Table) -> np.ndarray:
+        lang = pd.Series(b.column("lang").to_numpy(zero_copy_only=False))
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return np.abs(nc - lang.map(med).to_numpy()).astype(np.int64)
+
+    dev_stats = _grouped_order_stats(
+        lambda: _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"]),
+        "lang",
+        dev_of,
+        lambda n: {"m": int(np.ceil(0.5 * n))},
+    )
+    langs = sorted(dev_stats)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "med": pa.array([med[l] for l in langs], pa.int64()),
+            "mad": pa.array(
+                [dev_stats[l]["stats"]["m"][0] for l in langs], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_MAD = """
+WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+           FROM documents GROUP BY lang)
+SELECT d.lang, CAST(any_value(m.med) AS BIGINT) AS med,
+       CAST(quantile_disc(abs(d.n_chars - m.med), 0.5) AS BIGINT) AS mad
+FROM documents d JOIN m USING (lang) GROUP BY d.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection — Tukey's fences per event_type over the
+# 2-decimal value column, in EXACT integer cents (value×100) so the
+# fence comparison 2c > 2q3 + 3(q3−q1) never touches a float: the cut
+# points come from the bounded order-statistic machinery, the flagging
+# is a map-side broadcast filter.
+# --------------------------------------------------------------------------
+
+def _event_cents(b: pa.Table) -> np.ndarray:
+    return np.rint(
+        b.column("value").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+
+
+def q_iqr_outliers(sf_dir: str):
+    st = _grouped_order_stats(
+        lambda: _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"]),
+        "event_type",
+        _event_cents,
+        lambda n: {"q1": int(np.ceil(0.25 * n)), "q3": int(np.ceil(0.75 * n))},
+    )
+    fence = {
+        et: (info["stats"]["q1"][0], info["stats"]["q3"][0])
+        for et, info in st.items()
+    }
+
+    def filt(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        c = _event_cents(b)
+        keep = np.zeros(len(c), dtype=bool)
+        for t, (q1, q3) in fence.items():  # few types; vectorized inside
+            m = et == t
+            iqr3 = 3 * (q3 - q1)
+            keep[m] = (2 * c[m] > 2 * q3 + iqr3) | (2 * c[m] < 2 * q1 - iqr3)
+        return b.filter(pa.array(keep))
+
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    return _to_table(ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_IQR_OUTLIERS = """
+WITH c AS (SELECT event_id, event_type, value,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+     t AS (SELECT event_type, quantile_disc(cents, 0.25) AS q1,
+                  quantile_disc(cents, 0.75) AS q3 FROM c GROUP BY event_type)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN t USING (event_type)
+WHERE 2 * c.cents > 2 * t.q3 + 3 * (t.q3 - t.q1)
+   OR 2 * c.cents < 2 * t.q1 - 3 * (t.q3 - t.q1)
+"""
+
+
+# --------------------------------------------------------------------------
+# consecutive-duplicate collapse — the streaming dedup that keeps an
+# event only when its type differs from the SAME user's previous event
+# (sensor/retry-squash semantics).  One user-bucketed exchange, then a
+# vectorized shift-compare inside each bucket — the _bucketed shape,
+# same as rank_window.
+# --------------------------------------------------------------------------
+
+def q_dedup_consecutive(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = b.groupby("user_id", sort=False)["event_type"].shift(1)
+        k = b[prev.isna() | (b["event_type"].to_numpy() != prev.to_numpy())]
+        return pa.table(
+            {
+                "event_id": pa.array(k["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(k["user_id"].to_numpy(), pa.int64()),
+                "event_type": pa.array(k["event_type"], pa.string()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_DEDUP_CONSECUTIVE = """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+WHERE prev IS NULL OR event_type <> prev
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted deterministic sampling — keep each document with probability
+# n_chars/10000, decided by the Lehmer permutation key (pure function
+# of doc_id): importance sampling that is identical across workers,
+# retries, resumes and engines.  Pure map-side filter, no exchange.
+# --------------------------------------------------------------------------
+
+def q_sample_weighted(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = (d * _LCG_A) % _LCG_M % 10000 < np.minimum(nc, 10000)
+        return b.filter(pa.array(keep))
+
+    return _to_table(ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id * {_LCG_A}) % {_LCG_M} % 10000 < least(n_chars, 10000)
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram top-k — word co-occurrence counts, the q_vocab_topk combiner
+# shape over PAIRS: per-batch the token lists flatten once and the
+# bigram extraction is pure offset arithmetic over the flat values
+# (mark each list's last token as a non-start, shift by one) — no
+# per-row loop; only (bigram, partial_count) rows cross the exchange.
+# --------------------------------------------------------------------------
+
+def q_bigram_topk(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        n = len(vals)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        start_ok = np.ones(n - 1, dtype=bool)
+        lasts = offs[1:] - 1  # each list's final token cannot start a bigram
+        lasts = lasts[(lasts >= 0) & (lasts <= n - 2)]
+        start_ok[lasts] = False
+        w1, w2 = vals[:-1][start_ok], vals[1:][start_ok]
+        m = (w1 != "") & (w2 != "")
+        vc = (pd.Series(w1[m]) + " " + pd.Series(w2[m])).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(25)
+    )
+    return _to_table(agg)
+
+
+SQL_BIGRAM_TOPK = """
+WITH w AS (SELECT string_split_regex(lower(text), '[^a-z]+') AS ws
+           FROM documents),
+     p AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                  unnest(ws[2:len(ws)]) AS w2 FROM w)
+SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS cnt
+FROM p WHERE w1 <> '' AND w2 <> ''
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 25
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6 — the forecasting-revenue-change filter-aggregate: pruned
+# 4-column read, one vectorized mask + product per batch, a scalar Sum.
+# The simplest possible shape; here mostly as read-pushdown evidence.
+# --------------------------------------------------------------------------
+
+def q_tpch_q6(sf_dir: str):
+    import datetime
+
+    ds = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = batch.column("l_shipdate")
+        disc = batch.column("l_discount")
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(d, pa.scalar(datetime.datetime(1996, 1, 1))),
+                pc.less(d, pa.scalar(datetime.datetime(1997, 1, 1))),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(0.05)),
+                    pc.less_equal(disc, pa.scalar(0.07)),
+                ),
+                pc.less(batch.column("l_quantity"), pa.scalar(24.0)),
+            ),
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "rev": pc.multiply(
+                    batch.column("l_extendedprice"), batch.column("l_discount")
+                )
+            }
+        )
+
+    agg = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True).sum(
+        "rev"
+    )
+    return pa.table({"revenue": pa.array([round(float(agg), 2)], pa.float64())})
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# activity-histogram (aggregate OF an aggregate) — distribution of
+# distinct active days per user.  Stage 1 collapses each batch to its
+# distinct (user, day) pairs (O(users × days) rows cross the exchange,
+# never raw events); stage 2 counts days per user INSIDE the user
+# bucket and emits that bucket's (n_days → n_users) partial histogram;
+# the ≤ buckets × days partials sum on the driver.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_active_days_dist(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        g = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "day": pc.divide(t, _DAY_US).to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        days = (
+            b.drop_duplicates(["user_id", "day"]).groupby("user_id", sort=False).size()
+        )
+        h = days.value_counts()
+        return pa.table(
+            {
+                "n_days": pa.array(h.index.to_numpy(), pa.int64()),
+                "n_users": pa.array(h.to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+    ).to_pandas()
+    out = (
+        parts.groupby("n_days", as_index=False)["n_users"].sum().sort_values("n_days")
+    )
+    return pa.table(
+        {
+            "n_days": pa.array(out["n_days"].to_numpy(), pa.int64()),
+            "n_users": pa.array(out["n_users"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_ACTIVE_DAYS_DIST = f"""
+SELECT n_days, CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT user_id,
+         CAST(count(DISTINCT epoch_us(ts) // {_DAY_US}) AS BIGINT) AS n_days
+  FROM events GROUP BY user_id)
+GROUP BY n_days ORDER BY n_days
+"""
+
+
+# --------------------------------------------------------------------------
+# per-row percentile rank — percent_rank() OVER (PARTITION BY lang
+# ORDER BY n_chars) WITHOUT a per-row shuffle: the per-lang exact
+# value-count CDF (bounded: n_chars has a capped domain, so the CDF is
+# O(langs × distinct_values)) is built by one mergeable-partial
+# exchange, broadcast, and each row's rank-1 / (n-1) is a map-side
+# searchsorted.  Both engines divide the same two exact ints → the
+# doubles are bit-identical, no rounding needed.
+# --------------------------------------------------------------------------
+
+def q_percentile_rank(sf_dir: str):
+    ds_cdf = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": b.column("lang").to_numpy(zero_copy_only=False),
+                    "val": b.column("n_chars").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["lang", "val"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "val": pa.array(g["val"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cdf = (
+        _sum_partials(
+            ds_cdf.map_batches(partial, batch_format="pyarrow"),
+            keys=["lang", "val"],
+            sum_cols=["cnt"],
+            schema=pa.schema(
+                [("lang", pa.string()), ("val", pa.int64()), ("cnt", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["lang", "val"])
+    )
+    lut = {}
+    for lang, g in cdf.groupby("lang", sort=False):
+        vals = g["val"].to_numpy()
+        cnt = g["cnt"].to_numpy()
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]])  # rank-1 (min rank)
+        lut[lang] = (vals, below, int(cnt.sum()))
+
+    def rank_map(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(nc), dtype=np.float64)
+        for lg, (vals, below, n) in lut.items():
+            m = lang == lg
+            if n > 1:
+                pr[m] = below[np.searchsorted(vals, nc[m])] / (n - 1)
+        return b.append_column("pr", pa.array(pr, pa.float64()))
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
+    return _to_table(
+        ds.map_batches(rank_map, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+SQL_PERCENTILE_RANK = """
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# inter-event gap statistics — per-user count/sum/mean of the gaps
+# between consecutive events.  One user-bucketed exchange; each user
+# lives entirely in its bucket, so the per-user aggregation completes
+# in-bucket (no second exchange).  Gaps are exact epoch-µs int64
+# diffs; the mean is one int÷int division on both sides.
+# --------------------------------------------------------------------------
+
+def q_gap_stats(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = b["ts"].astype("datetime64[us]").astype("int64")
+        gap = ts - ts.groupby(b["user_id"].to_numpy()).shift(1)
+        k = pd.DataFrame({"user_id": b["user_id"].to_numpy(), "gap": gap.to_numpy()})
+        k = k.dropna()
+        g = k.groupby("user_id", as_index=False)["gap"].agg(["count", "sum"])
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_gaps": pa.array(g["count"].to_numpy().astype("int64"), pa.int64()),
+                "sum_gap_us": pa.array(g["sum"].to_numpy().astype("int64"), pa.int64()),
+                "avg_gap_us": pa.array(
+                    np.round(g["sum"].to_numpy() / g["count"].to_numpy(), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_GAP_STATS = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+       round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS avg_gap_us
+FROM (SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -4168,6 +4676,15 @@ QUERIES = {
     "train_split": q_train_split,
     "winsorize": q_winsorize,
     "running_total": q_running_total,
+    "mad": q_mad,
+    "iqr_outliers": q_iqr_outliers,
+    "dedup_consecutive": q_dedup_consecutive,
+    "sample_weighted": q_sample_weighted,
+    "bigram_topk": q_bigram_topk,
+    "tpch_q6": q_tpch_q6,
+    "active_days_dist": q_active_days_dist,
+    "percentile_rank": q_percentile_rank,
+    "gap_stats": q_gap_stats,
 }
 
 ORACLES = {
@@ -4234,4 +4751,13 @@ ORACLES = {
     "train_split": SQL_TRAIN_SPLIT,
     "winsorize": SQL_WINSORIZE,
     "running_total": SQL_RUNNING_TOTAL,
+    "mad": SQL_MAD,
+    "iqr_outliers": SQL_IQR_OUTLIERS,
+    "dedup_consecutive": SQL_DEDUP_CONSECUTIVE,
+    "sample_weighted": SQL_SAMPLE_WEIGHTED,
+    "bigram_topk": SQL_BIGRAM_TOPK,
+    "tpch_q6": SQL_TPCH_Q6,
+    "active_days_dist": SQL_ACTIVE_DAYS_DIST,
+    "percentile_rank": SQL_PERCENTILE_RANK,
+    "gap_stats": SQL_GAP_STATS,
 }

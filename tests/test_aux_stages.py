@@ -899,3 +899,50 @@ def test_pack_sequences_multi_range(ray_session, tmp_path, monkeypatch):
     g = got[sorted(got.columns)].sort_values("doc_id").reset_index(drop=True)
     w = want[sorted(want.columns)].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_grouped_order_stats_exact_vs_numpy(tmp_path):
+    """The generalized two-pass order-statistic machinery returns the
+    EXACT rank-th smallest per key — checked against np.sort on a
+    skewed, tie-heavy distribution (many values collide in one
+    histogram bin and at one exact value)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(7)
+    langs = np.repeat(["aa", "bb", "cc"], [2500, 400, 7])
+    vals = np.concatenate(
+        [
+            rng.integers(0, 50, 2000),      # dense ties inside bin 0
+            np.full(500, 777),              # one massive exact tie
+            rng.integers(0, 100_000, 400),  # wide spread
+            np.arange(7),                   # tiny group, every rank hit
+        ]
+    ).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(vals, pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    ranks_for = lambda n: {  # noqa: E731
+        "r1": 1,
+        "q1": int(np.ceil(0.25 * n)),
+        "med": int(np.ceil(0.5 * n)),
+        "p99": int(np.ceil(0.99 * n)),
+        "max": n,
+    }
+    got = Q._lang_nchars_order_stats(str(tmp_path), ranks_for)
+    for lang in ("aa", "bb", "cc"):
+        srt = np.sort(vals[langs == lang])
+        n = len(srt)
+        assert got[lang]["n"] == n
+        for label, rank in ranks_for(n).items():
+            val, k_within, cnt_at = got[lang]["stats"][label]
+            assert val == srt[rank - 1], (lang, label)
+            assert cnt_at == int((srt == val).sum())
+            assert k_within == rank - int(np.searchsorted(srt, val))
