@@ -2093,7 +2093,11 @@ def _docs_with_planted_neardups(sf_dir: str, n: int = 20) -> ray.data.Dataset:
     seeds the size-aware shuffle strategy for every exchange derived
     from it); only the n seed docs are read driver-side, row-group
     pruned — the old version ``read_table``'d the whole table onto the
-    driver, a 100-TB non-starter."""
+    driver, a 100-TB non-starter.  The union is ``materialize()``d
+    (object-store pin, spillable, NOT driver memory) because every
+    consumer is a multi-pass algorithm — signatures + text join-back +
+    CC rounds would otherwise re-run the read+union per pass (measured
+    2–3× on minhash_dedup/embed_dedup at sf0.1)."""
     base = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     seeds = pa.parquet.read_table(
         _t(sf_dir, "documents"),
@@ -2112,7 +2116,26 @@ def _docs_with_planted_neardups(sf_dir: str, n: int = 20) -> ray.data.Dataset:
             ),
         }
     )
-    return base.union(ray.data.from_arrow(dups))
+    return _compact_pin(
+        base.union(ray.data.from_arrow(dups)),
+        os.path.getsize(_t(sf_dir, "documents")),
+    )
+
+
+def _compact_pin(ds: ray.data.Dataset, est_bytes: int) -> ray.data.Dataset:
+    """Materialize a multi-pass input at a sane block count.  A pruned
+    parquet read splits on row groups — at bench scale that's ~65
+    blocks of ~80 rows, so every downstream pass schedules 65 near-empty
+    tasks and every exchange shuffles 65 block stubs (measured: the
+    dedup family spent more wall on task dispatch than kernels).
+    Target ≈ one block per 64 MB compressed, floor 8 — at 100 TB the
+    same rule yields ~1.5 M blocks, i.e. it only ever COMPACTS
+    over-split small inputs, never under-splits big ones."""
+    target = max(8, int(est_bytes) // (64 << 20))
+    mat = ds.materialize()
+    if mat.num_blocks() > 4 * target:
+        mat = mat.repartition(target).materialize()
+    return mat
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -2229,7 +2252,12 @@ def _embeddings_with_planted_neardups(sf_dir: str) -> ray.data.Dataset:
             ),
         }
     )
-    return base.union(ray.data.from_arrow(dups))
+    # compacted + materialized for the same multi-pass-consumer reason
+    # as _docs_with_planted_neardups
+    return _compact_pin(
+        base.union(ray.data.from_arrow(dups)),
+        os.path.getsize(_t(sf_dir, "embeddings")),
+    )
 
 
 def q_embed_neardup(sf_dir: str):
