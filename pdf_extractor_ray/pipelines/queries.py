@@ -4626,6 +4626,186 @@ WHERE gap IS NOT NULL GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# distinct users per time window — windowed COUNT DISTINCT: each batch
+# collapses to its distinct (window, user) pairs, so the exchange
+# carries O(windows × active_users), never raw events; the per-window
+# distinct count finishes inside the window's bucket.
+# --------------------------------------------------------------------------
+
+_WD_WIN_US = 21_600_000_000  # 6-hour tumbling window
+
+
+def q_window_distinct(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        g = pd.DataFrame(
+            {
+                "w": pc.divide(t, _WD_WIN_US).to_numpy(),
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "w": pa.array(g["w"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = (
+            b.drop_duplicates(["w", "user_id"])
+            .groupby("w", sort=False)
+            .size()
+            .reset_index(name="dau")
+        )
+        return pa.table(
+            {
+                "w": pa.array(g["w"].to_numpy(), pa.int64()),
+                "dau": pa.array(g["dau"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        _merge_partials(
+            ds.map_batches(partial, batch_format="pyarrow"), "w", per_bucket
+        )
+        .to_pandas()
+        .sort_values("w")
+    )
+    return pa.table(
+        {
+            "w": pa.array(out["w"].to_numpy(), pa.int64()),
+            "dau": pa.array(out["dau"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_WINDOW_DISTINCT = f"""
+SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM
+(SELECT epoch_us(ts) // {_WD_WIN_US} AS w, user_id FROM events)
+GROUP BY w ORDER BY w
+"""
+
+
+# --------------------------------------------------------------------------
+# per-user moving average — 3-event rolling mean under (ts, event_id)
+# order, in exact integer cents (the frame SUM is exact; the single
+# int÷int division is bit-identical on both sides, no rounding).  One
+# user-bucketed exchange, vectorized pandas rolling inside.
+# --------------------------------------------------------------------------
+
+def q_moving_avg(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = pd.Series(
+            np.rint(b["value"].to_numpy() * 100).astype(np.int64),
+            index=b.index,
+        )
+        g = cents.groupby(b["user_id"].to_numpy(), sort=False)
+        ma = g.rolling(3, min_periods=1).sum().reset_index(drop=True).to_numpy()
+        n = g.rolling(3, min_periods=1).count().reset_index(drop=True).to_numpy()
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(b["user_id"].to_numpy(), pa.int64()),
+                "ma_cents": pa.array(ma / n, pa.float64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_MOVING_AVG = """
+SELECT event_id, user_id,
+       avg(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma_cents
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# first/last event per user — the ARGMIN/ARGMAX combiner: each batch
+# emits one (user, first-candidate, last-candidate) row per user seen,
+# the bucketed merge reduces candidates by lexicographic (ts, event_id)
+# min/max.  Only O(users) rows per batch cross the exchange.
+# --------------------------------------------------------------------------
+
+def q_first_last(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "ts": b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(),
+                "event_id": b.column("event_id").to_numpy(zero_copy_only=False),
+                "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = d.groupby("user_id", sort=False)
+        f, l = g.head(1), g.tail(1)
+        m = f.rename(
+            columns={"ts": "fts", "event_id": "feid", "event_type": "first_type"}
+        ).merge(
+            l.rename(
+                columns={"ts": "lts", "event_id": "leid", "event_type": "last_type"}
+            ),
+            on="user_id",
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+                "fts": pa.array(m["fts"].to_numpy(), pa.int64()),
+                "feid": pa.array(m["feid"].to_numpy(), pa.int64()),
+                "first_type": pa.array(m["first_type"], pa.string()),
+                "lts": pa.array(m["lts"].to_numpy(), pa.int64()),
+                "leid": pa.array(m["leid"].to_numpy(), pa.int64()),
+                "last_type": pa.array(m["last_type"], pa.string()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        first = (
+            b.sort_values(["user_id", "fts", "feid"], kind="stable")
+            .groupby("user_id", sort=False)
+            .head(1)[["user_id", "first_type"]]
+        )
+        last = (
+            b.sort_values(["user_id", "lts", "leid"], kind="stable")
+            .groupby("user_id", sort=False)
+            .tail(1)[["user_id", "last_type"]]
+        )
+        m = first.merge(last, on="user_id")
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+                "first_type": pa.array(m["first_type"], pa.string()),
+                "last_type": pa.array(m["last_type"], pa.string()),
+            }
+        )
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+    )
+
+
+SQL_FIRST_LAST = """
+SELECT DISTINCT user_id,
+  first_value(event_type) OVER w AS first_type,
+  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -4713,6 +4893,9 @@ QUERIES = {
     "active_days_dist": q_active_days_dist,
     "percentile_rank": q_percentile_rank,
     "gap_stats": q_gap_stats,
+    "window_distinct": q_window_distinct,
+    "moving_avg": q_moving_avg,
+    "first_last": q_first_last,
 }
 
 ORACLES = {
@@ -4788,4 +4971,7 @@ ORACLES = {
     "active_days_dist": SQL_ACTIVE_DAYS_DIST,
     "percentile_rank": SQL_PERCENTILE_RANK,
     "gap_stats": SQL_GAP_STATS,
+    "window_distinct": SQL_WINDOW_DISTINCT,
+    "moving_avg": SQL_MOVING_AVG,
+    "first_last": SQL_FIRST_LAST,
 }

@@ -946,3 +946,44 @@ def test_grouped_order_stats_exact_vs_numpy(tmp_path):
             assert val == srt[rank - 1], (lang, label)
             assert cnt_at == int((srt == val).sum())
             assert k_within == rank - int(np.searchsorted(srt, val))
+
+
+def test_running_total_exact_with_ts_ties(tmp_path):
+    """Global running total: rows tied on ts are ordered by event_id
+    WITHIN one prefix-sum range (same ts → same range by construction),
+    and the cumulative cents match a driver-side cumsum exactly."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    # heavy ties: only 40 distinct timestamps across 5k rows, spread
+    # over ~56 hours so many 1h ranges are exercised
+    ts = np.sort(rng.choice(40, n)) * 5_100_000_000 + 1_700_000_000_000_000
+    eid = rng.permutation(n).astype(np.int64)
+    val = np.round(rng.uniform(0.01, 99.99, n), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "value": pa.array(val, pa.float64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        Q.q_running_total(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    order = np.lexsort((eid, ts))
+    cum = np.cumsum(np.rint(val[order] * 100).astype(np.int64))
+    want = (
+        pd.DataFrame({"event_id": eid[order], "cum_cents": cum})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
