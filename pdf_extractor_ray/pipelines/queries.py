@@ -1521,15 +1521,35 @@ GROUP BY b.band
 _STAT_BUCKETS = 8
 
 
+_DRIVER_MERGE_MAX_ROWS = 65_536  # partial-stream size below which one
+# in-process reduce beats an exchange (size-aware, like the shuffle
+# strategy: partials are O(blocks × keys × bins), so a small lake's
+# stream is a few thousand rows and the ~1 s exchange setup dominates;
+# a 100-TB lake's stream is billions of rows and takes the bucketed
+# exchange below)
+
+
 def _merge_partials(partials, key: str, per_bucket):
-    """Merge tiny per-batch combiner outputs with ONE bucketed exchange.
-    ``Dataset.groupby().aggregate()`` pays ~5 s fixed setup per exchange
-    even on a few-thousand-row partial stream (measured: set_ops 15.2 s
-    → 5.3 s through this shape); the bucket hash runs over combiner
-    OUTPUT (O(groups) rows/batch), never over the data.  ``per_bucket``
-    must be an explicit-schema Arrow-returning merge of one bucket's
-    partials (all partials of one ``key`` value land in one bucket)."""
+    """Merge tiny per-batch combiner outputs.  ``per_bucket`` must be
+    an explicit-schema Arrow-returning merge over a frame holding ALL
+    partials of each key it sees (it always handles many keys — buckets
+    do too).
+
+    Size-aware (the partial stream is materialized first — that's what
+    the exchange would do anyway): at or below
+    ``_DRIVER_MERGE_MAX_ROWS`` the merge runs as one in-process
+    ``per_bucket`` call (zero exchanges); above, ONE bucketed exchange —
+    ``Dataset.groupby().aggregate()`` pays ~5 s fixed setup per
+    exchange even on a few-thousand-row partial stream (measured:
+    set_ops 15.2 s → 5.3 s through the bucket shape), and the bucket
+    hash runs over combiner OUTPUT (O(groups) rows/batch), never over
+    the data."""
     import zlib
+
+    mat = partials.materialize()
+    if mat.count() <= _DRIVER_MERGE_MAX_ROWS:
+        df = mat.to_pandas()
+        return per_bucket(df)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_pylist()
@@ -1537,7 +1557,7 @@ def _merge_partials(partials, key: str, per_bucket):
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     return _to_table(
-        partials.map_batches(add_bucket, batch_format="pyarrow")
+        mat.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket", num_partitions=_STAT_BUCKETS)
         .map_groups(per_bucket, batch_format="pandas")
     )
