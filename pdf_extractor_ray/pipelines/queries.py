@@ -4826,6 +4826,386 @@ FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --------------------------------------------------------------------------
+# exact-substring duplicate spans — the fixed-window form of the
+# Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+# Better" exact-substring scan.  Every stride-S window of W chars is
+# hashed (blake2b-128 — collision odds 2^-128, so hash-grouping is
+# exact for all practical corpus sizes); a window whose content occurs
+# in >=2 DISTINCT documents marks each of its positions as a
+# duplicated span.  Scale shape: the text never crosses an exchange —
+# per-batch Arrow combiner collapses windows to (h128, doc_id, n_pos)
+# partials, exchange 1 buckets by window hash (distinct-doc sieve
+# inside one map_groups per bucket), exchange 2 sums spans per doc.
+# --------------------------------------------------------------------------
+
+_SPAN_W, _SPAN_S = 40, 20
+
+
+def q_dup_spans(sf_dir: str):
+    import hashlib
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_h: list[str] = []
+        out_id: list[int] = []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            if len(t) < _SPAN_W:
+                continue
+            enc = t.encode("utf-8", "surrogatepass")
+            # byte-length guard: substr() positions are chars; windows
+            # are sliced on the decoded string so both engines agree
+            del enc
+            for p in range(0, (len(t) - _SPAN_W) // _SPAN_S + 1):
+                w = t[p * _SPAN_S : p * _SPAN_S + _SPAN_W]
+                out_h.append(hashlib.blake2b(w.encode(), digest_size=16).hexdigest())
+                out_id.append(did)
+        tb = pa.table(
+            {
+                "h": pa.array(out_h, pa.string()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "one": pa.array(np.ones(len(out_h), dtype=np.int64)),
+            }
+        )
+        g = tb.group_by(["h", "doc_id"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                # bucket on the hash's first 8 hex chars — the groupby
+                # key must be numeric for the crc-style bucketing
+                "hb": pa.array(
+                    [int(x[:8], 16) for x in g.column("h").to_pylist()], pa.int64()
+                ),
+                "h": g.column("h"),
+                "doc_id": g.column("doc_id"),
+                "n_pos": g.column("one_sum"),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        ndocs = b.groupby("h", sort=False)["doc_id"].transform("nunique")
+        dup = b[ndocs >= 2]
+        out = dup.groupby("doc_id", sort=False)["n_pos"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(dtype="int64"),
+                "n_dup_windows": out["n_pos"].to_numpy(dtype="int64"),
+            }
+        )
+
+    sieved = _bucketed(
+        ds.map_batches(win_partial, batch_format="pyarrow"), "hb", per_bucket
+    )
+    out = sieved.groupby("doc_id").aggregate(
+        Sum("n_dup_windows", alias_name="n_dup_windows")
+    )
+    return _to_table(out.sort("doc_id"))
+
+
+SQL_DUP_SPANS = """
+WITH w AS (
+  SELECT doc_id, substr(text, CAST(p*20+1 AS INT), 40) AS win
+  FROM documents,
+       LATERAL (SELECT unnest(range(0, CAST((length(text)-40)//20 AS BIGINT)+1)) AS p) ps
+  WHERE length(text) >= 40
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+FROM w JOIN dup USING (win) GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped linear regression — slope/intercept of extendedprice on
+# quantity per returnflag from the same shifted mergeable moments as
+# q_corr_stats (sums of x, y, xy, x² after a constant shift; slope is
+# shift-invariant, the intercept re-adds the shifts).  One tiny
+# exchange of 5 float partials per (batch, group).
+# --------------------------------------------------------------------------
+
+def q_grouped_regression(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = b["l_quantity"].to_numpy() - _CORR_SHIFT_X
+        y = b["l_extendedprice"].to_numpy() - _CORR_SHIFT_Y
+        g = (
+            pd.DataFrame(
+                {
+                    "l_returnflag": b["l_returnflag"].to_numpy(),
+                    "n": np.ones(len(x), dtype=np.int64),
+                    "sx": x,
+                    "sy": y,
+                    "sxx": x * x,
+                    "sxy": x * y,
+                }
+            )
+            .groupby("l_returnflag", sort=False)
+            .sum()
+            .reset_index()
+        )
+        cols = {"l_returnflag": pa.array(g["l_returnflag"], pa.string())}
+        cols["n"] = pa.array(g["n"].to_numpy(), pa.int64())
+        for c in ("sx", "sy", "sxx", "sxy"):
+            cols[c] = pa.array(g[c].to_numpy(), pa.float64())
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(c, alias_name=c) for c in ("sx", "sy", "sxx", "sxy")],
+        )
+    )
+    t = _to_table(agg)
+    n = t.column("n").to_numpy().astype(np.float64)
+    sx = t.column("sx").to_numpy()
+    sy = t.column("sy").to_numpy()
+    slope = (n * t.column("sxy").to_numpy() - sx * sy) / (
+        n * t.column("sxx").to_numpy() - sx * sx
+    )
+    intercept = (sy / n + _CORR_SHIFT_Y) - slope * (sx / n + _CORR_SHIFT_X)
+    out = pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "n": t.column("n"),
+            "slope": pa.array(np.round(slope, 6), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 4), pa.float64()),
+        }
+    )
+    return out.sort_by("l_returnflag")
+
+
+SQL_GROUPED_REGRESSION = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# normalization-aware exact dedup — casefold + whitespace-collapse +
+# trim, then the existing hash-partitioned keep-min-id dedup
+# (stages/dedup.py exact_dedup).  Both engines run RE2, so the \\s
+# class is byte-for-byte identical.
+# --------------------------------------------------------------------------
+
+def q_dedup_normalized(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"\s+", " "
+            )
+        )
+        return batch.set_column(batch.schema.get_field_index("text"), "text", txt)
+
+    return _to_table(
+        dd.exact_dedup(ds.map_batches(normalize, batch_format="pyarrow"))
+    )
+
+
+SQL_DEDUP_NORMALIZED = r"""
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q4 analogue — orders in a half-year window with at least one
+# lineitem shipped >60 days after the order date.  The EXISTS predicate
+# references BOTH sides, so it cannot be a key-only semi-join: the
+# scale-correct plan collapses lineitem per-batch to (orderkey,
+# max_ship) partials (~6x), Max-exchanges O(orders) slim rows, hash-
+# joins them to the date-filtered orders, and finishes with a trivial
+# per-priority count.
+# --------------------------------------------------------------------------
+
+def q_exists_join(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 7, 1)
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def order_epoch(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "od_us": od,
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def maxship(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "ship_us": batch.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+        g = t.group_by("l_orderkey").aggregate([("ship_us", "max")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "max_ship_us": g.column("ship_us_max"),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    slim = (
+        li.map_batches(maxship, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+    )
+    joined = slim.join(
+        orders.map_batches(order_epoch, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(8, cpus // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    sixty_days_us = 60 * 86_400_000_000
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(
+            batch.column("max_ship_us"),
+            pc.add(batch.column("od_us"), pa.scalar(sixty_days_us, pa.int64())),
+        )
+        t = batch.filter(late)
+        g = (
+            t.append_column("one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+            .group_by("o_orderpriority")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": g.column("o_orderpriority"),
+                "order_count": g.column("one_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(late_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("order_count", alias_name="order_count"))
+    )
+    return _to_table(out.sort("o_orderpriority"))
+
+
+SQL_EXISTS_JOIN = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 analogue — per ship-year counts of lineitems on
+# high-priority vs other orders.  Per-batch combiner collapses
+# lineitem to (orderkey, ship_year, n) before the join (orderkey ×
+# year pairs ≈ order count); the post-join classification re-collapses
+# to (year, hi, lo) partials so the final exchange moves O(years) rows.
+# --------------------------------------------------------------------------
+
+def q_ship_priority(sf_dir: str):
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate"])
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "ship_year": pc.year(batch.column("l_shipdate")).cast(pa.int64()),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["l_orderkey", "ship_year"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "l_orderkey": g.column("l_orderkey"),
+                "ship_year": g.column("ship_year"),
+                "n": g.column("one_sum"),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = li.map_batches(year_partial, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=max(8, cpus // 4),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    high_set = pa.array(["1-URGENT", "2-HIGH"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch.column("o_orderpriority"), value_set=high_set)
+        n = batch.column("n")
+        zero = pa.scalar(0, pa.int64())
+        t = pa.table(
+            {
+                "ship_year": batch.column("ship_year"),
+                "high_line_count": pc.if_else(hi, n, zero),
+                "low_line_count": pc.if_else(hi, zero, n),
+            }
+        )
+        g = t.group_by("ship_year").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return pa.table(
+            {
+                "ship_year": g.column("ship_year"),
+                "high_line_count": g.column("high_line_count_sum"),
+                "low_line_count": g.column("low_line_count_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(classify, batch_format="pyarrow")
+        .groupby("ship_year")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+    return _to_table(out.sort("ship_year"))
+
+
+SQL_SHIP_PRIORITY = """
+SELECT year(l_shipdate) AS ship_year,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -4916,6 +5296,11 @@ QUERIES = {
     "window_distinct": q_window_distinct,
     "moving_avg": q_moving_avg,
     "first_last": q_first_last,
+    "dup_spans": q_dup_spans,
+    "grouped_regression": q_grouped_regression,
+    "dedup_normalized": q_dedup_normalized,
+    "exists_join": q_exists_join,
+    "ship_priority": q_ship_priority,
 }
 
 ORACLES = {
@@ -4994,4 +5379,9 @@ ORACLES = {
     "window_distinct": SQL_WINDOW_DISTINCT,
     "moving_avg": SQL_MOVING_AVG,
     "first_last": SQL_FIRST_LAST,
+    "dup_spans": SQL_DUP_SPANS,
+    "grouped_regression": SQL_GROUPED_REGRESSION,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "exists_join": SQL_EXISTS_JOIN,
+    "ship_priority": SQL_SHIP_PRIORITY,
 }
