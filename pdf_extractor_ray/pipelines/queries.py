@@ -5206,6 +5206,205 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 top-k retrieval — the classic Okapi/Lucene relevance score for
+# a fixed 3-term query.  Two bounded passes: (1) one-row-per-batch
+# corpus-stats partials (total token count + per-term document
+# frequencies) Sum-exchanged to the driver — O(batches) rows; (2)
+# map-side scoring against the broadcast stats with a per-batch top-k
+# combiner, so the final sort sees ≤k rows per batch.  The idf uses
+# the Lucene formulation ln((N-df+0.5)/(df+0.5)+1) ≥ 0.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "merge", "window")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 10
+
+
+def q_bm25_topk(sf_dir: str):
+    path = _t(sf_dir, "documents")
+    n_docs = pa.parquet.read_metadata(path).num_rows
+    ds = _read_pq(path, columns=["doc_id", "text"])
+
+    def _tok(batch: pa.Table):
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        return flat[keep], parent[keep]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        dfs = {}
+        for t in _BM25_TERMS:
+            dfs[f"df_{t}"] = pa.array(
+                [int(len(np.unique(parent[flat == t])))], pa.int64()
+            )
+        return pa.table(
+            {"sum_dl": pa.array([int(len(flat))], pa.int64()), **dfs}
+        )
+
+    # O(batches) one-row partials — summing them on the driver is the
+    # bounded reduce (same contract as the sketch family)
+    stats = _to_table(ds.map_batches(stats_partial, batch_format="pyarrow"))
+    avgdl = float(pc.sum(stats.column("sum_dl")).as_py()) / float(n_docs)
+    idf = {}
+    for t in _BM25_TERMS:
+        df_t = float(pc.sum(stats.column(f"df_{t}")).as_py())
+        idf[t] = float(np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        n = batch.num_rows
+        dl = np.bincount(parent, minlength=n).astype(np.float64)
+        denom_dl = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        score = np.zeros(n, dtype=np.float64)
+        any_tf = np.zeros(n, dtype=bool)
+        for t in _BM25_TERMS:
+            tf = np.bincount(parent[flat == t], minlength=n).astype(np.float64)
+            any_tf |= tf > 0
+            score += idf[t] * tf * (_BM25_K1 + 1.0) / (tf + denom_dl)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        score = np.round(score, 6)
+        # per-batch top-k combiner: (-score, doc_id) lexicographic
+        cand = np.flatnonzero(any_tf)
+        order = np.lexsort((ids[cand], -score[cand]))[: _BM25_K]
+        sel = cand[order]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "bm25": pa.array(score[sel], pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(score_partial, batch_format="pyarrow")
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(_BM25_K)
+    )
+    return _to_table(out)
+
+
+SQL_BM25_TOPK = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+), t2 AS (
+  SELECT doc_id, w FROM toks WHERE w <> ''
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM t2 GROUP BY doc_id
+), corpus AS (
+  SELECT (SELECT sum(dl) FROM dl) / (SELECT count(*) FROM documents) AS avgdl,
+         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM t2
+  WHERE w IN ('hash', 'merge', 'window') GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM t2
+  WHERE w IN ('hash', 'merge', 'window') GROUP BY w
+)
+SELECT d.doc_id,
+       round(sum( ln((n - df + 0.5) / (df + 0.5) + 1)
+                  * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) ), 6)
+         AS bm25
+FROM tf d JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
+GROUP BY d.doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# salted hot-key join — the skew-buster pattern as a first-class
+# query.  events.user_id has ~150 distinct values at any scale, so a
+# plain hash join degenerates to ≤150 effective partitions with
+# arbitrarily large probe groups; salting the fact key with
+# event_id % S and replicating the dimension S× bounds every join
+# partition at the cost of an S× copy of the SMALL side only.  Result
+# is provably identical to the unsalted join (the oracle).
+# --------------------------------------------------------------------------
+
+_JOIN_SALT = 8
+
+
+def q_join_salted(sf_dir: str):
+    cust = _read_pq(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        seg = batch.column("c_mktsegment")
+        salted = (
+            np.repeat(keys * _JOIN_SALT, _JOIN_SALT)
+            + np.tile(np.arange(_JOIN_SALT, dtype=np.int64), n)
+        )
+        idx = np.repeat(np.arange(n, dtype=np.int64), _JOIN_SALT)
+        return pa.table(
+            {
+                "salted_key": pa.array(salted, pa.int64()),
+                "c_mktsegment": seg.take(pa.array(idx)),
+            }
+        )
+
+    events = _read_pq(_t(sf_dir, "events"), columns=["user_id", "event_id", "value"])
+
+    def salt_fact(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "salted_key": pa.array(
+                    uid * _JOIN_SALT + eid % _JOIN_SALT, pa.int64()
+                ),
+                "value": batch.column("value"),
+            }
+        )
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    joined = events.map_batches(salt_fact, batch_format="pyarrow").join(
+        cust.map_batches(replicate, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=max(8, cpus // 4),
+        on=("salted_key",),
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        # values are 2-decimal doubles → per-row ×100 int64 cents make
+        # the sum EXACT across any reduce order (running_total pattern)
+        cents = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            batch.append_column("one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+            .append_column("cents", pa.array(cents, pa.int64()))
+            .group_by("c_mktsegment")
+            .aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return pa.table(
+            {
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_events": g.column("one_sum"),
+                "total_cents": g.column("cents_sum"),
+            }
+        )
+
+    out = (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+    return _to_table(out.sort("c_mktsegment"))
+
+
+SQL_JOIN_SALTED = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -5301,6 +5500,8 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "exists_join": q_exists_join,
     "ship_priority": q_ship_priority,
+    "bm25_topk": q_bm25_topk,
+    "join_salted": q_join_salted,
 }
 
 ORACLES = {
@@ -5384,4 +5585,6 @@ ORACLES = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "exists_join": SQL_EXISTS_JOIN,
     "ship_priority": SQL_SHIP_PRIORITY,
+    "bm25_topk": SQL_BM25_TOPK,
+    "join_salted": SQL_JOIN_SALTED,
 }
