@@ -987,3 +987,112 @@ def test_running_total_exact_with_ts_ties(tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dup_spans_planted(ray_session, tmp_path):
+    """q_dup_spans must mark exactly the window positions whose 40-char
+    content recurs in >=2 distinct docs: A and B share a 60-char block
+    (2 aligned windows each at stride 20), C is unique, D is too short
+    to produce any window."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    block = ("shared boilerplate block that is exactly sixty characters ok")
+    assert len(block) == 60
+    # place the block at a stride-aligned offset in both docs
+    a = block + " unique tail for document a " + "x" * 40
+    b = block + " entirely different ending for doc b " + "y" * 40
+    c = "completely unique text with no repeats at all " + "z" * 40
+    d = "short"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([a, b, c, d], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = Q.q_dup_spans(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(Q.SQL_DUP_SPANS).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the planted pair and ONLY the planted pair
+    assert set(got["doc_id"]) == {1, 2}
+    # 60-char block at offset 0 → windows at positions 0 and 20 in each
+    assert got.set_index("doc_id")["n_dup_windows"].to_dict() == {1: 2, 2: 2}
+
+
+def test_bm25_planted_ranking(ray_session, tmp_path):
+    """BM25 must rank a short doc saturated with query terms above a
+    long doc that mentions one term once, exclude docs with no query
+    term, and match the SQL oracle bit-for-bit on the fixture."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    docs = [
+        (1, "hash merge window hash merge window"),          # dense, short
+        (2, "hash " + "filler nothing relevant here " * 20), # one hit, long
+        (3, "no relevant terms in this document at all"),
+        (4, "merge of the window " + "pad " * 5),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = Q.q_bm25_topk(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(Q.SQL_BM25_TOPK).df()
+    pd.testing.assert_frame_equal(got, want)
+    assert list(got["doc_id"])[0] == 1          # dense short doc wins
+    assert 3 not in set(got["doc_id"])          # zero-term doc excluded
+
+
+def test_join_salted_equivalence_under_skew(ray_session, tmp_path):
+    """The salted join must be bit-identical to the plain SQL join even
+    when one key owns ~90% of the fact rows (the case salting exists
+    for)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    n = 5000
+    uid = np.where(np.arange(n) % 10 < 9, 7, np.arange(n) % 50)  # user 7 is hot
+    events = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "value": pa.array(np.round(np.arange(n) * 0.07 % 100, 2), pa.float64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(50, dtype=np.int64), pa.int64()),
+            "c_mktsegment": pa.array(
+                [["BUILDING", "MACHINERY", "AUTOMOBILE"][i % 3] for i in range(50)],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    got = Q.q_join_salted(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = con.sql(Q.SQL_JOIN_SALTED).df()
+    pd.testing.assert_frame_equal(got, want)
