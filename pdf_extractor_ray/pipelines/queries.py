@@ -1529,7 +1529,7 @@ _DRIVER_MERGE_MAX_ROWS = 65_536  # partial-stream size below which one
 # exchange below)
 
 
-def _merge_partials(partials, key: str, per_bucket):
+def _merge_partials(partials, key: str, per_bucket, input_schema: pa.Schema | None = None):
     """Merge tiny per-batch combiner outputs.  ``per_bucket`` must be
     an explicit-schema Arrow-returning merge over a frame holding ALL
     partials of each key it sees (it always handles many keys — buckets
@@ -1548,7 +1548,12 @@ def _merge_partials(partials, key: str, per_bucket):
 
     mat = partials.materialize()
     if mat.count() <= _DRIVER_MERGE_MAX_ROWS:
-        df = mat.to_pandas()
+        if mat.count() == 0 and input_schema is not None:
+            # an all-empty partial stream can surface as zero blocks —
+            # to_pandas() then loses the columns and per_bucket KeyErrors
+            df = input_schema.empty_table().to_pandas()
+        else:
+            df = mat.to_pandas()
         return per_bucket(df)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -1570,7 +1575,8 @@ def _sum_partials(partials, keys: list[str], sum_cols: list[str], schema: pa.Sch
         g = b.groupby(keys, sort=False, as_index=False)[sum_cols].sum()
         return pa.table({f.name: pa.array(g[f.name], type=f.type) for f in schema})
 
-    return _merge_partials(partials, keys[0], per_bucket)
+    # a _sum_partials input frame has exactly the output columns
+    return _merge_partials(partials, keys[0], per_bucket, input_schema=schema)
 
 
 def _lang_hist(sf_dir: str) -> pd.DataFrame:

@@ -1096,3 +1096,23 @@ def test_join_salted_equivalence_under_skew(ray_session, tmp_path):
         )
     want = con.sql(Q.SQL_JOIN_SALTED).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dup_spans_no_duplicates_and_nulls(ray_session, tmp_path):
+    """A lake with NO duplicated window (plus null/empty texts) must
+    yield an empty result, not a schema-less KeyError — the
+    all-empty-partial-stream path of _merge_partials."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["x" * 80, None, ""], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = Q.q_dup_spans(str(tmp_path))
+    assert got.num_rows == 0
+    assert got.schema.names == ["doc_id", "n_dup_windows"]
