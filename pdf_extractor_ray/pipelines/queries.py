@@ -1219,7 +1219,14 @@ def q_topk_per_group(sf_dir: str):
         )
 
     partials = ds.map_batches(top3, batch_format="pandas")
-    return _merge_partials(partials, key="lang", per_bucket=top3)
+    return _merge_partials(
+        partials,
+        key="lang",
+        per_bucket=top3,
+        input_schema=pa.schema(
+            [("lang", pa.string()), ("doc_id", pa.int64()), ("n_chars", pa.int64())]
+        ),
+    )
 
 
 SQL_TOPK_PER_GROUP = """
@@ -4510,7 +4517,10 @@ def q_active_days_dist(sf_dir: str):
         )
 
     parts = _merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64())]),
     ).to_pandas()
     out = (
         parts.groupby("n_days", as_index=False)["n_users"].sum().sort_values("n_days")
@@ -4696,7 +4706,10 @@ def q_window_distinct(sf_dir: str):
 
     out = (
         _merge_partials(
-            ds.map_batches(partial, batch_format="pyarrow"), "w", per_bucket
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "w",
+            per_bucket,
+            input_schema=pa.schema([("w", pa.int64()), ("user_id", pa.int64())]),
         )
         .to_pandas()
         .sort_values("w")
@@ -4819,7 +4832,20 @@ def q_first_last(sf_dir: str):
         )
 
     return _merge_partials(
-        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("fts", pa.int64()),
+                ("feid", pa.int64()),
+                ("first_type", pa.string()),
+                ("lts", pa.int64()),
+                ("leid", pa.int64()),
+                ("last_type", pa.string()),
+            ]
+        ),
     )
 
 
