@@ -144,3 +144,15 @@ def fingerprint(text: str) -> int:
     for b in " ".join(text.split()).encode("utf-8"):
         h = ((h ^ b) * _FP_BASE) & _FP_MASK
     return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+
+def fingerprint_exact(text: str) -> int:
+    """FNV-1a 64-bit over the RAW utf-8 bytes — the exact-dedup key.
+    Unlike ``fingerprint`` (whitespace-invariant, for document
+    fingerprinting / near-dup prefilters), two texts differing only in
+    whitespace get DIFFERENT keys here, matching a ``GROUP BY text``
+    oracle byte-for-byte."""
+    h = _FP_OFFSET
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * _FP_BASE) & _FP_MASK
+    return h - 0x10000000000000000 if h >= 0x8000000000000000 else h

@@ -5492,6 +5492,391 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --------------------------------------------------------------------------
+# source quota — domain-balanced sampling: keep at most _QUOTA_N docs
+# per source, picked by a deterministic pseudorandom order (the
+# shuffle_export LCG key, doc_id tie-break) so both engines agree on
+# the winners.  Per-source top-N is COMBINABLE: each batch emits its
+# local top-N per source (≤ N×sources rows), the size-aware merge
+# finishes — document text never crosses an exchange, and the partial
+# stream is O(batches × sources × N) regardless of corpus size.  This
+# is the per-domain quota step of a web-scale curation pipeline
+# (cap any one domain's share of the training mix).
+# --------------------------------------------------------------------------
+
+_QUOTA_N = 50
+
+
+def q_source_quota(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def _top(f: pd.DataFrame) -> pd.DataFrame:
+        return (
+            f.sort_values(["source", "h", "doc_id"])
+            .groupby("source", sort=False)
+            .head(_QUOTA_N)
+        )
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        f = pd.DataFrame(
+            {"source": b["source"].to_numpy(), "doc_id": d, "h": (d * _LCG_A) % _LCG_M}
+        )
+        top = _top(f)
+        return pa.table(
+            {
+                "source": pa.array(top["source"], pa.string()),
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+                "h": pa.array(top["h"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        top = _top(b)
+        return pa.table(
+            {
+                "source": pa.array(top["source"], pa.string()),
+                "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    out = _merge_partials(
+        partials,
+        "source",
+        per_bucket,
+        input_schema=pa.schema(
+            [("source", pa.string()), ("doc_id", pa.int64()), ("h", pa.int64())]
+        ),
+    )
+    return out if isinstance(out, pa.Table) else _to_table(out)
+
+
+SQL_SOURCE_QUOTA = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY (doc_id * {_LCG_A}) % {_LCG_M}, doc_id) AS rn
+  FROM documents) WHERE rn <= {_QUOTA_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster-size distribution — "how duplicated is this lake?"
+# (the first diagnostic run before choosing a dedup strategy).  Two
+# bounded aggregation levels: per-batch (fp64, n) partials collapse the
+# text stream to O(distinct-per-batch) rows; the size-aware merge
+# co-locates each fingerprint and each bucket emits its LOCAL
+# (cluster_size → n_clusters) histogram (every fp lives wholly in one
+# bucket, so local histograms are exact); the final cross-bucket sum is
+# O(distinct sizes × buckets) — always driver-safe.  Same 64-bit
+# content fingerprint as exact_dedup (collision odds ≪ corpus²/2⁶⁴
+# assumption shared with the green dedup_exact oracle).
+# --------------------------------------------------------------------------
+
+def q_dup_count_dist(sf_dir: str):
+    from ..functions.textstats import fingerprint_exact
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").to_pylist()
+        fps = np.fromiter(
+            (fingerprint_exact(t or "") for t in txt), dtype=np.int64, count=len(txt)
+        )
+        g = pd.Series(fps).value_counts()
+        return pa.table(
+            {
+                "fp64": pa.array(g.index.to_numpy(), pa.int64()),
+                "n": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        dist = b.groupby("fp64", sort=False)["n"].sum().value_counts()
+        return pa.table(
+            {
+                "cluster_size": pa.array(dist.index.to_numpy(), pa.int64()),
+                "n_clusters": pa.array(dist.to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    dist = _merge_partials(
+        partials,
+        "fp64",
+        per_bucket,
+        input_schema=pa.schema([("fp64", pa.int64()), ("n", pa.int64())]),
+    )
+    if not isinstance(dist, pa.Table):
+        dist = _to_table(dist)
+    df = (
+        dist.to_pandas()
+        .groupby("cluster_size", as_index=False)["n_clusters"]
+        .sum()
+        .sort_values("cluster_size")
+    )
+    return pa.table(
+        {
+            "cluster_size": pa.array(df["cluster_size"].to_numpy(), pa.int64()),
+            "n_clusters": pa.array(df["n_clusters"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_DUP_COUNT_DIST = """
+SELECT CAST(cnt AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT count(*) AS cnt FROM documents GROUP BY text)
+GROUP BY cnt
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped skewness / excess kurtosis — per-language shape statistics of
+# the document-length distribution from MERGEABLE raw power sums
+# (n, Σx, Σx², Σx³, Σx⁴ per batch → one tiny keyed sum → closed-form
+# central-moment finish).  Both engines evaluate the IDENTICAL raw-
+# moment algebra in IEEE double (population m₂/m₃/m₄, skew = m₃/m₂^1.5,
+# excess kurt = m₄/m₂² − 3), so after round(…,6) they agree; DuckDB's
+# builtin skewness()/kurtosis() apply sample-bias corrections and are
+# deliberately NOT used.  The exchange moves 6 numbers per (batch,
+# lang) — corpus-size-independent.
+# --------------------------------------------------------------------------
+
+def q_skew_kurt(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = b["n_chars"].to_numpy().astype(np.float64)
+        f = pd.DataFrame(
+            {
+                "lang": b["lang"].to_numpy(),
+                "n": np.ones_like(x),
+                "s1": x,
+                "s2": x * x,
+                "s3": x**3,
+                "s4": x**4,
+            }
+        )
+        g = f.groupby("lang", sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                **{
+                    c: pa.array(g[c].to_numpy(), pa.float64())
+                    for c in ("n", "s1", "s2", "s3", "s4")
+                },
+            }
+        )
+
+    sums = _sum_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang"],
+        sum_cols=["n", "s1", "s2", "s3", "s4"],
+        schema=pa.schema(
+            [("lang", pa.string())]
+            + [(c, pa.float64()) for c in ("n", "s1", "s2", "s3", "s4")]
+        ),
+    )
+    df = sums.to_pandas() if isinstance(sums, pa.Table) else sums.to_pandas()
+    n = df["n"].to_numpy()
+    mu = df["s1"].to_numpy() / n
+    m2 = df["s2"].to_numpy() / n - mu**2
+    m3 = df["s3"].to_numpy() / n - 3 * mu * (df["s2"].to_numpy() / n) + 2 * mu**3
+    m4 = (
+        df["s4"].to_numpy() / n
+        - 4 * mu * (df["s3"].to_numpy() / n)
+        + 6 * mu**2 * (df["s2"].to_numpy() / n)
+        - 3 * mu**4
+    )
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"], pa.string()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+            "mean_chars": pa.array(np.round(mu, 6), pa.float64()),
+            "skew": pa.array(np.round(m3 / m2**1.5, 6), pa.float64()),
+            "kurt": pa.array(np.round(m4 / m2**2 - 3.0, 6), pa.float64()),
+        }
+    )
+
+
+SQL_SKEW_KURT = """
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(n_chars AS DOUBLE)) AS s1,
+         sum(pow(CAST(n_chars AS DOUBLE), 2)) AS s2,
+         sum(pow(CAST(n_chars AS DOUBLE), 3)) AS s3,
+         sum(pow(CAST(n_chars AS DOUBLE), 4)) AS s4
+  FROM documents GROUP BY lang),
+m AS (
+  SELECT lang, n, s1/n AS mu,
+         s2/n - pow(s1/n, 2) AS m2,
+         s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3) AS m3,
+         s4/n - 4*(s1/n)*(s3/n) + 6*pow(s1/n, 2)*(s2/n) - 3*pow(s1/n, 4) AS m4
+  FROM s)
+SELECT lang, n, round(mu, 6) AS mean_chars,
+       round(m3 / pow(m2, 1.5), 6) AS skew,
+       round(m4 / pow(m2, 2) - 3, 6) AS kurt
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# keep-longest dedup — within each NORMALIZED-text cluster keep the
+# version with the most original characters (tie → smallest doc_id):
+# the "keep the richest variant" policy real curation pipelines use
+# where exact_dedup's min-id is arbitrary.  Argmax is combinable: each
+# batch keeps its local best per fingerprint, the merge keeps the
+# global best — only (fp64, doc_id, n_chars) rows move.  Normalization
+# = the dedup_normalized kernel (lower, collapse whitespace, trim),
+# identical pyarrow/DuckDB pair already oracle-green there.
+# --------------------------------------------------------------------------
+
+def q_dedup_keep_longest(sf_dir: str):
+    from ..functions.textstats import fingerprint_exact
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text", "n_chars"])
+
+    def _best(f: pd.DataFrame) -> pd.DataFrame:
+        return f.sort_values(
+            ["fp64", "n_chars", "doc_id"], ascending=[True, False, True]
+        ).drop_duplicates("fp64")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"\s+", " "
+            )
+        ).to_pylist()
+        fps = np.fromiter(
+            (fingerprint_exact(t or "") for t in norm), dtype=np.int64, count=len(norm)
+        )
+        best = _best(
+            pd.DataFrame(
+                {
+                    "fp64": fps,
+                    "doc_id": batch.column("doc_id").to_numpy(),
+                    "n_chars": batch.column("n_chars").to_numpy(),
+                }
+            )
+        )
+        return pa.table(
+            {
+                c: pa.array(best[c].to_numpy(), pa.int64())
+                for c in ("fp64", "doc_id", "n_chars")
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        best = _best(b)
+        return pa.table(
+            {
+                c: pa.array(best[c].to_numpy(), pa.int64())
+                for c in ("doc_id", "n_chars")
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = _merge_partials(
+        partials,
+        "fp64",
+        per_bucket,
+        input_schema=pa.schema(
+            [("fp64", pa.int64()), ("doc_id", pa.int64()), ("n_chars", pa.int64())]
+        ),
+    )
+    return out if isinstance(out, pa.Table) else _to_table(out)
+
+
+SQL_DEDUP_KEEP_LONGEST = r"""
+SELECT doc_id, n_chars FROM (
+  SELECT doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+           ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# period-over-period change — lag over an AGGREGATED time series: daily
+# revenue cents per event_type, then Δ vs the type's previous observed
+# day.  The heavy part (the event stream) collapses to per-batch
+# (type, day, cents) partials before one tiny keyed sum; the lag runs
+# driver-side over the O(types × days) aggregate — a few thousand rows
+# at ANY corpus size, which is the honest place for a window whose
+# input is already reduced.  Integer cents keep both engines bit-exact;
+# day_id = epoch_us // day (the green tumbling-window idiom).
+# --------------------------------------------------------------------------
+
+def q_dod_change(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        f = pd.DataFrame(
+            {
+                "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+                "day_id": us // _DAY_US,
+                "cents": _event_cents(b),
+            }
+        )
+        g = f.groupby(["event_type", "day_id"], sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "day_id": pa.array(g["day_id"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    daily = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["event_type", "day_id"],
+        sum_cols=["cents"],
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("day_id", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+    )
+    df = daily.to_pandas().sort_values(["event_type", "day_id"])
+    df["lag_cents"] = df.groupby("event_type")["cents"].shift(1)
+    df = df[df["lag_cents"].notna()].copy()
+    df["lag_cents"] = df["lag_cents"].astype(np.int64)
+    df["delta_cents"] = df["cents"].to_numpy() - df["lag_cents"].to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], pa.string()),
+            "day_id": pa.array(df["day_id"].to_numpy(), pa.int64()),
+            "cents": pa.array(df["cents"].to_numpy(), pa.int64()),
+            "lag_cents": pa.array(df["lag_cents"].to_numpy(), pa.int64()),
+            "delta_cents": pa.array(df["delta_cents"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_DOD_CHANGE = """
+WITH m AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, day_id)
+SELECT event_type, day_id, cents,
+       CAST(lag_cents AS BIGINT) AS lag_cents,
+       CAST(cents - lag_cents AS BIGINT) AS delta_cents
+FROM (SELECT *, lag(cents) OVER (PARTITION BY event_type
+                                 ORDER BY day_id) AS lag_cents FROM m)
+WHERE lag_cents IS NOT NULL
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -5589,6 +5974,11 @@ QUERIES = {
     "ship_priority": q_ship_priority,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
+    "source_quota": q_source_quota,
+    "dup_count_dist": q_dup_count_dist,
+    "skew_kurt": q_skew_kurt,
+    "dedup_keep_longest": q_dedup_keep_longest,
+    "dod_change": q_dod_change,
 }
 
 ORACLES = {
@@ -5674,4 +6064,9 @@ ORACLES = {
     "ship_priority": SQL_SHIP_PRIORITY,
     "bm25_topk": SQL_BM25_TOPK,
     "join_salted": SQL_JOIN_SALTED,
+    "source_quota": SQL_SOURCE_QUOTA,
+    "dup_count_dist": SQL_DUP_COUNT_DIST,
+    "skew_kurt": SQL_SKEW_KURT,
+    "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
+    "dod_change": SQL_DOD_CHANGE,
 }

@@ -40,7 +40,7 @@ from ..functions.hashing import (
     shingles,
     simhash,
 )
-from ..functions.textstats import fingerprint
+from ..functions.textstats import fingerprint_exact
 
 # Coarse shuffle-bucket count for the pair generators: ONE map_groups
 # call per coarse bucket; fine (band/bucket) groups are sieved
@@ -103,15 +103,18 @@ def _collect(ds) -> pa.Table:
 # --------------------------------------------------------------------------
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup: 64-bit content fingerprint, hash-partition, keep
-    the smallest id per group (deterministic winner) via a pure
-    vectorized ``Min`` aggregate — ~1 group per distinct document, so a
-    per-group Python ``map_groups`` call would dominate at scale.  Only
-    (fp64, id) columns cross the shuffle."""
+    """Exact dedup: 64-bit RAW-byte content fingerprint
+    (``fingerprint_exact`` — byte-for-byte ``GROUP BY text``
+    semantics; the whitespace-invariant ``fingerprint`` belongs to the
+    near-dup prefilters, not here), hash-partition, keep the smallest
+    id per group (deterministic winner) via a pure vectorized ``Min``
+    aggregate — ~1 group per distinct document, so a per-group Python
+    ``map_groups`` call would dominate at scale.  Only (fp64, id)
+    columns cross the shuffle."""
     from ray.data.aggregate import Min
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        fps = [fingerprint(t or "") for t in batch.column(text_col).to_pylist()]
+        fps = [fingerprint_exact(t or "") for t in batch.column(text_col).to_pylist()]
         return batch.append_column("fp64", pa.array(fps, pa.int64()))
 
     slim = (

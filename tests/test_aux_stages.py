@@ -66,6 +66,16 @@ def test_fingerprint_whitespace_invariant():
     assert fingerprint("a b c") != fingerprint("a b d")
 
 
+def test_fingerprint_exact_is_byte_sensitive():
+    """exact_dedup's key must match GROUP BY text byte-for-byte —
+    whitespace-only variants are DIFFERENT documents to it (the
+    invariant fingerprint() is for near-dup prefilters only)."""
+    from pdf_extractor_ray.functions.textstats import fingerprint_exact
+
+    assert fingerprint_exact("a  b") != fingerprint_exact("a b")
+    assert fingerprint_exact("a b") == fingerprint_exact("a b")
+
+
 def test_textstats():
     t = "The quick brown fox jumps over the lazy dog and runs away fast."
     assert detect_language(t) == "en"
@@ -1116,3 +1126,66 @@ def test_dup_spans_no_duplicates_and_nulls(ray_session, tmp_path):
     got = Q.q_dup_spans(str(tmp_path))
     assert got.num_rows == 0
     assert got.schema.names == ["doc_id", "n_dup_windows"]
+
+
+def test_dup_family_planted_clusters(ray_session, tmp_path):
+    """Round-3 batch: dup_count_dist / dedup_keep_longest / source_quota
+    on a PLANTED lake (the sf tables are exact-dup-free, so the oracle
+    match there only exercises the trivial case).  Plants: one 10-doc
+    exact cluster, one 4-doc whitespace/case near-cluster with distinct
+    lengths (keep-longest must pick max n_chars, tie -> min doc_id), a
+    55-doc source so the 50-doc quota actually truncates."""
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines import queries as Q
+
+    rows = []
+    for i in range(10):  # exact cluster, size 10
+        rows.append((i, "same exact text", "big", len("same exact text")))
+    # normalized cluster: same after lower+collapse-ws+trim, lengths differ
+    variants = ["  Hello   World ", "hello world", "HELLO  WORLD", "hello   world  "]
+    for j, v in enumerate(variants):
+        rows.append((100 + j, v, "big", len(v)))
+    for i in range(41):  # uniques to push source 'big' to 55 docs
+        rows.append((200 + i, f"unique text {i}", "big", 20 + i))
+    for i in range(5):
+        rows.append((300 + i, f"other {i}", "small", 10 + i))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+
+    def _match(fn, sql):
+        got = fn(str(tmp_path)).to_pandas()
+        want = con.sql(sql).df()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(by=cols).reset_index(drop=True)
+        w = want[cols].sort_values(by=cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w, check_dtype=False)
+        return got
+
+    dist = _match(Q.q_dup_count_dist, Q.SQL_DUP_COUNT_DIST)
+    by_size = dict(zip(dist["cluster_size"], dist["n_clusters"]))
+    assert by_size[10] == 1  # the planted exact cluster
+
+    kept = _match(Q.q_dedup_keep_longest, Q.SQL_DEDUP_KEEP_LONGEST)
+    # normalized cluster collapses to ONE survivor: the longest variant
+    # ("  Hello   World " = 16 chars); doc_id 100
+    cluster_ids = set(range(100, 104))
+    survivors = set(kept["doc_id"]) & cluster_ids
+    assert survivors == {100}
+
+    quota = _match(Q.q_source_quota, Q.SQL_SOURCE_QUOTA)
+    per_source = quota.groupby("source")["doc_id"].count().to_dict()
+    assert per_source == {"big": 50, "small": 5}
