@@ -5877,6 +5877,75 @@ WHERE lag_cents IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# graph connected components — the distributed min-label-propagation
+# primitive (stages/dedup.connected_components, until now validated
+# only by planted-cluster tests) put under a FULL SQL oracle: DuckDB's
+# recursive-CTE transitive closure computes the same (node, min
+# reachable id) labels.  Graph = the bipartite supplier–part graph of
+# quantity-1 lineitems (predicate pushed to the read; part ids offset
+# into a disjoint node space).  Edge extraction is pure map-side —
+# batch-local distinct only, the CC rounds handle multiplicity — so
+# the only all-to-alls are CC's own bucketed label exchanges, O(edges)
+# rows each, diameter-bounded round count.
+# --------------------------------------------------------------------------
+
+_GRAPH_PART_OFFSET = 1_000_000
+
+
+def q_graph_components(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey"],
+        filter=pads.field("l_quantity") == 1.0,
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "id_a": b.column("l_suppkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "id_b": b.column("l_partkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                + _GRAPH_PART_OFFSET,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "id_a": pa.array(f["id_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(f["id_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    labels = dd.connected_components(li.map_batches(edges, batch_format="pyarrow"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b.column("node"), "component": b.column("label")}
+        )
+
+    return _to_table(labels.map_batches(rename, batch_format="pyarrow"))
+
+
+SQL_GRAPH_COMPONENTS = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(l_partkey + {_GRAPH_PART_OFFSET} AS BIGINT) AS b
+      FROM lineitem WHERE l_quantity = 1),
+u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+n AS (SELECT DISTINCT a AS node FROM u),
+reach(node, r) AS (
+  SELECT node, node FROM n
+  UNION
+  SELECT rr.node, u.b FROM reach rr JOIN u ON u.a = rr.r)
+SELECT node, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY node
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -5979,6 +6048,7 @@ QUERIES = {
     "skew_kurt": q_skew_kurt,
     "dedup_keep_longest": q_dedup_keep_longest,
     "dod_change": q_dod_change,
+    "graph_components": q_graph_components,
 }
 
 ORACLES = {
@@ -6069,4 +6139,5 @@ ORACLES = {
     "skew_kurt": SQL_SKEW_KURT,
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     "dod_change": SQL_DOD_CHANGE,
+    "graph_components": SQL_GRAPH_COMPONENTS,
 }

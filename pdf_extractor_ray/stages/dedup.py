@@ -370,21 +370,70 @@ def pair_texts(
 
 _CC_BUCKETS = 32
 
+# Edge sets below this (materialized Arrow bytes) are solved locally
+# with vectorized numpy pointer-jumping instead of paying ~diameter
+# distributed rounds of fixed streaming-executor overhead — the same
+# broadcast-small-side principle as the join planner.  64 MB ≈ 4 M
+# edges; the distributed rounds take over beyond that.
+CC_LOCAL_MAX_BYTES = 64 << 20
 
-def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUCKETS):
+
+def _cc_local(edge_tbl: pa.Table) -> pa.Table:
+    """Exact CC on a driver-resident edge table: compact node ids
+    (sorted, so min compact index == min node id), then alternate
+    vectorized edge relaxation (``np.minimum.at``) with path-halving
+    pointer jumps until fix-point — O(E) work per round, O(log n)
+    rounds.  Returns (node, label) with label = component min node id."""
+    a = edge_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edge_tbl.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label.copy()
+        m = np.minimum(label[ia], label[ib])
+        np.minimum.at(label, ia, m)
+        np.minimum.at(label, ib, m)
+        label = np.minimum(label, label[label])  # path halving
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, before):
+            break
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "label": pa.array(nodes[label], pa.int64()),
+        }
+    )
+
+
+def connected_components(
+    pairs,
+    max_rounds: int = 25,
+    num_buckets: int = _CC_BUCKETS,
+    local_max_bytes: int = CC_LOCAL_MAX_BYTES,
+):
     """Connected components over an (id_a, id_b) pair dataset as
     iterative min-label propagation — the scale-safe replacement for a
     driver-side union-find (no driver-resident pair graph).
 
-    Each round is two reduce-side hash joins expressed as bucketed
-    groupbys (tag + union + per-bucket vectorized pandas merge — no
-    JoinOperator, whose schema broadcast is lost when an input's first
-    block is empty): (1) neighbors' labels flow along edges keyed on
-    ``nbr``; (2) per-node min over messages ∪ current labels, with an
-    exact per-node ``changed`` flag summed in a tiny aggregate for the
-    convergence check.  Rounds are O(component diameter); near-dup
+    Size-gated: the edge set is materialized once anyway (it is reused
+    every round), so if it measures under ``local_max_bytes`` the graph
+    is solved exactly on the driver with vectorized pointer-jumping
+    (``_cc_local``) — tiny graphs shouldn't pay ~diameter rounds of
+    executor overhead.  Pass ``local_max_bytes=0`` to force the
+    distributed path (the planted-cluster tests do).
+
+    Each distributed round is two reduce-side hash joins expressed as
+    bucketed groupbys (tag + union + per-bucket vectorized pandas merge
+    — no JoinOperator, whose schema broadcast is lost when an input's
+    first block is empty): (1) neighbors' labels flow along edges keyed
+    on ``nbr``; (2) per-node min over messages ∪ current labels, with
+    an exact per-node ``changed`` flag summed in a tiny aggregate for
+    the convergence check.  Rounds are O(component diameter); near-dup
     clusters are near-cliques so 2-3 rounds typical.  Returns a Dataset
     (node, label) where label is the component's min node id."""
+    import ray.data
     from ray.data.aggregate import Sum
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -400,6 +449,15 @@ def connected_components(pairs, max_rounds: int = 25, num_buckets: int = _CC_BUC
     edges = pairs.select_columns(["id_a", "id_b"]).map_batches(
         to_edges, batch_format="pyarrow"
     ).materialize()  # reused every round — don't re-derive candidates
+
+    if (edges.size_bytes() or 0) <= local_max_bytes:
+        tbl = _collect(edges)
+        if tbl.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+            )
+        return ray.data.from_arrow(_cc_local(tbl))
 
     def bucket_on(col: str):
         def f(batch: pa.Table) -> pa.Table:

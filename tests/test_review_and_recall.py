@@ -271,10 +271,18 @@ def test_connected_components_random_vs_union_find():
                 }
             )
         )
-        got = {
+        # both paths must agree with union-find: the size-gated local
+        # numpy solve (default — this graph is tiny) and the
+        # distributed label-propagation rounds (forced via gate=0)
+        got_local = {
             r["node"]: r["label"] for r in connected_components(pairs).take_all()
         }
-        assert got == want, f"seed {seed}: mismatch"
+        got_dist = {
+            r["node"]: r["label"]
+            for r in connected_components(pairs, local_max_bytes=0).take_all()
+        }
+        assert got_local == want, f"seed {seed}: local mismatch"
+        assert got_dist == want, f"seed {seed}: distributed mismatch"
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -291,5 +299,9 @@ def test_connected_components_chain_and_clique():
             }
         )
     )
-    got = sorted((r["node"], r["label"]) for r in connected_components(pairs).take_all())
+    # force the distributed path — a chain is the multi-round case
+    got = sorted(
+        (r["node"], r["label"])
+        for r in connected_components(pairs, local_max_bytes=0).take_all()
+    )
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
