@@ -156,3 +156,54 @@ def fingerprint_exact(text: str) -> int:
     for b in text.encode("utf-8"):
         h = ((h ^ b) * _FP_BASE) & _FP_MASK
     return h - 0x10000000000000000 if h >= 0x8000000000000000 else h
+
+
+def levenshtein(a: str, b: str, max_dist: int | None = None) -> int | None:
+    """Unit-cost Levenshtein edit distance (insert/delete/substitute),
+    the same definition as DuckDB's ``levenshtein()``.  With
+    ``max_dist`` the DP is banded (Ukkonen cutoff): cells farther than
+    ``max_dist`` off-diagonal can never yield a distance ≤ max_dist,
+    so each row touches O(max_dist) cells and the function returns
+    ``None`` as soon as the true distance provably exceeds the bound —
+    the right shape for verify-after-blocking entity resolution where
+    almost every comparison is a reject."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if max_dist is not None and abs(la - lb) > max_dist:
+        return None
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    if la < lb:  # keep the inner loop over the shorter string
+        a, b, la, lb = b, a, lb, la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        if max_dist is None:
+            lo, hi = 1, lb
+        else:
+            lo = max(1, i - max_dist)
+            hi = min(lb, i + max_dist)
+        cur = [0] * (lb + 1)
+        cur[0] = i
+        if lo > 1:
+            cur[lo - 1] = max_dist + 1  # outside the band
+        ca = a[i - 1]
+        best = cur[0] if lo == 1 else max_dist + 1
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            up = prev[j] if j <= hi else max_dist + 1
+            c = min(up + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            cur[j] = c
+            if c < best:
+                best = c
+        if max_dist is not None and hi < lb:
+            cur[hi + 1 :] = [max_dist + 1] * (lb - hi)
+        if max_dist is not None and best > max_dist:
+            return None
+        prev = cur
+    d = prev[lb]
+    if max_dist is not None and d > max_dist:
+        return None
+    return d

@@ -5946,6 +5946,462 @@ SELECT node, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY node
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q14-shaped promo-revenue ratio — a JOIN that never joins: the
+# promo side of the part dimension collapses to a KEY SET (331 of 2000
+# parts), broadcast once via ray.put, and each lineitem batch reduces
+# to ONE (promo_rev, total_rev) row with a vectorized is_in mask — the
+# exchange is O(batches), the month predicate is pushed to the read.
+# --------------------------------------------------------------------------
+
+def q_tpch_q14(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = _dt.datetime(1996, 3, 1), _dt.datetime(1996, 4, 1)
+    part = pa.parquet.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_type"]
+    )
+    promo_keys = part.filter(pc.equal(part.column("p_type"), "PROMO")).column(
+        "p_partkey"
+    ).combine_chunks()
+    kref = ray.put(promo_keys)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        is_promo = pc.is_in(b.column("l_partkey"), value_set=ray.get(kref))
+        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0.0))).as_py() or 0.0
+        total = pc.sum(rev).as_py() or 0.0
+        return pa.table(
+            {
+                "promo_rev": pa.array([promo], pa.float64()),
+                "total_rev": pa.array([total], pa.float64()),
+            }
+        )
+
+    t = _to_table(li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    promo = pc.sum(t.column("promo_rev")).as_py() or 0.0
+    total = pc.sum(t.column("total_rev")).as_py() or 0.0
+    pct = round(100.0 * promo / total, 4) if total else 0.0
+    return pa.table({"promo_pct": pa.array([pct], pa.float64())})
+
+
+SQL_TPCH_Q14 = """
+SELECT round(
+  100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18-shaped large-volume orders — groupby-HAVING feeding a
+# multiway join, in the scale-correct order: the BIG side (lineitem)
+# collapses first (per-batch Arrow group-sum combiner → Sum exchange of
+# O(orders) rows → distributed HAVING filter), and only the ~dozens of
+# surviving keys touch orders/customer, as key-set-pruned reads — the
+# two dimension joins cost one broadcast filter each, never a shuffle.
+# --------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 300.0
+
+
+def q_tpch_q18(sf_dir: str):
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {"l_orderkey": b.column("l_orderkey"), "q": b.column("l_quantity")}
+            ),
+            "l_orderkey",
+        ).aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q"])
+
+    big = _to_table(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="total_qty"))
+        .filter(lambda r: r["total_qty"] > _Q18_MIN_QTY)
+    )  # HAVING survivors: a handful of rows regardless of lake size
+    if big.num_rows == 0:
+        return pa.schema(
+            [
+                ("c_name", pa.string()),
+                ("c_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_orderdate_us", pa.int64()),
+                ("o_totalprice", pa.float64()),
+                ("total_qty", pa.int64()),
+            ]
+        ).empty_table()
+
+    okeys = big.column("l_orderkey").to_pylist()
+    orders = pa.parquet.read_table(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filters=[("o_orderkey", "in", okeys)],  # row-group pruned read
+    )
+    ckeys = list(set(orders.column("o_custkey").to_pylist()))
+    cust = pa.parquet.read_table(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", ckeys)],
+    )
+    m = (
+        big.to_pandas()
+        .merge(orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    )
+    m["o_totalprice"] = m["o_totalprice"].round(2)
+    m = m.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(100)
+    return pa.table(
+        {
+            "c_name": pa.array(m["c_name"], pa.string()),
+            "c_custkey": pa.array(m["c_custkey"].to_numpy(), pa.int64()),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy(), pa.int64()),
+            "o_orderdate_us": pa.array(
+                m["o_orderdate"].astype("int64").to_numpy(), pa.int64()
+            ),
+            "o_totalprice": pa.array(m["o_totalprice"].to_numpy(), pa.float64()),
+            "total_qty": pa.array(
+                m["total_qty"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {_Q18_MIN_QTY})
+SELECT c_name, c_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(big.qty AS BIGINT) AS total_qty
+FROM big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# interpolated percentiles (percentile_cont semantics) — the exact
+# distributed order-statistics machinery (_grouped_order_stats: two
+# bounded histogram passes, O(keys × bins) exchanges) extended to
+# LINEAR INTERPOLATION: each quantile q needs the two order statistics
+# bracketing position (n-1)·q; both ranks ride the same two passes.
+# --------------------------------------------------------------------------
+
+_PCONT_QS = (("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+
+
+def q_percentile_cont(sf_dir: str):
+    def ranks_for(n: int) -> dict[str, int]:
+        out = {}
+        for label, q in _PCONT_QS:
+            pos = (n - 1) * q
+            out[f"{label}_lo"] = int(np.floor(pos)) + 1
+            out[f"{label}_hi"] = min(int(np.floor(pos)) + 2, n)
+        return out
+
+    stats = _lang_nchars_order_stats(sf_dir, ranks_for)
+    langs = sorted(stats)
+    cols: dict[str, list] = {"lang": langs}
+    vals: dict[str, list[float]] = {label: [] for label, _ in _PCONT_QS}
+    for lang in langs:
+        n = stats[lang]["n"]
+        s = stats[lang]["stats"]
+        for label, q in _PCONT_QS:
+            pos = (n - 1) * q
+            frac = pos - np.floor(pos)
+            v_lo = float(s[f"{label}_lo"][0])
+            v_hi = float(s[f"{label}_hi"][0])
+            vals[label].append(round(v_lo + frac * (v_hi - v_lo), 4))
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            **{
+                label: pa.array(vals[label], pa.float64())
+                for label, _ in _PCONT_QS
+            },
+        }
+    )
+
+
+SQL_PERCENTILE_CONT = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# edit-distance near-dup (blocking + banded verify) — the classic
+# entity-resolution shape: a cheap deterministic BLOCKING key (24-char
+# text prefix) co-locates candidates in one bucketed exchange, then a
+# banded Levenshtein (functions.textstats.levenshtein, byte semantics
+# = DuckDB's) verifies only within blocks.  All-pairs work is bounded
+# by the block-size distribution, the standard (documented) blocking
+# assumption; the full SQL oracle is a self-join + levenshtein().
+# --------------------------------------------------------------------------
+
+_EDIT_PREFIX, _EDIT_MAX_DIST = 24, 6
+
+
+def q_edit_dedup(sf_dir: str):
+    from ..functions.textstats import levenshtein
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(b: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "bk": pa.array(b["text"].str.slice(0, _EDIT_PREFIX), pa.string()),
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "text": pa.array(b["text"], pa.string()),
+            }
+        )
+
+    def verify_block(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        txts = [t.encode("utf-8") for t in df["text"]]  # byte semantics
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = levenshtein(txts[i], txts[j], _EDIT_MAX_DIST)
+                if d is not None:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_d.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(verify_block, batch_format="pandas")
+    )
+    return _to_table(out)
+
+
+SQL_EDIT_DEDUP = f"""
+SELECT d1.doc_id AS id_a, d2.doc_id AS id_b,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS dist
+FROM documents d1 JOIN documents d2
+  ON substr(d1.text, 1, {_EDIT_PREFIX}) = substr(d2.text, 1, {_EDIT_PREFIX})
+ AND d1.doc_id < d2.doc_id
+WHERE levenshtein(d1.text, d2.text) <= {_EDIT_MAX_DIST}
+"""
+
+
+# --------------------------------------------------------------------------
+# unigram log-probability quality score (the CCNet-style LM filter,
+# order-0): pass 1 builds the corpus unigram table with the vocab_topk
+# combiner (O(vocab × batches) exchange), pass 2 broadcasts the
+# (sorted-vocab, log-prob) arrays once via ray.put and scores each doc
+# map-side with searchsorted + segment means — no per-row Python, no
+# second exchange.  Bottom-k = the most improbable (lowest-quality)
+# docs; both engines sort the ROUNDED score so float summation-order
+# drift cannot reorder the cutoff.
+# --------------------------------------------------------------------------
+
+_ULP_BOTTOM_K = 25
+
+
+def q_unigram_logprob(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    vocab = _to_table(
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    words = vocab.column("word").to_numpy(zero_copy_only=False)
+    cnts = vocab.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(words)
+    words, cnts = words[order], cnts[order]
+    total = cnts.sum()
+    # ln(c / t) per vocab entry, precomputed once — identical to the
+    # per-token ln(c/t) the oracle evaluates (same two correctly
+    # rounded ops on the same doubles)
+    logp = np.log(cnts / total)
+    vref = ray.put((words, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        w, lp = ray.get(vref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        )
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        parents = pc.list_parent_indices(toks).filter(keep)
+        tok_np = flat.filter(keep).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(w, tok_np)  # every token is in-vocab
+        tok_lp = lp[idx]
+        par = parents.to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        sums = np.zeros(n_rows)
+        counts = np.zeros(n_rows)
+        np.add.at(sums, par, tok_lp)
+        np.add.at(counts, par, 1.0)
+        has = counts > 0
+        mean = np.full(n_rows, np.nan)
+        mean[has] = sums[has] / counts[has]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "logprob": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        ).filter(pa.array(has))
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["logprob", "doc_id"])
+        .limit(_ULP_BOTTOM_K)
+    )
+    return _to_table(out)
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+freq AS (SELECT w, count(*) AS c FROM tok2 GROUP BY w),
+tot AS (SELECT sum(c) AS t FROM freq)
+SELECT doc_id, round(avg(ln(c / t)), 6) AS logprob
+FROM tok2 JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY logprob, doc_id LIMIT {_ULP_BOTTOM_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# temperature-balanced language resampling — the pretraining
+# source-mixing operator (keep-probability ∝ n^(α-1), α=0.5, rarest
+# language kept in full), made exactly reproducible across engines:
+# the keep decision is an INTEGER compare of a Lehmer hash against a
+# per-language threshold floor(M·√(n_min/n_lang)) — every float op in
+# the threshold (divide, sqrt, multiply, floor) is correctly rounded
+# IEEE, so numpy and DuckDB compute the same int64.  Two tiny
+# exchanges: per-language counts, then per-language kept counts.
+# --------------------------------------------------------------------------
+
+def q_lang_balance(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        vc = b.column("lang").value_counts()
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = _to_table(
+        ds.map_batches(cnt_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+    langs = counts.column("lang").to_pylist()
+    n_docs = counts.column("n_docs").to_numpy(zero_copy_only=False)
+    n_min = float(n_docs.min())
+    thresh = {
+        lang: int(np.floor(_LCG_M * np.sqrt(n_min / float(n))))
+        for lang, n in zip(langs, n_docs)
+    }
+
+    def kept_partial(b: pa.Table, thresh=thresh) -> pa.Table:
+        h = (
+            b.column("doc_id").to_numpy(zero_copy_only=False) * _LCG_A
+        ) % _LCG_M
+        th = np.array(
+            [thresh[lang] for lang in b.column("lang").to_pylist()],
+            dtype=np.int64,
+        )
+        kept = b.filter(pa.array(h < th)).column("lang").value_counts()
+        return pa.table(
+            {
+                "lang": kept.field("values"),
+                "k": kept.field("counts").cast(pa.int64()),
+            }
+        )
+
+    kept = _to_table(
+        ds.map_batches(kept_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("k", alias_name="n_kept"))
+    )
+    kmap = dict(
+        zip(kept.column("lang").to_pylist(), kept.column("n_kept").to_pylist())
+    )
+    order = np.argsort(np.asarray(langs, dtype=object))
+    return pa.table(
+        {
+            "lang": pa.array([langs[i] for i in order], pa.string()),
+            "n_docs": pa.array(
+                [int(n_docs[i]) for i in order], pa.int64()
+            ),
+            "n_kept": pa.array(
+                [int(kmap.get(langs[i], 0)) for i in order], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_LANG_BALANCE = f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+m AS (SELECT min(n_docs) AS nm FROM c),
+t AS (SELECT lang, n_docs,
+             CAST(floor({_LCG_M} * sqrt(CAST(nm AS DOUBLE) / n_docs)) AS BIGINT) AS th
+      FROM c CROSS JOIN m)
+SELECT t.lang, t.n_docs,
+       CAST(count(*) FILTER (WHERE (d.doc_id * {_LCG_A}) % {_LCG_M} < t.th) AS BIGINT)
+         AS n_kept
+FROM documents d JOIN t ON d.lang = t.lang
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -6049,6 +6505,12 @@ QUERIES = {
     "dedup_keep_longest": q_dedup_keep_longest,
     "dod_change": q_dod_change,
     "graph_components": q_graph_components,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "percentile_cont": q_percentile_cont,
+    "edit_dedup": q_edit_dedup,
+    "unigram_logprob": q_unigram_logprob,
+    "lang_balance": q_lang_balance,
 }
 
 ORACLES = {
@@ -6140,4 +6602,10 @@ ORACLES = {
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     "dod_change": SQL_DOD_CHANGE,
     "graph_components": SQL_GRAPH_COMPONENTS,
+    "tpch_q14": SQL_TPCH_Q14,
+    "tpch_q18": SQL_TPCH_Q18,
+    "percentile_cont": SQL_PERCENTILE_CONT,
+    "edit_dedup": SQL_EDIT_DEDUP,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "lang_balance": SQL_LANG_BALANCE,
 }

@@ -376,3 +376,36 @@ def test_hash_values_one_family_per_logical_column():
     fr = np.array([0.5, 1.5])
     assert np.array_equal(hash_values(fr), hash_values(fr))
     assert not np.array_equal(hash_values(fr), hash_values(np.array([0, 1])))
+
+
+def test_levenshtein_banded_matches_full_dp():
+    """Banded Levenshtein (the edit_dedup verify kernel) must equal the
+    classic full DP whenever the true distance is within the band, and
+    return None (reject) exactly when it exceeds it — on str AND bytes
+    (byte semantics match DuckDB's levenshtein())."""
+    import random
+
+    from pdf_extractor_ray.functions.textstats import levenshtein
+
+    def naive(a, b):
+        la, lb = len(a), len(b)
+        dp = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, lb + 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+        return dp[lb]
+
+    rng = random.Random(7)
+    for _ in range(500):
+        a = "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+        d = naive(a, b)
+        assert levenshtein(a, b) == d
+        for md in (0, 1, 2, 5):
+            assert levenshtein(a, b, md) == (d if d <= md else None)
+    # bytes path (what q_edit_dedup feeds it): multibyte char = 2 edits
+    assert levenshtein("café".encode(), "cafe".encode()) == 2
+    assert levenshtein(b"kitten", b"sitting") == 3
