@@ -6402,6 +6402,241 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# per-user drawdown (running-max minus current) — the cummax window
+# sibling of moving_avg: same hash-bucketed exchange (_bucketed — one
+# map_groups per bucket, users iterated vectorized inside), values in
+# exact integer cents so the running max is engine-independent.
+# --------------------------------------------------------------------------
+
+def q_drawdown(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = pd.Series(
+            np.rint(b["value"].to_numpy() * 100).astype(np.int64), index=b.index
+        )
+        cmax = (
+            cents.groupby(b["user_id"].to_numpy(), sort=False).cummax().to_numpy()
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(b["user_id"].to_numpy(), pa.int64()),
+                "drawdown_cents": pa.array(cmax - cents.to_numpy(), pa.int64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_DRAWDOWN = """
+SELECT event_id, user_id,
+       max(CAST(round(value * 100) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       - CAST(round(value * 100) AS BIGINT) AS drawdown_cents
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# unpivot / melt — wide→long over the FACT table (not a driver-side
+# reshape): each batch emits its rows twice, once per metric, as a
+# zero-copy column concat; the operator is embarrassingly map-side.
+# --------------------------------------------------------------------------
+
+def q_unpivot_events(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "value", "props"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        cents = pa.array(
+            np.rint(
+                b.column("value").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(b.column("props"), pattern=r'"k":\s*(?P<k>-?\d+)'),
+                "k",
+            ),
+            pa.int64(),
+        )
+        n = b.num_rows
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "event_id": eid,
+                        "metric": pa.array(["value_cents"] * n, pa.string()),
+                        "val": cents,
+                    }
+                ),
+                pa.table(
+                    {
+                        "event_id": eid,
+                        "metric": pa.array(["prop_k"] * n, pa.string()),
+                        "val": k,
+                    }
+                ),
+            ]
+        )
+
+    return _to_table(ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_UNPIVOT_EVENTS = """
+SELECT event_id, 'value_cents' AS metric, CAST(round(value * 100) AS BIGINT) AS val
+FROM events
+UNION ALL
+SELECT event_id, 'prop_k' AS metric, CAST(json_extract(props, '$.k') AS BIGINT) AS val
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# embedding norm statistics per label — the list<float> column under a
+# FULL SQL oracle (DuckDB list_transform/list_sum lambdas): per-batch
+# the fixed-width list column reshapes zero-copy to (n, d) float64,
+# norms vectorize in one numpy pass, and (sum, max, count) partials
+# per label make the exchange O(labels × batches).
+# --------------------------------------------------------------------------
+
+def q_embed_norms(sf_dir: str):
+    from ray.data.aggregate import Max
+
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // b.num_rows
+        norms = np.sqrt((flat.reshape(b.num_rows, d) ** 2).sum(axis=1))
+        t = pa.table(
+            {
+                "label": pc.cast(b.column("label"), pa.int64()),
+                "s": pa.array(norms, pa.float64()),
+                "m": pa.array(norms, pa.float64()),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        g = pa.TableGroupBy(t, "label").aggregate(
+            [("s", "sum"), ("m", "max"), ("one", "sum")]
+        )
+        return g.rename_columns(["label", "s", "m", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("s", alias_name="s"),
+            Max("m", alias_name="max_norm"),
+            Sum("n", alias_name="n"),
+        )
+    )
+    t = _to_table(agg)
+    avg = pc.round(
+        pc.divide(t.column("s"), pc.cast(t.column("n"), pa.float64())), ndigits=6
+    )
+    return pa.table(
+        {
+            "label": t.column("label"),
+            "n": t.column("n"),
+            "avg_norm": avg,
+            "max_norm": pc.round(t.column("max_norm"), ndigits=6),
+        }
+    )
+
+
+SQL_EMBED_NORMS = """
+WITH nrm AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+  FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(nn), 6) AS avg_norm,
+       round(max(nn), 6) AS max_norm
+FROM nrm GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# pareto frontier (skyline) — parts not dominated on (p_size ↑ better,
+# p_retailprice ↓ better).  The frontier is ASSOCIATIVELY COMBINABLE
+# (frontier(A∪B) = frontier(frontier(A) ∪ frontier(B))), so each batch
+# emits its local frontier (≤ distinct sizes rows) and one tiny final
+# pass merges them — no all-pairs, no shuffle of the fact table.
+# Dominance compares UNROUNDED prices (identical doubles on both
+# engines); rounding is output-only.
+# --------------------------------------------------------------------------
+
+def _pareto_frontier(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows (s, p, …) not dominated by any row with s'≥s, p'≤p and one
+    strict.  Keep iff p == min(p | same s) AND p < min(p | s' > s);
+    duplicates of a frontier point all survive (they don't dominate
+    each other under the one-strict rule) — matching the SQL oracle."""
+    gmin = df.groupby("p_size")["p_retailprice"].min()
+    sizes = np.sort(gmin.index.to_numpy())[::-1]  # descending
+    mins = gmin.reindex(sizes).to_numpy()
+    run = np.concatenate([[np.inf], np.minimum.accumulate(mins)[:-1]])
+    # min price among strictly larger sizes, joined back vectorized
+    run_larger = pd.Series(run, index=sizes)
+    p = df["p_retailprice"].to_numpy()
+    s = df["p_size"].to_numpy()
+    keep = (p == gmin.reindex(s).to_numpy()) & (p < run_larger.reindex(s).to_numpy())
+    return df.loc[keep]
+
+
+def q_pareto_front(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+
+    def local_frontier(b: pd.DataFrame) -> pa.Table:
+        f = _pareto_frontier(b)
+        return pa.table(
+            {
+                "p_partkey": pa.array(f["p_partkey"].to_numpy(), pa.int64()),
+                "p_size": pa.array(
+                    f["p_size"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "p_retailprice": pa.array(
+                    f["p_retailprice"].to_numpy(), pa.float64()
+                ),
+            }
+        )
+
+    partials = _to_table(
+        ds.map_batches(local_frontier, batch_format="pandas")
+    ).to_pandas()  # bounded: ≤ distinct-sizes rows per batch
+    f = _pareto_frontier(partials)
+    f = f.sort_values(["p_size", "p_retailprice", "p_partkey"])
+    return pa.table(
+        {
+            "p_partkey": pa.array(f["p_partkey"].to_numpy(), pa.int64()),
+            "p_size": pa.array(f["p_size"].to_numpy(), pa.int64()),
+            "p_retailprice": pa.array(
+                np.round(f["p_retailprice"].to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_PARETO_FRONT = """
+SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+       round(p_retailprice, 2) AS p_retailprice
+FROM part p1
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p2
+  WHERE p2.p_size >= p1.p_size AND p2.p_retailprice <= p1.p_retailprice
+    AND (p2.p_size > p1.p_size OR p2.p_retailprice < p1.p_retailprice))
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -6511,6 +6746,10 @@ QUERIES = {
     "edit_dedup": q_edit_dedup,
     "unigram_logprob": q_unigram_logprob,
     "lang_balance": q_lang_balance,
+    "drawdown": q_drawdown,
+    "unpivot_events": q_unpivot_events,
+    "embed_norms": q_embed_norms,
+    "pareto_front": q_pareto_front,
 }
 
 ORACLES = {
@@ -6608,4 +6847,8 @@ ORACLES = {
     "edit_dedup": SQL_EDIT_DEDUP,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_balance": SQL_LANG_BALANCE,
+    "drawdown": SQL_DRAWDOWN,
+    "unpivot_events": SQL_UNPIVOT_EVENTS,
+    "embed_norms": SQL_EMBED_NORMS,
+    "pareto_front": SQL_PARETO_FRONT,
 }

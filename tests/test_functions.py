@@ -409,3 +409,49 @@ def test_levenshtein_banded_matches_full_dp():
     # bytes path (what q_edit_dedup feeds it): multibyte char = 2 edits
     assert levenshtein("café".encode(), "cafe".encode()) == 2
     assert levenshtein(b"kitten", b"sitting") == 3
+
+
+def test_pareto_frontier_semantics():
+    """_pareto_frontier must mirror the SQL NOT-EXISTS one-strict
+    dominance rule: duplicate frontier points all survive, same-size
+    costlier points die, equal-price-larger-size dominates, and the
+    combiner law frontier(A∪B) == frontier(frontier(A)∪frontier(B))
+    holds on random inputs."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.queries import _pareto_frontier
+
+    def naive(df):
+        keep = []
+        for i, r in df.iterrows():
+            dominated = (
+                (df["p_size"] >= r.p_size)
+                & (df["p_retailprice"] <= r.p_retailprice)
+                & ((df["p_size"] > r.p_size) | (df["p_retailprice"] < r.p_retailprice))
+            ).any()
+            keep.append(not dominated)
+        return df.loc[keep]
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = int(rng.integers(1, 60))
+        df = pd.DataFrame(
+            {
+                "p_partkey": np.arange(n),
+                "p_size": rng.integers(1, 8, n),
+                "p_retailprice": np.round(rng.uniform(1, 5, n), 1),  # force ties
+            }
+        )
+        got = _pareto_frontier(df).sort_values("p_partkey")
+        want = naive(df).sort_values("p_partkey")
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+        # combiner law
+        half = n // 2
+        a, b = df.iloc[:half], df.iloc[half:]
+        merged = _pareto_frontier(
+            pd.concat([_pareto_frontier(a), _pareto_frontier(b)])
+        ).sort_values("p_partkey")
+        pd.testing.assert_frame_equal(
+            merged.reset_index(drop=True), want.reset_index(drop=True)
+        )
