@@ -6030,13 +6030,150 @@ def q_tpch_q18(sf_dir: str):
         ).aggregate([("q", "sum")])
         return g.rename_columns(["l_orderkey", "q"])
 
-    big = _to_table(
+    def bucket_k(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((k % _GROUP_BUCKETS).astype("int32"))
+        )
+
+    def sum_having(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["q"].sum()
+        g = g[g["q"] > _Q18_MIN_QTY]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                "total_qty": pa.array(g["q"].to_numpy(), pa.float64()),
+            }
+        )
+
+    # bucketed map_groups, NOT Dataset.groupby().aggregate(): the
+    # sort-based aggregate measured 8.0 s on this very stage at sf0.1
+    # (71 s of AggregateMap remote time for a 580k-row partial stream)
+    # vs 1.3 s through the bucket shape — same distributed exchange,
+    # none of the per-block sort overhead.  HAVING runs per bucket, so
+    # only survivors (~0.3% of orders) leave the exchange.
+    big = (
         li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("q", alias_name="total_qty"))
-        .filter(lambda r: r["total_qty"] > _Q18_MIN_QTY)
-    )  # HAVING survivors: a handful of rows regardless of lake size
-    if big.num_rows == 0:
+        .map_batches(bucket_k, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_GROUP_BUCKETS)
+        .map_groups(sum_having, batch_format="pandas")
+        .materialize()
+    )  # survivors are small, but GROW with the lake, so the orders
+    # join must be SIZE-GATED (the pair_texts pattern): survivors
+    # under the broadcast cap semi-filter orders map-side (no second
+    # exchange); above it, fall back to the reduce-side join below.
+
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    if (big.size_bytes() or 0) <= _Q18_BROADCAST_MAX:
+        big_tbl = _to_table(big)
+        kref = ray.put(big_tbl.column("l_orderkey").combine_chunks())
+
+        def semi(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.is_in(b.column("o_orderkey"), value_set=ray.get(kref))
+            )
+
+        hits = _to_table(
+            orders.map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+        ).to_pandas()  # 1:1 with survivors — same bound as the broadcast
+        joined = hits.merge(
+            big_tbl.to_pandas(), left_on="o_orderkey", right_on="l_orderkey"
+        )
+        joined["o_totalprice"] = joined["o_totalprice"].round(2)
+        joined["o_orderdate_us"] = joined["o_orderdate"].astype("int64")
+        joined = joined[
+            ["o_orderkey", "total_qty", "o_custkey", "o_orderdate_us", "o_totalprice"]
+        ]
+    else:
+        joined = _q18_exchange_join(big, orders)
+
+    joined = joined.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    return _q18_finish(sf_dir, joined)
+
+
+_Q18_BROADCAST_MAX = 64 << 20
+
+
+def _q18_exchange_join(big, orders):
+    """Reduce-side join survivors ⋈ orders (tag + union + bucketed
+    groupby — the house no-JoinOperator pattern) with a per-bucket
+    TOP-100 partial, so only ≤100 rows per bucket reach the driver:
+    the LIMIT, not the HAVING selectivity, bounds the collect."""
+    def qty_keyed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("l_orderkey"),
+                "total_qty": b.column("total_qty"),
+                "o_custkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_totalprice": pa.nulls(n, pa.float64()),
+                "_src": pa.array(np.zeros(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def orders_keyed(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "total_qty": pa.nulls(n, pa.float64()),
+                "o_custkey": b.column("o_custkey"),
+                "o_orderdate": b.column("o_orderdate").cast(pa.timestamp("us")),
+                "o_totalprice": b.column("o_totalprice"),
+                "_src": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((k % _GROUP_BUCKETS).astype("int32"))
+        )
+
+    def join_top100(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["_src"] == 0, ["k", "total_qty"]]
+        right = df.loc[
+            df["_src"] == 1, ["k", "o_custkey", "o_orderdate", "o_totalprice"]
+        ]
+        m = left.merge(right, on="k", how="inner")
+        # round BEFORE the top-100 cut — the oracle's ORDER BY sees the
+        # rounded alias, so the cutoff must compare the same values
+        m["o_totalprice"] = m["o_totalprice"].round(2)
+        m = m.sort_values(
+            ["o_totalprice", "k"], ascending=[False, True], kind="mergesort"
+        ).head(100)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(m["k"].to_numpy(), pa.int64()),
+                "total_qty": pa.array(m["total_qty"].to_numpy(), pa.float64()),
+                "o_custkey": pa.array(
+                    m["o_custkey"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "o_orderdate_us": pa.array(
+                    m["o_orderdate"].astype("int64").to_numpy(), pa.int64()
+                ),
+                "o_totalprice": pa.array(m["o_totalprice"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return _to_table(
+        big.map_batches(qty_keyed, batch_format="pyarrow")
+        .union(orders.map_batches(orders_keyed, batch_format="pyarrow"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_GROUP_BUCKETS)
+        .map_groups(join_top100, batch_format="pandas")
+    ).to_pandas()
+
+
+def _q18_finish(sf_dir: str, joined: pd.DataFrame) -> pa.Table:
+    if joined.empty:
         return pa.schema(
             [
                 ("c_name", pa.string()),
@@ -6048,34 +6185,24 @@ def q_tpch_q18(sf_dir: str):
             ]
         ).empty_table()
 
-    okeys = big.column("l_orderkey").to_pylist()
-    orders = pa.parquet.read_table(
-        _t(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-        filters=[("o_orderkey", "in", okeys)],  # row-group pruned read
-    )
-    ckeys = list(set(orders.column("o_custkey").to_pylist()))
+    ckeys = list(set(joined["o_custkey"].tolist()))  # ≤100 by construction
     cust = pa.parquet.read_table(
         _t(sf_dir, "customer"),
         columns=["c_custkey", "c_name"],
         filters=[("c_custkey", "in", ckeys)],
     )
-    m = (
-        big.to_pandas()
-        .merge(orders.to_pandas(), left_on="l_orderkey", right_on="o_orderkey")
-        .merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
-    )
+    m = joined.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
     m["o_totalprice"] = m["o_totalprice"].round(2)
     m = m.sort_values(
-        ["o_totalprice", "o_orderkey"], ascending=[False, True]
-    ).head(100)
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    )
     return pa.table(
         {
             "c_name": pa.array(m["c_name"], pa.string()),
             "c_custkey": pa.array(m["c_custkey"].to_numpy(), pa.int64()),
             "o_orderkey": pa.array(m["o_orderkey"].to_numpy(), pa.int64()),
             "o_orderdate_us": pa.array(
-                m["o_orderdate"].astype("int64").to_numpy(), pa.int64()
+                m["o_orderdate_us"].to_numpy().astype(np.int64), pa.int64()
             ),
             "o_totalprice": pa.array(m["o_totalprice"].to_numpy(), pa.float64()),
             "total_qty": pa.array(
@@ -6230,6 +6357,7 @@ WHERE levenshtein(d1.text, d2.text) <= {_EDIT_MAX_DIST}
 # --------------------------------------------------------------------------
 
 _ULP_BOTTOM_K = 25
+_ULP_MAX_VOCAB = 2_000_000
 
 
 def q_unigram_logprob(sf_dir: str):
@@ -6254,6 +6382,23 @@ def q_unigram_logprob(sf_dir: str):
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+    if vocab.num_rows > _ULP_MAX_VOCAB:
+        # Web-scale corpora have unbounded long-tail vocabularies; the
+        # broadcast-(vocab, logp) design assumes the table fits a
+        # worker heap (~2M words ≈ 50 MB).  Make the assumption
+        # audible rather than silently shipping gigabytes per actor —
+        # the scale path is a min-count floor applied in the combiner
+        # (which changes the score model, so it is opt-in, not a
+        # silent fallback that would break oracle parity).
+        import warnings
+
+        warnings.warn(
+            f"unigram_logprob vocabulary has {vocab.num_rows} entries "
+            f"(> {_ULP_MAX_VOCAB}); the broadcast table is large — "
+            "apply a min-count floor upstream for web-scale corpora",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     words = vocab.column("word").to_numpy(zero_copy_only=False)
     cnts = vocab.column("cnt").to_numpy(zero_copy_only=False).astype(np.float64)
     order = np.argsort(words)
