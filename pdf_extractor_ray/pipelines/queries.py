@@ -6782,6 +6782,171 @@ WHERE NOT EXISTS (
 """
 
 
+# --------------------------------------------------------------------------
+# interval union (sweep-line coverage) — overlapping per-user event
+# intervals merged into islands; returns per-user island count and
+# total covered time.  The derived duration is exact integer µs so
+# island boundaries are engine-independent.  Same hash-bucketed
+# exchange as the other per-user windows; inside a bucket the sweep is
+# one vectorized pandas pass (sorted cummax-shift island detection).
+# --------------------------------------------------------------------------
+
+def q_interval_union(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        s = b["ts"].astype("int64").to_numpy()
+        dur_us = (
+            (np.rint(b["value"].to_numpy() * 100).astype(np.int64) % 600) + 60
+        ) * 1_000_000
+        e = s + dur_us
+        f = pd.DataFrame({"u": b["user_id"].to_numpy(), "s": s, "e": e})
+        f = f.sort_values(["u", "s", "e"], kind="mergesort")
+        g = f.groupby("u", sort=False)
+        prev_max = g["e"].transform(lambda x: x.cummax().shift())
+        new_island = prev_max.isna() | (f["s"] > prev_max)
+        f["grp"] = new_island.groupby(f["u"].to_numpy(), sort=False).cumsum()
+        isl = f.groupby(["u", "grp"], sort=False).agg(
+            s0=("s", "min"), e1=("e", "max")
+        )
+        isl["cov"] = isl["e1"] - isl["s0"]
+        out = isl.groupby(level=0, sort=False).agg(
+            n_intervals=("cov", "size"), covered_us=("cov", "sum")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out.index.to_numpy().astype(np.int64)),
+                "n_intervals": pa.array(
+                    out["n_intervals"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "covered_us": pa.array(
+                    out["covered_us"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_INTERVAL_UNION = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (((CAST(round(value * 100) AS BIGINT) % 600) + 60)
+                         * 1000000) AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+g AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+           AS grp
+  FROM w),
+isl AS (SELECT user_id, grp, min(s) AS s0, max(e) AS e1
+        FROM g GROUP BY user_id, grp)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(e1 - s0) AS BIGINT) AS covered_us
+FROM isl GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# weighted average — quantity-weighted mean discount per return flag:
+# the ratio-of-sums form is exactly combinable ((Σwx, Σw) partials per
+# batch), unlike a mean-of-means; one tiny exchange, division at the
+# very end on the collected O(flags) rows.
+# --------------------------------------------------------------------------
+
+def q_weighted_avg(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_discount", "l_quantity"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        wx = pc.multiply(b.column("l_discount"), b.column("l_quantity"))
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "wx": wx,
+                "w": b.column("l_quantity"),
+            }
+        )
+        g = pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("wx", "sum"), ("w", "sum")]
+        )
+        return g.rename_columns(["l_returnflag", "wx", "w"])
+
+    t = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["l_returnflag"],
+        sum_cols=["wx", "w"],
+        schema=pa.schema(
+            [("l_returnflag", pa.string()), ("wx", pa.float64()), ("w", pa.float64())]
+        ),
+    )
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "wavg_discount": pc.round(
+                pc.divide(t.column("wx"), t.column("w")), ndigits=6
+            ),
+        }
+    )
+
+
+SQL_WEIGHTED_AVG = """
+SELECT l_returnflag,
+       round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# 2-D histogram (hour-of-day × value decile bin) — the heatmap
+# aggregate: both bins derive vectorized, the per-batch combiner emits
+# O(24 × bins) rows, and the exchange is bounded by the grid size
+# regardless of corpus size.
+# --------------------------------------------------------------------------
+
+def q_histogram_2d(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = pc.hour(b.column("ts")).cast(pa.int64())
+        vb = pa.array(
+            np.floor(b.column("value").to_numpy(zero_copy_only=False) / 10.0).astype(
+                np.int64
+            )
+        )
+        t = pa.table(
+            {"hour": h, "vbin": vb, "one": pa.array(np.ones(b.num_rows, np.int64))}
+        )
+        g = pa.TableGroupBy(t, ["hour", "vbin"]).aggregate([("one", "sum")])
+        return g.rename_columns(["hour", "vbin", "cnt"])
+
+    return _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["hour", "vbin"],
+        sum_cols=["cnt"],
+        schema=pa.schema(
+            [("hour", pa.int64()), ("vbin", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )
+
+
+SQL_HISTOGRAM_2D = """
+SELECT CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(floor(value / 10.0) AS BIGINT) AS vbin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -6895,6 +7060,9 @@ QUERIES = {
     "unpivot_events": q_unpivot_events,
     "embed_norms": q_embed_norms,
     "pareto_front": q_pareto_front,
+    "interval_union": q_interval_union,
+    "weighted_avg": q_weighted_avg,
+    "histogram_2d": q_histogram_2d,
 }
 
 ORACLES = {
@@ -6996,4 +7164,7 @@ ORACLES = {
     "unpivot_events": SQL_UNPIVOT_EVENTS,
     "embed_norms": SQL_EMBED_NORMS,
     "pareto_front": SQL_PARETO_FRONT,
+    "interval_union": SQL_INTERVAL_UNION,
+    "weighted_avg": SQL_WEIGHTED_AVG,
+    "histogram_2d": SQL_HISTOGRAM_2D,
 }

@@ -1189,3 +1189,39 @@ def test_dup_family_planted_clusters(ray_session, tmp_path):
     quota = _match(Q.q_source_quota, Q.SQL_SOURCE_QUOTA)
     per_source = quota.groupby("source")["doc_id"].count().to_dict()
     assert per_source == {"big": 50, "small": 5}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jsonl_roundtrip(tmp_path):
+    """JSONL sink writes one atomic part file per block; reader returns
+    the same rows; jsonl_to_parquet lands a scannable parquet lake."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.sources.jsonl import (
+        jsonl_to_parquet,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(100)], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = str(tmp_path / "jl")
+    n_files = write_jsonl(ds, out)
+    assert n_files >= 1
+    assert all(f.endswith(".jsonl") for f in os.listdir(out))
+
+    back = read_jsonl(out)
+    rows = sorted((r["doc_id"], r["text"]) for r in back.take_all())
+    assert rows == [(i, f"doc {i}") for i in range(100)]
+
+    pq_dir = str(tmp_path / "pq")
+    jsonl_to_parquet(out, pq_dir)
+    t = pq.read_table(pq_dir)
+    assert t.num_rows == 100
