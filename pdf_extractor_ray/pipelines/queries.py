@@ -6947,6 +6947,270 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# PageRank (fixed-iteration power method) on the supplier–part graph —
+# the iterative-algorithm demo next to kmeans/CC.  Same size-gate as
+# connected_components: the edge set is materialized anyway, so under
+# the gate the 5 iterations run as vectorized numpy (one np.add.at
+# scatter per round); above it, each round is the house bucketed
+# reduce-side join (ranks flow along edges keyed on src, contributions
+# partial-sum per batch, one bucketed exchange per round).  The oracle
+# unrolls the 5 iterations as chained CTEs (aggregates are illegal in
+# a recursive member).  Output: top-20 by ROUNDED rank (both engines
+# sort the rounded value; float drift across 5 iterations is ~1e-14,
+# invisible at 6 decimals).
+# --------------------------------------------------------------------------
+
+_PR_D, _PR_ITERS, _PR_TOPK = 0.85, 5, 20
+_PR_LOCAL_MAX_BYTES = 64 << 20
+
+
+def _pr_local(edges: pa.Table) -> pa.Table:
+    """Vectorized power iteration on a driver-resident (src, dst)
+    table.  Node ids compacted via sorted unique; contributions
+    scattered with np.add.at."""
+    src = edges.column("src").to_numpy(zero_copy_only=False)
+    dst = edges.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([src, dst]))
+    i_src = np.searchsorted(nodes, src)
+    i_dst = np.searchsorted(nodes, dst)
+    n = len(nodes)
+    deg = np.zeros(n)
+    np.add.at(deg, i_src, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(_PR_ITERS):
+        contrib = r[i_src] / deg[i_src]
+        nxt = np.full(n, (1.0 - _PR_D) / n)
+        np.add.at(nxt, i_dst, _PR_D * contrib)
+        r = nxt
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "rank": pa.array(np.round(r, 6), pa.float64()),
+        }
+    )
+
+
+def q_pagerank(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey"],
+        filter=pads.field("l_quantity") == 1.0,
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        # directed both ways (undirected graph), batch-local distinct
+        f = pd.DataFrame(
+            {
+                "a": b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64),
+                "b": b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+                + _GRAPH_PART_OFFSET,
+            }
+        ).drop_duplicates()
+        a, bb = f["a"].to_numpy(), f["b"].to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, bb]), pa.int64()),
+                "dst": pa.array(np.concatenate([bb, a]), pa.int64()),
+            }
+        )
+
+    e = li.map_batches(edges, batch_format="pyarrow").materialize()
+    # Batch-local distinct is not global distinct: dedup the edge set
+    # exactly (an edge seen in two batches must count once in outdeg).
+    if (e.size_bytes() or 0) <= _PR_LOCAL_MAX_BYTES:
+        tbl = dd._collect(e)
+        df = tbl.to_pandas().drop_duplicates()
+        ranks = _pr_local(pa.Table.from_pandas(df, preserve_index=False))
+    else:
+        ranks = _pagerank_distributed(e)
+    out = (
+        ranks.to_pandas()
+        .sort_values(["rank", "node"], ascending=[False, True], kind="mergesort")
+        .head(_PR_TOPK)
+    )
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(), pa.int64()),
+            "rank": pa.array(out["rank"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def _pagerank_distributed(e) -> pa.Table:
+    """Distributed power iteration: exact global edge dedup + outdeg
+    via one bucketed exchange, then per round ranks join edges on src
+    (tag + union + bucketed groupby), contributions partial-sum per
+    bucket keyed on dst, one more bucketed sum — O(edges) rows per
+    exchange, ``_PR_ITERS`` rounds.  Returns the collected (node,
+    rank) table (callers top-k it).  Tested via the forced-gate unit
+    test; the sf oracles exercise the local path."""
+    import zlib
+
+    def bucket_on(col):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column(col).to_numpy(zero_copy_only=False)
+            return b.append_column(
+                "_bucket", pa.array((k % _GROUP_BUCKETS).astype("int32"))
+            )
+
+        return f
+
+    # exact dedup + outdeg per src bucket
+    def dedup_deg(df: pd.DataFrame) -> pa.Table:
+        f = df[["src", "dst"]].drop_duplicates()
+        degs = f.groupby("src", sort=False)["dst"].transform("size")
+        return pa.table(
+            {
+                "src": pa.array(f["src"].to_numpy(), pa.int64()),
+                "dst": pa.array(f["dst"].to_numpy(), pa.int64()),
+                "deg": pa.array(degs.to_numpy().astype(np.float64), pa.float64()),
+            }
+        )
+
+    ed = (
+        e.map_batches(bucket_on("src"), batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_GROUP_BUCKETS)
+        .map_groups(dedup_deg, batch_format="pandas")
+        .materialize()
+    )
+    nodes = dd._collect(
+        ed.map_batches(
+            lambda b: pa.table(
+                {"node": pc.unique(b.column("src"))}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    node_arr = np.unique(nodes.column("node").to_numpy(zero_copy_only=False))
+    n = len(node_arr)
+    ranks_df = pd.DataFrame({"node": node_arr, "r": np.full(n, 1.0 / n)})
+
+    for _ in range(_PR_ITERS):
+        rref = ray.put(dict(zip(ranks_df["node"], ranks_df["r"])))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            rm = ray.get(rref)
+            src = b.column("src").to_numpy(zero_copy_only=False)
+            r = pd.Series(src).map(rm).to_numpy()
+            c = _PR_D * r / b.column("deg").to_numpy(zero_copy_only=False)
+            f = (
+                pd.DataFrame(
+                    {"node": b.column("dst").to_numpy(zero_copy_only=False), "c": c}
+                )
+                .groupby("node", sort=False, as_index=False)["c"]
+                .sum()
+            )
+            return pa.table(
+                {
+                    "node": pa.array(f["node"].to_numpy(), pa.int64()),
+                    "c": pa.array(f["c"].to_numpy(), pa.float64()),
+                }
+            )
+
+        summed = _sum_partials(
+            ed.map_batches(contrib, batch_format="pyarrow"),
+            keys=["node"],
+            sum_cols=["c"],
+            schema=pa.schema([("node", pa.int64()), ("c", pa.float64())]),
+        ).to_pandas()
+        ranks_df = pd.DataFrame({"node": node_arr}).merge(summed, on="node", how="left")
+        ranks_df["r"] = (1.0 - _PR_D) / n + ranks_df["c"].fillna(0.0)
+        ranks_df = ranks_df[["node", "r"]]
+
+    return pa.table(
+        {
+            "node": pa.array(ranks_df["node"].to_numpy(), pa.int64()),
+            "rank": pa.array(np.round(ranks_df["r"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+def _pr_sql() -> str:
+    base = f"""
+WITH e0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+                   CAST(l_partkey + {_GRAPH_PART_OFFSET} AS BIGINT) AS b
+            FROM lineitem WHERE l_quantity = 1),
+u AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM u GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)"""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""
+pr{i} AS (
+  SELECT u.dst AS node,
+         (1 - {_PR_D}) / (SELECT n FROM nn)
+         + {_PR_D} * sum(p.r / deg.d) AS r
+  FROM u JOIN pr{i - 1} p ON p.node = u.src JOIN deg ON deg.src = u.src
+  GROUP BY u.dst)"""
+        )
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT node, round(r, 6) AS rank FROM pr{_PR_ITERS}
+ORDER BY round(r, 6) DESC, node LIMIT {_PR_TOPK}
+"""
+    )
+
+
+SQL_PAGERANK = _pr_sql()
+
+
+# --------------------------------------------------------------------------
+# time-weighted average — the mean of a step function between events
+# (the metrics-system semantic, not the row mean): per-user sorted
+# scan, each value weighted by its holding duration; last event drops
+# (no duration).  Exact integer cents × µs products; the final ratio
+# is float (relative drift ~1e-16 ≪ the 6-decimal round).
+# --------------------------------------------------------------------------
+
+def q_time_weighted_avg(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = b["ts"].astype("int64").to_numpy()
+        cents = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        u = b["user_id"].to_numpy()
+        t2 = np.roll(t, -1)
+        last = np.concatenate([u[1:] != u[:-1], [True]])  # per-user last row
+        gap = np.where(last, 0, t2 - t).astype(np.float64)
+        f = pd.DataFrame({"u": u, "num": cents * gap, "den": gap})
+        g = f.groupby("u", sort=False, as_index=False)[["num", "den"]].sum()
+        g = g[g["den"] > 0]
+        return pa.table(
+            {
+                "user_id": pa.array(g["u"].to_numpy().astype(np.int64), pa.int64()),
+                "twa_cents": pa.array(
+                    np.round(g["num"].to_numpy() / g["den"].to_numpy(), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_TIME_WEIGHTED_AVG = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t2
+  FROM events)
+SELECT user_id,
+       round(sum(cents * (t2 - t)) / CAST(sum(t2 - t) AS DOUBLE), 6) AS twa_cents
+FROM o WHERE t2 IS NOT NULL
+GROUP BY user_id HAVING sum(t2 - t) > 0
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -7063,6 +7327,8 @@ QUERIES = {
     "interval_union": q_interval_union,
     "weighted_avg": q_weighted_avg,
     "histogram_2d": q_histogram_2d,
+    "pagerank": q_pagerank,
+    "time_weighted_avg": q_time_weighted_avg,
 }
 
 ORACLES = {
@@ -7167,4 +7433,6 @@ ORACLES = {
     "interval_union": SQL_INTERVAL_UNION,
     "weighted_avg": SQL_WEIGHTED_AVG,
     "histogram_2d": SQL_HISTOGRAM_2D,
+    "pagerank": SQL_PAGERANK,
+    "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
 }

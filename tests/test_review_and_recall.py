@@ -305,3 +305,35 @@ def test_connected_components_chain_and_clique():
         for r in connected_components(pairs, local_max_bytes=0).take_all()
     )
     assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_distributed_matches_local():
+    """The distributed power-iteration path (forced via a zero gate)
+    must match the local numpy path to float tolerance on a planted
+    graph, and both must rank the hub first."""
+    import numpy as np
+    import pyarrow as pa
+
+    import pdf_extractor_ray.pipelines.queries as Q
+
+    # star graph (node 0 is the hub) + a detached triangle
+    star = [(0, i) for i in range(1, 8)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    src, dst = zip(*(star + tri))
+    both = pa.table(
+        {
+            "src": pa.array(list(src) + list(dst), pa.int64()),
+            "dst": pa.array(list(dst) + list(src), pa.int64()),
+        }
+    )
+    local = Q._pr_local(both).to_pandas().set_index("node")["rank"]
+
+    e = ray.data.from_arrow(both)
+    dist = (
+        Q._pagerank_distributed(e).to_pandas().set_index("node")["rank"]
+    )
+    assert set(local.index) == set(dist.index)
+    for n in local.index:
+        assert abs(local[n] - dist[n]) < 1e-9, (n, local[n], dist[n])
+    assert local.idxmax() == 0  # the hub dominates
