@@ -186,6 +186,44 @@ def cmd_pages(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytics pipeline by name over a testdata-
+    shaped parquet directory — the user-facing door to the full query
+    surface (``--list`` enumerates it)."""
+    from .pipelines.queries import ORACLES, QUERIES
+
+    if args.list:
+        for name in sorted(QUERIES):
+            print(f"{name}{'' if name in ORACLES else '  (no SQL oracle)'}")
+        return 0
+    if not args.name:
+        print("error: query NAME required (or --list)", file=sys.stderr)
+        return 1
+    if args.name not in QUERIES:
+        print(f"error: unknown query {args.name!r} (see --list)", file=sys.stderr)
+        return 1
+    import os
+
+    if not os.path.isdir(args.sf_dir):
+        print(f"error: sf dir does not exist: {args.sf_dir}", file=sys.stderr)
+        return 1
+    _ensure_ray()
+    import pyarrow as pa
+
+    result = QUERIES[args.name](args.sf_dir)
+    tbl = result if isinstance(result, pa.Table) else pa.Table.from_pandas(result)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, args.out)
+        print(json.dumps({"query": args.name, "rows": tbl.num_rows, "out": args.out}))
+    else:
+        head = tbl.slice(0, args.limit).to_pandas()
+        print(head.to_string(index=False))
+        print(json.dumps({"query": args.name, "rows": tbl.num_rows}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pdf_extractor_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +268,14 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--images", required=True, help="output image tree root")
     pp.add_argument("--zoom", type=float, default=2.0)
     pp.set_defaults(fn=cmd_pages)
+
+    pq_ = sub.add_parser("query", help="run a registered analytics pipeline")
+    pq_.add_argument("name", nargs="?", default=None)
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq_.add_argument("--limit", type=int, default=20, help="rows to print")
+    pq_.add_argument("--out", default=None, help="write full result parquet here")
+    pq_.add_argument("--list", action="store_true", help="list query names")
+    pq_.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -5990,9 +5990,14 @@ def q_tpch_q14(sf_dir: str):
         )
 
     t = _to_table(li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
-    promo = pc.sum(t.column("promo_rev")).as_py() or 0.0
-    total = pc.sum(t.column("total_rev")).as_py() or 0.0
-    pct = round(100.0 * promo / total, 4) if total else 0.0
+    if t.num_rows == 0:
+        promo = total = 0.0
+    else:
+        promo = pc.sum(t.column("promo_rev")).as_py() or 0.0
+        total = pc.sum(t.column("total_rev")).as_py() or 0.0
+    # a global aggregate always returns one row; NULL ratio on an
+    # empty/zero-revenue month — exactly the oracle's division-by-zero
+    pct = round(100.0 * promo / total, 4) if total else None
     return pa.table({"promo_pct": pa.array([pct], pa.float64())})
 
 
@@ -6070,6 +6075,8 @@ def q_tpch_q18(sf_dir: str):
 
     if (big.size_bytes() or 0) <= _Q18_BROADCAST_MAX:
         big_tbl = _to_table(big)
+        if big_tbl.num_rows == 0:  # no HAVING survivors anywhere
+            return _q18_finish(sf_dir, pd.DataFrame())
         kref = ray.put(big_tbl.column("l_orderkey").combine_chunks())
 
         def semi(b: pa.Table) -> pa.Table:
@@ -6382,6 +6389,10 @@ def q_unigram_logprob(sf_dir: str):
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+    if vocab.num_rows == 0:  # empty corpus → empty result, stable schema
+        return pa.schema(
+            [("doc_id", pa.int64()), ("logprob", pa.float64())]
+        ).empty_table()
     if vocab.num_rows > _ULP_MAX_VOCAB:
         # Web-scale corpora have unbounded long-tail vocabularies; the
         # broadcast-(vocab, logp) design assumes the table fits a
@@ -6487,6 +6498,10 @@ def q_lang_balance(sf_dir: str):
         .groupby("lang")
         .aggregate(Sum("n", alias_name="n_docs"))
     )
+    if counts.num_rows == 0:  # empty corpus → empty result, stable schema
+        return pa.schema(
+            [("lang", pa.string()), ("n_docs", pa.int64()), ("n_kept", pa.int64())]
+        ).empty_table()
     langs = counts.column("lang").to_pylist()
     n_docs = counts.column("n_docs").to_numpy(zero_copy_only=False)
     n_min = float(n_docs.min())
@@ -6683,6 +6698,15 @@ def q_embed_norms(sf_dir: str):
         )
     )
     t = _to_table(agg)
+    if t.num_rows == 0:
+        return pa.schema(
+            [
+                ("label", pa.int64()),
+                ("n", pa.int64()),
+                ("avg_norm", pa.float64()),
+                ("max_norm", pa.float64()),
+            ]
+        ).empty_table()
     avg = pc.round(
         pc.divide(t.column("s"), pc.cast(t.column("n"), pa.float64())), ndigits=6
     )
@@ -6758,6 +6782,14 @@ def q_pareto_front(sf_dir: str):
     partials = _to_table(
         ds.map_batches(local_frontier, batch_format="pandas")
     ).to_pandas()  # bounded: ≤ distinct-sizes rows per batch
+    if partials.empty:
+        return pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_size", pa.int64()),
+                ("p_retailprice", pa.float64()),
+            ]
+        ).empty_table()
     f = _pareto_frontier(partials)
     f = f.sort_values(["p_size", "p_retailprice", "p_partkey"])
     return pa.table(
@@ -7018,10 +7050,13 @@ def q_pagerank(sf_dir: str):
         )
 
     e = li.map_batches(edges, batch_format="pyarrow").materialize()
+    empty = pa.schema([("node", pa.int64()), ("rank", pa.float64())]).empty_table()
     # Batch-local distinct is not global distinct: dedup the edge set
     # exactly (an edge seen in two batches must count once in outdeg).
     if (e.size_bytes() or 0) <= _PR_LOCAL_MAX_BYTES:
         tbl = dd._collect(e)
+        if tbl.num_rows == 0:
+            return empty
         df = tbl.to_pandas().drop_duplicates()
         ranks = _pr_local(pa.Table.from_pandas(df, preserve_index=False))
     else:

@@ -57,3 +57,40 @@ def test_cli_roundtrip(small_lake, tmp_path, capsys):
     assert len(pngs) == pg["pages"]
     with open(pngs[0], "rb") as f:
         assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_cli_query(tmp_path):
+    """query subcommand: --list enumerates, a run prints rows + a JSON
+    tail, --out writes parquet, unknown names exit 1."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.cli import main
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["query", "--list"]) == 0
+    assert "weighted_avg" in buf.getvalue()
+
+    out = str(tmp_path / "wavg.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert (
+            main(
+                [
+                    "query",
+                    "weighted_avg",
+                    "--sf-dir",
+                    "/root/testdata/sf0.001",
+                    "--out",
+                    out,
+                ]
+            )
+            == 0
+        )
+    t = pq.read_table(out)
+    assert t.num_rows > 0 and "wavg_discount" in t.column_names
+
+    assert main(["query", "definitely_not_a_query"]) == 1

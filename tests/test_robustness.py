@@ -112,3 +112,40 @@ def test_auto_salt_engages_and_matches(small_lake):
         promote_options="permissive",
     ).select(COLS).sort_by(SORT)
     assert got2.equals(golden)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_round3_queries_on_empty_lake(tmp_path):
+    """Every round-3 operator must survive an EMPTY lake (0-row tables
+    with the real schemas) — returning an empty frame, never crashing:
+    at 100 TB a predicate-pushdown read legitimately produces zero
+    rows for some partitions/date ranges."""
+    import pandas as pd
+
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    src = "/root/testdata/sf0.001"
+    sf = str(tmp_path / "empty_sf")
+    os.makedirs(sf)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        schema = pq.read_schema(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), os.path.join(sf, f"{t}.parquet"))
+
+    round3 = [
+        "graph_components", "tpch_q14", "tpch_q18", "percentile_cont",
+        "edit_dedup", "unigram_logprob", "lang_balance", "drawdown",
+        "unpivot_events", "embed_norms", "pareto_front", "interval_union",
+        "weighted_avg", "histogram_2d", "pagerank", "time_weighted_avg",
+    ]
+    for name in round3:
+        result = QUERIES[name](sf)
+        df = result if isinstance(result, pd.DataFrame) else result.to_pandas()
+        if name == "tpch_q14":
+            # a global aggregate returns ONE row (NULL ratio) on empty
+            # input — the oracle's semantics exactly
+            assert len(df) == 1 and pd.isna(df["promo_pct"].iloc[0])
+        else:
+            assert len(df) == 0, f"{name} returned rows from an empty lake"
