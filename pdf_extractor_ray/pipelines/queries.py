@@ -7246,6 +7246,663 @@ GROUP BY user_id HAVING sum(t2 - t) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q13-shaped order-count distribution.  The classic LEFT-JOIN +
+# double-groupby collapses to combiner algebra: per-batch value_counts
+# on o_custkey (O(customers-in-batch) rows leave each batch), ONE
+# custkey-bucketed merge where each bucket sums its customers' counts
+# AND folds them straight into (c_count → custdist) partials, then a
+# tiny O(buckets × distinct-counts) driver sum.  The zero-order bucket
+# never scans customer at all — parquet row-count metadata minus the
+# distinct-custkey total (valid because o_custkey is an FK into the
+# unique c_custkey, the same invariant the oracle's LEFT JOIN uses).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q13(sf_dir: str):
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b.column("o_custkey").combine_chunks().value_counts()
+        return pa.table(
+            {
+                "custkey": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        per_cust = df.groupby("custkey", sort=False)["cnt"].sum()
+        dist = per_cust.value_counts()
+        return pa.table(
+            {
+                "c_count": pa.array(dist.index.to_numpy().astype(np.int64), pa.int64()),
+                "custdist": pa.array(dist.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _merge_partials(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "custkey",
+        per_bucket,
+        input_schema=pa.schema([("custkey", pa.int64()), ("cnt", pa.int64())]),
+    )
+    df = parts.to_pandas().groupby("c_count", as_index=False)["custdist"].sum()
+    n_cust = pa.parquet.read_metadata(_t(sf_dir, "customer")).num_rows
+    zero = int(n_cust) - int(df["custdist"].sum())
+    if zero > 0:
+        df = pd.concat(
+            [df, pd.DataFrame({"c_count": [0], "custdist": [zero]})], ignore_index=True
+        )
+    df = df.sort_values(["custdist", "c_count"], ascending=[False, False])
+    return pa.table(
+        {
+            "c_count": pa.array(df["c_count"].to_numpy(), pa.int64()),
+            "custdist": pa.array(df["custdist"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17-shaped small-quantity revenue: parts of one brand whose
+# lineitems fall below 20% of that part's average quantity.  The
+# correlated-subquery semantic needs two passes over lineitem, both
+# column-pruned: pass 1 builds per-partkey (Σqty, n) combiner partials
+# for the brand's keys only (brand keyset broadcast once via ray.put —
+# O(|brand| × 8B), ~4% of part); pass 2 maps each row against the
+# broadcast per-partkey threshold and sums revenue.  Quantities are
+# integers ≤ 50, so Σqty is exact in float64 at any scale and the
+# 0.2 × (Σ/n) threshold is bit-identical to the oracle's avg() —
+# no summation-order hazard (rounded to 6 anyway as a belt).
+# --------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#23"
+
+
+def q_tpch_q17(sf_dir: str):
+    part = pa.parquet.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+    keys = (
+        part.filter(pc.equal(part.column("p_brand"), _Q17_BRAND))
+        .column("p_partkey")
+        .combine_chunks()
+    )
+    kref = ray.put(keys)
+
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
+        t = pa.table(
+            {
+                "k": f.column("l_partkey"),
+                "q": f.column("l_quantity"),
+                "n": pa.array(np.ones(f.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("k").aggregate([("q", "sum"), ("n", "sum")])
+        return pa.table(
+            {"k": g.column("k"), "q": g.column("q_sum"), "n": g.column("n_sum")}
+        )
+
+    sums = _sum_partials(
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["k"],
+        sum_cols=["q", "n"],
+        schema=pa.schema([("k", pa.int64()), ("q", pa.float64()), ("n", pa.int64())]),
+    ).to_pandas()
+    thr = dict(
+        zip(
+            sums["k"],
+            np.round(0.2 * (sums["q"].to_numpy() / sums["n"].to_numpy()), 6),
+        )
+    )
+    tref = ray.put(thr)
+
+    li2 = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        t = pd.Series(b.column("l_partkey").to_numpy(zero_copy_only=False)).map(
+            ray.get(tref)
+        )
+        keep = b.column("l_quantity").to_numpy(zero_copy_only=False) < t.to_numpy()
+        rev = float(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep].sum()
+        )
+        return pa.table(
+            {
+                "rev": pa.array([rev], pa.float64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    t = _to_table(
+        li2.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_kept = int(pc.sum(t.column("n")).as_py() or 0) if t.num_rows else 0
+    if n_kept == 0:
+        # SQL sum() over zero rows is NULL — keep the oracle's semantics
+        return pa.table({"avg_yearly": pa.array([None], pa.float64())})
+    total = float(pc.sum(t.column("rev")).as_py() or 0.0)
+    return pa.table({"avg_yearly": pa.array([round(total / 7.0, 2)], pa.float64())})
+
+
+SQL_TPCH_Q17 = f"""
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{_Q17_BRAND}'
+  AND l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-shaped returned-item revenue (top 20 customers).  The
+# orders-quarter ⋈ returned-lineitem join is LARGE × LARGE at scale,
+# so it runs reduce-side: lineitem collapses per batch to (orderkey,
+# Σrev) partials, unions with (orderkey, custkey) order rows, ONE
+# orderkey-bucketed exchange resolves the join and re-collapses to
+# per-custkey revenue partials — then a SECOND tiny merge on custkey
+# takes per-bucket top-20s, so the driver sees O(buckets × 20) rows,
+# never O(customers).  Only the 20 surviving custkeys touch the
+# customer table (key-pruned point read) and nation is a broadcast
+# dict — no customer-side shuffle at any scale.
+# --------------------------------------------------------------------------
+
+_Q10_TOPN = 20
+
+
+def q_tpch_q10(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = _dt.datetime(1995, 10, 1), _dt.datetime(1996, 1, 1)
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "cust": b.column("o_custkey"),
+                "rev": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        )
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        g = (
+            pa.table({"k": b.column("l_orderkey"), "rev": rev})
+            .group_by("k")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "cust": pa.array(np.full(g.num_rows, -1, np.int64), pa.int64()),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(b: pd.DataFrame) -> pa.Table:
+        is_order = b["cust"].to_numpy() >= 0
+        revs = b[~is_order].groupby("k", sort=False)["rev"].sum().rename("orev")
+        m = b[is_order].merge(revs, left_on="k", right_index=True, how="inner")
+        g = m.groupby("cust", sort=False, as_index=False)["orev"].sum()
+        return pa.table(
+            {
+                "custkey": pa.array(g["cust"].to_numpy(), pa.int64()),
+                "revenue": pa.array(g["orev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = _bucketed(both, "k", join_bucket)
+
+    def top_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("custkey", sort=False, as_index=False)["revenue"].sum()
+        g["revenue"] = np.round(g["revenue"].to_numpy(), 2)
+        g = g.sort_values(["revenue", "custkey"], ascending=[False, True]).head(
+            _Q10_TOPN
+        )
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(), pa.int64()),
+                "revenue": pa.array(g["revenue"].to_numpy(), pa.float64()),
+            }
+        )
+
+    merged = _merge_partials(
+        partials,
+        "custkey",
+        top_bucket,
+        input_schema=pa.schema([("custkey", pa.int64()), ("revenue", pa.float64())]),
+    ).to_pandas()
+    top = merged.sort_values(["revenue", "custkey"], ascending=[False, True]).head(
+        _Q10_TOPN
+    )
+    out_schema = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("revenue", pa.float64()),
+            ("c_acctbal", pa.float64()),
+            ("n_name", pa.string()),
+        ]
+    )
+    if top.empty:
+        return out_schema.empty_table()
+
+    cust = pa.parquet.read_table(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=[("c_custkey", "in", top["custkey"].tolist())],
+    ).to_pandas()
+    nation = pa.parquet.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = top.merge(cust, left_on="custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out = out.sort_values(["revenue", "custkey"], ascending=[False, True])
+    return pa.table(
+        {
+            "c_custkey": pa.array(out["custkey"].to_numpy(), pa.int64()),
+            "c_name": pa.array(out["c_name"], pa.string()),
+            "revenue": pa.array(out["revenue"].to_numpy(), pa.float64()),
+            "c_acctbal": pa.array(out["c_acctbal"].to_numpy(), pa.float64()),
+            "n_name": pa.array(out["n_name"], pa.string()),
+        }
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT {_Q10_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22-shaped dormant high-balance customers: above-average
+# balance (within two segments) and NO order since a cutoff date.  The
+# scalar subquery is a two-int combiner (Σcents, n — balances as exact
+# integer cents, so the threshold is bit-identical across engines
+# regardless of summation order); the NOT EXISTS is the reduce-side
+# anti-join: recent orders collapse per batch to distinct custkeys,
+# union with eligible customer rows, ONE custkey-bucketed exchange
+# keeps customers whose bucket holds no order row, emitting O(segments)
+# partials per bucket.
+# --------------------------------------------------------------------------
+
+_Q22_SEGS = ("AUTOMOBILE", "MACHINERY")
+_Q22_SINCE = "2000-06-01"
+
+
+def q_tpch_q22(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cust = _read_pq(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+        filter=pads.field("c_mktsegment").isin(list(_Q22_SEGS)),
+    )
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table(
+            {
+                "s": pa.array([int(pos.sum())], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    bt = _to_table(
+        cust.map_batches(bal_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    s = int(pc.sum(bt.column("s")).as_py() or 0)
+    n = int(pc.sum(bt.column("n")).as_py() or 0)
+    thr_cents = s / n if n else float("inf")
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = cents > thr_cents
+        f = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "k": f.column("c_custkey"),
+                "seg": f.column("c_mktsegment"),
+                "cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    recent = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= _dt.datetime(2000, 6, 1),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        u = pc.unique(b.column("o_custkey"))
+        return pa.table(
+            {
+                "k": u,
+                "seg": pa.array([""] * len(u), pa.string()),
+                "cents": pa.array(np.zeros(len(u), np.int64), pa.int64()),
+            }
+        )
+
+    both = cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        recent.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def anti_bucket(b: pd.DataFrame) -> pa.Table:
+        seg = b["seg"].to_numpy()
+        has_order = set(b.loc[seg == "", "k"].to_numpy())
+        c = b[seg != ""]
+        c = c[~c["k"].isin(has_order)]
+        g = c.groupby("seg", sort=False).agg(
+            numcust=("k", "size"), cents=("cents", "sum")
+        )
+        return pa.table(
+            {
+                "segment": pa.array(g.index.to_numpy(), pa.string()),
+                "numcust": pa.array(g["numcust"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = _bucketed(both, "k", anti_bucket)
+    out = _sum_partials(
+        partials,
+        ["segment"],
+        ["numcust", "cents"],
+        pa.schema(
+            [("segment", pa.string()), ("numcust", pa.int64()), ("cents", pa.int64())]
+        ),
+    ).to_pandas()
+    out = out.sort_values("segment")
+    return pa.table(
+        {
+            "segment": pa.array(out["segment"], pa.string()),
+            "numcust": pa.array(out["numcust"].to_numpy(), pa.int64()),
+            "totacctbal": pa.array(
+                np.round(out["cents"].to_numpy() / 100.0, 2), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q22 = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE c_mktsegment IN ('{_Q22_SEGS[0]}', '{_Q22_SEGS[1]}'))
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(cents) / 100.0, 2) AS totacctbal
+FROM eligible
+WHERE cents > (SELECT avg(cents) FROM eligible WHERE cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = eligible.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '{_Q22_SINCE}')
+GROUP BY c_mktsegment ORDER BY segment
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9-shaped profit rollup by (supplier nation, ship year) for one
+# part family.  Part filter is a broadcast keyset (selective, int64
+# keys only); the supplier→nation attribution runs reduce-side —
+# lineitem collapses per batch to (suppkey, year, Σprofit), unions with
+# (suppkey, nationkey) supplier rows, ONE suppkey-bucketed exchange
+# resolves the join into (nationkey, year, Σprofit) partials, then an
+# O(nations × years) merge.  Supplier is never broadcast (it scales
+# with the lake); nation (25 rows) is.
+# --------------------------------------------------------------------------
+
+_Q9_NAME_PREFIX = "red "
+
+
+def q_tpch_q9(sf_dir: str):
+    part = pa.parquet.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    keys = (
+        part.filter(pc.starts_with(part.column("p_name"), _Q9_NAME_PREFIX))
+        .column("p_partkey")
+        .combine_chunks()
+    )
+    kref = ray.put(keys)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
+        profit = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        g = (
+            pa.table(
+                {
+                    "k": f.column("l_suppkey"),
+                    "year": pc.year(f.column("l_shipdate")),
+                    "profit": profit,
+                }
+            )
+            .group_by(["k", "year"])
+            .aggregate([("profit", "sum")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "year": g.column("year"),
+                "profit": g.column("profit_sum"),
+                "nk": pa.array(np.full(g.num_rows, -1, np.int32), pa.int32()),
+            }
+        )
+
+    supp = _read_pq(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("s_suppkey"),
+                "year": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "profit": pa.array(np.zeros(b.num_rows), pa.float64()),
+                "nk": b.column("s_nationkey"),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        supp.map_batches(supp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(b: pd.DataFrame) -> pa.Table:
+        is_supp = b["nk"].to_numpy() >= 0
+        nk = b[is_supp].set_index("k")["nk"]
+        m = b[~is_supp].merge(nk, left_on="k", right_index=True, how="inner")
+        g = m.groupby(["nk_y", "year"], sort=False, as_index=False)["profit"].sum()
+        return pa.table(
+            {
+                "nationkey": pa.array(g["nk_y"].to_numpy().astype(np.int32), pa.int32()),
+                "o_year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "profit": pa.array(g["profit"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = _bucketed(both, "k", join_bucket)
+
+    def merge_fn(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["nationkey", "o_year"], sort=False, as_index=False)[
+            "profit"
+        ].sum()
+        return pa.table(
+            {
+                "nationkey": pa.array(g["nationkey"].to_numpy(), pa.int32()),
+                "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+                "profit": pa.array(g["profit"].to_numpy(), pa.float64()),
+            }
+        )
+
+    out = _merge_partials(
+        partials,
+        "nationkey",
+        merge_fn,
+        input_schema=pa.schema(
+            [("nationkey", pa.int32()), ("o_year", pa.int64()), ("profit", pa.float64())]
+        ),
+    ).to_pandas()
+    nation = pa.parquet.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = out.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    out = out.sort_values(["n_name", "o_year"], ascending=[True, False])
+    return pa.table(
+        {
+            "n_name": pa.array(out["n_name"], pa.string()),
+            "o_year": pa.array(out["o_year"].to_numpy(), pa.int64()),
+            "sum_profit": pa.array(
+                np.round(out["profit"].to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name, year(l_shipdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '{_Q9_NAME_PREFIX}%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build: term → capped, sorted posting list + document
+# frequency.  Per batch, documents explode to DISTINCT (term, doc_id)
+# pairs (the list_flatten / np.repeat explode, then an in-batch dedup
+# — a doc's rows never span batches); the pair stream takes ONE
+# term-bucketed exchange (exactly the MinHash-band shape) where each
+# bucket owns its terms end-to-end: df = pair count, postings = first
+# _INVIDX_CAP doc_ids ascending.  Output is O(vocab) rows with bounded
+# strings — the cap, not the corpus, bounds every posting cell.
+# --------------------------------------------------------------------------
+
+_INVIDX_MIN_DF, _INVIDX_CAP = 5, 20
+
+
+def q_inverted_index(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b.column("text")), "[^a-z]+")
+        n_per = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "term": pc.list_flatten(toks).to_pandas(),
+                "doc_id": np.repeat(
+                    b.column("doc_id").to_numpy(zero_copy_only=False), n_per
+                ),
+            }
+        )
+        df = df[df["term"] != ""].drop_duplicates()
+        return pa.table(
+            {
+                "term": pa.array(df["term"], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["term", "doc_id"])
+        g = df.groupby("term", sort=False)["doc_id"]
+        dfreq = g.size()
+        posting = g.apply(
+            lambda s: ",".join(str(v) for v in s.iloc[: _INVIDX_CAP])
+        )
+        keep = dfreq >= _INVIDX_MIN_DF
+        return pa.table(
+            {
+                "term": pa.array(dfreq.index[keep].to_numpy(), pa.string()),
+                "df": pa.array(dfreq[keep].to_numpy().astype(np.int64), pa.int64()),
+                "postings": pa.array(posting[keep].to_numpy(), pa.string()),
+            }
+        )
+
+    out = _merge_partials(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        "term",
+        per_bucket,
+        input_schema=pa.schema([("term", pa.string()), ("doc_id", pa.int64())]),
+    )
+    return out.sort_by("term")
+
+
+SQL_INVERTED_INDEX = f"""
+WITH td AS (
+  SELECT DISTINCT term, doc_id FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term, doc_id
+    FROM documents)
+  WHERE term <> '')
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(
+         list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                    1, {_INVIDX_CAP}), ',') AS postings
+FROM td GROUP BY term HAVING count(*) >= {_INVIDX_MIN_DF} ORDER BY term
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -7364,6 +8021,12 @@ QUERIES = {
     "histogram_2d": q_histogram_2d,
     "pagerank": q_pagerank,
     "time_weighted_avg": q_time_weighted_avg,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q22": q_tpch_q22,
+    "tpch_q9": q_tpch_q9,
+    "inverted_index": q_inverted_index,
 }
 
 ORACLES = {
@@ -7470,4 +8133,10 @@ ORACLES = {
     "histogram_2d": SQL_HISTOGRAM_2D,
     "pagerank": SQL_PAGERANK,
     "time_weighted_avg": SQL_TIME_WEIGHTED_AVG,
+    "tpch_q13": SQL_TPCH_Q13,
+    "tpch_q17": SQL_TPCH_Q17,
+    "tpch_q10": SQL_TPCH_Q10,
+    "tpch_q22": SQL_TPCH_Q22,
+    "tpch_q9": SQL_TPCH_Q9,
+    "inverted_index": SQL_INVERTED_INDEX,
 }
