@@ -7903,6 +7903,339 @@ FROM td GROUP BY term HAVING count(*) >= {_INVIDX_MIN_DF} ORDER BY term
 """
 
 
+# --------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information for every bigram seen
+# ≥ _PMI_MIN times.  Both count families are per-batch combiner
+# partials (the q_bigram_topk / q_vocab_topk kernels); the bigram
+# stream merges through ONE crc32-bucketed exchange where the ≥min
+# filter runs per bucket, so the driver only ever sees qualifying
+# bigrams (O(qualifying)) plus the unigram vocabulary (bounded — the
+# same ≤2M-entry assumption q_unigram_logprob documents).  The PMI
+# arithmetic is an exact-integer-ratio ln, associativity matched
+# term-for-term with the SQL so the float is bit-identical before the
+# 6-decimal round.
+# --------------------------------------------------------------------------
+
+_PMI_MIN = 25
+
+
+def q_pmi_bigrams(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def bigram_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        n = len(vals)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        start_ok = np.ones(n - 1, dtype=bool)
+        lasts = offs[1:] - 1
+        lasts = lasts[(lasts >= 0) & (lasts <= n - 2)]
+        start_ok[lasts] = False
+        w1, w2 = vals[:-1][start_ok], vals[1:][start_ok]
+        m = (w1 != "") & (w2 != "")
+        vc = (pd.Series(w1[m]) + " " + pd.Series(w2[m])).value_counts()
+        return pa.table(
+            {
+                "bigram": pa.array(vc.index.to_numpy(), pa.string()),
+                "cnt": pa.array(vc.to_numpy(), pa.int64()),
+            }
+        )
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def qualifying(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("bigram", sort=False, as_index=False)["cnt"].sum()
+        g = g[g["cnt"] >= _PMI_MIN]
+        return pa.table(
+            {
+                "bigram": pa.array(g["bigram"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    big = _merge_partials(
+        ds.map_batches(bigram_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "bigram",
+        qualifying,
+        input_schema=pa.schema([("bigram", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+    # total bigram occurrences must count ALL bigrams, not just
+    # qualifying ones — a second scalar combiner over the same stream
+    # would re-tokenize; instead carry totals from the partials
+    uni = _sum_partials(
+        ds.map_batches(uni_partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"],
+        sum_cols=["cnt"],
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+
+    n_uni = int(uni["cnt"].sum())
+    # total bigrams = Σ_docs max(tokens_in_doc - 1, 0); derive it the
+    # cheap exact way: Σ unigrams − n_docs-with-≥1-token is wrong for
+    # empty docs, so count it directly with a tiny scalar combiner.
+    def nbig_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        if len(offs) <= 1:
+            return pa.table({"nb": pa.array([0], pa.int64())})
+        # non-empty tokens are contiguous ('+' collapses delimiter runs,
+        # empties only at the list edges), so adjacent non-empty pairs
+        # per doc = max(non-empty count − 1, 0)
+        nz = (vals != "").astype(np.int64)
+        pad = np.concatenate([nz, np.zeros(1, np.int64)])
+        cnt = np.add.reduceat(pad, offs[:-1])
+        cnt = np.where(offs[1:] > offs[:-1], cnt, 0)
+        nb = int(np.maximum(cnt - 1, 0).sum())
+        return pa.table({"nb": pa.array([nb], pa.int64())})
+
+    nbt = _to_table(
+        ds.map_batches(nbig_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_big = int(pc.sum(nbt.column("nb")).as_py() or 0)
+
+    ucnt = dict(zip(uni["word"], uni["cnt"]))
+    w = big["bigram"].str.split(" ", n=1, expand=True)
+    c_a = w[0].map(ucnt).to_numpy(dtype=np.float64)
+    c_b = w[1].map(ucnt).to_numpy(dtype=np.float64)
+    c_ab = big["cnt"].to_numpy()
+    num = c_ab.astype(np.float64) * float(n_uni) * float(n_uni)
+    den = float(n_big) * c_a * c_b
+    pmi = np.round(np.log(num / den), 6)
+    out = pd.DataFrame({"bigram": big["bigram"], "cnt": c_ab, "pmi": pmi})
+    out = out.sort_values("bigram")
+    return pa.table(
+        {
+            "bigram": pa.array(out["bigram"], pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+            "pmi": pa.array(out["pmi"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH w AS (SELECT string_split_regex(lower(text), '[^a-z]+') AS ws
+           FROM documents),
+     p AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+                  unnest(ws[2:len(ws)]) AS w2 FROM w),
+     b AS (SELECT w1, w2, count(*) AS cnt FROM p
+           WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2),
+     u AS (SELECT word, count(*) AS cnt FROM (
+             SELECT unnest(ws) AS word FROM w) WHERE word <> ''
+           GROUP BY word),
+     nu AS (SELECT sum(cnt) AS n FROM u),
+     nb AS (SELECT sum(cnt) AS n FROM b)
+SELECT b.w1 || ' ' || b.w2 AS bigram, b.cnt,
+       round(ln((CAST(b.cnt AS DOUBLE) * (SELECT n FROM nu) * (SELECT n FROM nu))
+                / (CAST((SELECT n FROM nb) AS DOUBLE) * ua.cnt * ub.cnt)), 6) AS pmi
+FROM b JOIN u ua ON ua.word = b.w1 JOIN u ub ON ub.word = b.w2
+WHERE b.cnt >= {_PMI_MIN}
+ORDER BY bigram
+"""
+
+
+# --------------------------------------------------------------------------
+# Sentence statistics: per document, the number of sentences and the
+# average trimmed sentence length.  Pure map-side (each row is one
+# document; no exchange at any scale) — the list-offset reduceat
+# pattern keeps the per-batch kernel fully vectorized.
+# --------------------------------------------------------------------------
+
+_SENT_SPLIT_RE = r"[.!?]+"
+_TRIM_CHARS = " \t\n\r"
+
+
+def q_sentence_stats(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        segs = pc.split_pattern_regex(
+            batch.column("text"), _SENT_SPLIT_RE
+        ).combine_chunks()
+        offs = np.asarray(segs.offsets)
+        trimmed = pc.utf8_trim(segs.values, characters=_TRIM_CHARS)
+        lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = lens[offs[0] : offs[-1]]
+        nz = (lens > 0).astype(np.int64)
+        base = offs - offs[0]
+        pad_n = np.concatenate([nz, [0]])
+        pad_l = np.concatenate([np.where(nz > 0, lens, 0), [0]])
+        n_sent = np.add.reduceat(pad_n, base[:-1])
+        sum_len = np.add.reduceat(pad_l, base[:-1])
+        empty = base[1:] <= base[:-1]
+        n_sent = np.where(empty, 0, n_sent)
+        sum_len = np.where(empty, 0, sum_len)
+        keep = n_sent > 0
+        avg = np.round(
+            sum_len[keep].astype(np.float64) / n_sent[keep].astype(np.float64), 4
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_sent": pa.array(n_sent[keep], pa.int64()),
+                "avg_len": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return _to_table(ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True))
+
+
+SQL_SENTENCE_STATS = f"""
+WITH s AS (
+  SELECT doc_id, trim(seg, ' ' || chr(9) || chr(10) || chr(13)) AS seg
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '{_SENT_SPLIT_RE}')) AS seg
+        FROM documents))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+       round(sum(CAST(len(seg) AS DOUBLE)) / count(*), 4) AS avg_len
+FROM s WHERE seg <> '' GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21-shaped sole-late-supplier blame: orders served by ≥2
+# suppliers where EXACTLY ONE shipped >60 days after the order date —
+# count such orders per blamed supplier.  lineitem collapses per batch
+# to (orderkey, suppkey, max ship) partials, unions with (orderkey,
+# orderdate) rows, ONE orderkey-bucketed exchange owns each order's
+# whole supplier group (the EXISTS + NOT-EXISTS pair becomes two
+# vectorized per-order counts), emitting per-suppkey blame partials;
+# the supplier-name hydration is a key-pruned point read of the
+# surviving suppliers only.
+# --------------------------------------------------------------------------
+
+_Q21_LATE_US = 60 * 24 * 3600 * 1_000_000
+
+
+def q_tpch_q21(sf_dir: str):
+    li = _read_pq(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "k": b.column("l_orderkey"),
+                    "s": b.column("l_suppkey"),
+                    "ship_us": b.column("l_shipdate").cast(pa.int64()),
+                }
+            )
+            .group_by(["k", "s"])
+            .aggregate([("ship_us", "max")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "s": g.column("s"),
+                "ship_us": g.column("ship_us_max"),
+                "od_us": pa.array(np.full(g.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "s": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "ship_us": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "od_us": b.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def blame_bucket(b: pd.DataFrame) -> pa.Table:
+        is_order = b["s"].to_numpy() < 0
+        od = b[is_order].set_index("k")["od_us"]
+        li_rows = b[~is_order].copy()
+        # cross-batch duplicate (k, s) partials: keep the max ship
+        li_rows = li_rows.groupby(["k", "s"], sort=False, as_index=False)[
+            "ship_us"
+        ].max()
+        li_rows["od"] = li_rows["k"].map(od)
+        li_rows = li_rows[li_rows["od"].notna()]
+        li_rows["late"] = li_rows["ship_us"] > li_rows["od"] + _Q21_LATE_US
+        per_order = li_rows.groupby("k", sort=False).agg(
+            n_supp=("s", "size"), n_late=("late", "sum")
+        )
+        blamed = per_order[(per_order["n_supp"] >= 2) & (per_order["n_late"] == 1)]
+        late_rows = li_rows[li_rows["late"] & li_rows["k"].isin(blamed.index)]
+        cnt = late_rows.groupby("s", sort=False).size()
+        return pa.table(
+            {
+                "suppkey": pa.array(cnt.index.to_numpy(), pa.int64()),
+                "numwait": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = _bucketed(both, "k", blame_bucket)
+    out = _sum_partials(
+        partials,
+        ["suppkey"],
+        ["numwait"],
+        pa.schema([("suppkey", pa.int64()), ("numwait", pa.int64())]),
+    ).to_pandas()
+    if out.empty:
+        return pa.schema(
+            [("s_name", pa.string()), ("numwait", pa.int64())]
+        ).empty_table()
+    supp = pa.parquet.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", out["suppkey"].tolist())],
+    ).to_pandas()
+    out = out.merge(supp, left_on="suppkey", right_on="s_suppkey")
+    out = out.sort_values(["numwait", "s_name"], ascending=[False, True])
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"], pa.string()),
+            "numwait": pa.array(out["numwait"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH ls AS (SELECT l_orderkey AS k, l_suppkey AS s, max(l_shipdate) AS md
+            FROM lineitem GROUP BY 1, 2),
+     j AS (SELECT ls.k, ls.s,
+                  (ls.md > o.o_orderdate + INTERVAL 60 DAY) AS late
+           FROM ls JOIN orders o ON ls.k = o.o_orderkey),
+     g AS (SELECT k FROM j GROUP BY k
+           HAVING count(*) >= 2
+              AND sum(CASE WHEN late THEN 1 ELSE 0 END) = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM j JOIN g USING (k) JOIN supplier ON s_suppkey = j.s
+WHERE j.late GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -8027,6 +8360,9 @@ QUERIES = {
     "tpch_q22": q_tpch_q22,
     "tpch_q9": q_tpch_q9,
     "inverted_index": q_inverted_index,
+    "pmi_bigrams": q_pmi_bigrams,
+    "sentence_stats": q_sentence_stats,
+    "tpch_q21": q_tpch_q21,
 }
 
 ORACLES = {
@@ -8139,4 +8475,7 @@ ORACLES = {
     "tpch_q22": SQL_TPCH_Q22,
     "tpch_q9": SQL_TPCH_Q9,
     "inverted_index": SQL_INVERTED_INDEX,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "sentence_stats": SQL_SENTENCE_STATS,
+    "tpch_q21": SQL_TPCH_Q21,
 }
