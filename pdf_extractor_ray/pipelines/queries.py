@@ -8236,6 +8236,485 @@ WHERE j.late GROUP BY s_name ORDER BY numwait DESC, s_name
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q7-shaped bi-nation trade volume: revenue shipped between two
+# nations by (supplier nation, customer nation, year).  The supplier
+# side is a filtered broadcast (suppkeys of 2-of-25 nations — the
+# documented dimension-broadcast bound, same as tpch_q5; the
+# reduce-side alternative is a third exchange on suppkey, the tpch_q9
+# shape).  The order→customer attribution runs reduce-side twice:
+# lineitem collapses per batch to (orderkey, supp_nation, year, Σrev),
+# exchange A on orderkey joins orders' custkey, exchange B on custkey
+# joins the nation-filtered customer rows — each exchange carries only
+# combiner output, and the final merge is O(2 × 2 × years).
+# --------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_3", "NATION_7")
+
+
+def q_tpch_q7(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    nation = pa.parquet.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    nkeys = [k for k, v in nmap.items() if v in _Q7_NATIONS]
+
+    supp = pa.parquet.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_nationkey"],
+        filters=[("s_nationkey", "in", nkeys)],
+    )
+    smap = dict(
+        zip(
+            supp.column("s_suppkey").to_pylist(),
+            (nmap[k] for k in supp.column("s_nationkey").to_pylist()),
+        )
+    )
+    sref = ray.put(smap)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        sn = pd.Series(b.column("l_suppkey").to_numpy(zero_copy_only=False)).map(
+            ray.get(sref)
+        )
+        keep = sn.notna().to_numpy()
+        f = b.filter(pa.array(keep))
+        rev = pc.multiply(
+            f.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+        )
+        g = (
+            pa.table(
+                {
+                    "k": f.column("l_orderkey"),
+                    "s_nat": pa.array(sn[keep].to_numpy(), pa.string()),
+                    "year": pc.year(f.column("l_shipdate")),
+                    "rev": rev,
+                }
+            )
+            .group_by(["k", "s_nat", "year"])
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "s_nat": g.column("s_nat"),
+                "year": g.column("year"),
+                "rev": g.column("rev_sum"),
+            }
+        )
+
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "s_nat": pa.array([""] * b.num_rows, pa.string()),
+                "year": b.column("o_custkey"),  # custkey rides the year slot
+                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_a(b: pd.DataFrame) -> pa.Table:
+        is_order = b["s_nat"].to_numpy() == ""
+        cust = b[is_order].set_index("k")["year"].rename("custkey")
+        m = b[~is_order].merge(cust, left_on="k", right_index=True, how="inner")
+        g = m.groupby(["custkey", "s_nat", "year"], sort=False, as_index=False)[
+            "rev"
+        ].sum()
+        return pa.table(
+            {
+                "custkey": pa.array(g["custkey"].to_numpy(), pa.int64()),
+                "s_nat": pa.array(g["s_nat"], pa.string()),
+                "year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    stage_a = _bucketed(both, "k", bucket_a)
+
+    cust = _read_pq(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nkeys),
+    )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        cn = pd.Series(b.column("c_nationkey").to_pylist()).map(nmap)
+        return pa.table(
+            {
+                "custkey": b.column("c_custkey"),
+                "s_nat": pa.array([""] * b.num_rows, pa.string()),
+                "year": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
+                "c_nat": pa.array(cn.to_numpy(), pa.string()),
+            }
+        )
+
+    def tag_li(b: pa.Table) -> pa.Table:
+        return b.append_column("c_nat", pa.array([""] * b.num_rows, pa.string()))
+
+    both_b = stage_a.map_batches(tag_li, batch_format="pyarrow").union(
+        cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_b(b: pd.DataFrame) -> pa.Table:
+        is_cust = b["c_nat"].to_numpy() != ""
+        cn = b[is_cust].set_index("custkey")["c_nat"]
+        m = b[~is_cust].merge(cn, left_on="custkey", right_index=True, how="inner")
+        m = m[m["s_nat"] != m["c_nat_y"]]  # cross-nation flows only
+        g = m.groupby(["s_nat", "c_nat_y", "year"], sort=False, as_index=False)[
+            "rev"
+        ].sum()
+        return pa.table(
+            {
+                "supp_nation": pa.array(g["s_nat"], pa.string()),
+                "cust_nation": pa.array(g["c_nat_y"], pa.string()),
+                "l_year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "revenue": pa.array(g["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = _bucketed(both_b, "custkey", bucket_b)
+
+    def merge_fn(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(
+            ["supp_nation", "cust_nation", "l_year"], sort=False, as_index=False
+        )["revenue"].sum()
+        return pa.table(
+            {
+                "supp_nation": pa.array(g["supp_nation"], pa.string()),
+                "cust_nation": pa.array(g["cust_nation"], pa.string()),
+                "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
+                "revenue": pa.array(
+                    np.round(g["revenue"].to_numpy(), 2), pa.float64()
+                ),
+            }
+        )
+
+    out = _merge_partials(
+        partials,
+        "supp_nation",
+        merge_fn,
+        input_schema=pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue", pa.float64()),
+            ]
+        ),
+    )
+    return out.sort_by(
+        [("supp_nation", "ascending"), ("cust_nation", "ascending"), ("l_year", "ascending")]
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+  AND cn.n_name IN ('{_Q7_NATIONS[0]}', '{_Q7_NATIONS[1]}')
+  AND sn.n_name <> cn.n_name
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16-shaped supplier-diversity count: distinct suppliers per
+# (brand, type, size) over a filtered part family, from observed
+# lineitem supply pairs.  Two bucketed exchanges, both over combiner
+# output: exchange A on partkey dedups (partkey, suppkey) pairs and
+# attaches part attributes reduce-side (part rows union-tagged, never
+# broadcast — part scales with the lake); exchange B re-dedups
+# (brand, type, size, suppkey) across parts — a supplier serving many
+# parts of one group must count once — then counts.  No count-distinct
+# ever materializes a group in one task.
+# --------------------------------------------------------------------------
+
+_Q16_EXCL_BRAND = "Brand#5"
+_Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+
+
+def q_tpch_q16(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    part = _read_pq(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(pads.field("p_brand") != _Q16_EXCL_BRAND)
+        & (pads.field("p_size").isin(list(_Q16_SIZES))),
+    )
+
+    def part_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("p_partkey"),
+                "s": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "brand": b.column("p_brand"),
+                "ptype": b.column("p_type"),
+                "size": b.column("p_size").cast(pa.int32()),
+            }
+        )
+
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"k": b.column("l_partkey"), "s": b.column("l_suppkey")})
+            .group_by(["k", "s"])
+            .aggregate([])
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "s": t.column("s"),
+                "brand": pa.array([""] * n, pa.string()),
+                "ptype": pa.array([""] * n, pa.string()),
+                "size": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        )
+
+    both = li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        part.map_batches(part_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_bucket(b: pd.DataFrame) -> pa.Table:
+        is_part = b["s"].to_numpy() < 0
+        attrs = b[is_part].set_index("k")[["brand", "ptype", "size"]]
+        pairs = b[~is_part][["k", "s"]].drop_duplicates()
+        m = pairs.merge(attrs, left_on="k", right_index=True, how="inner")
+        m = m[["brand", "ptype", "size", "s"]].drop_duplicates()
+        return pa.table(
+            {
+                "brand": pa.array(m["brand"], pa.string()),
+                "ptype": pa.array(m["ptype"], pa.string()),
+                "size": pa.array(m["size"].to_numpy().astype(np.int32), pa.int32()),
+                "s": pa.array(m["s"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tagged = _bucketed(both, "k", attach_bucket)
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        import zlib
+
+        gk = [
+            zlib.crc32(f"{br}|{ty}|{sz}".encode())
+            for br, ty, sz in zip(
+                b.column("brand").to_pylist(),
+                b.column("ptype").to_pylist(),
+                b.column("size").to_pylist(),
+            )
+        ]
+        return b.append_column("gkey", pa.array(gk, pa.int64()))
+
+    def count_bucket(b: pd.DataFrame) -> pa.Table:
+        u = b.drop_duplicates(subset=["brand", "ptype", "size", "s"])
+        g = (
+            u.groupby(["brand", "ptype", "size"], sort=False)
+            .size()
+            .reset_index(name="supplier_cnt")
+        )
+        return pa.table(
+            {
+                "p_brand": pa.array(g["brand"], pa.string()),
+                "p_type": pa.array(g["ptype"], pa.string()),
+                "p_size": pa.array(g["size"].to_numpy().astype(np.int32), pa.int32()),
+                "supplier_cnt": pa.array(
+                    g["supplier_cnt"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = _merge_partials(
+        tagged.map_batches(add_gkey, batch_format="pyarrow"),
+        "gkey",
+        lambda df: count_bucket(df),
+        input_schema=pa.schema(
+            [
+                ("brand", pa.string()),
+                ("ptype", pa.string()),
+                ("size", pa.int32()),
+                ("s", pa.int64()),
+                ("gkey", pa.int64()),
+            ]
+        ),
+    )
+    return out.sort_by(
+        [
+            ("supplier_cnt", "descending"),
+            ("p_brand", "ascending"),
+            ("p_type", "ascending"),
+            ("p_size", "ascending"),
+        ]
+    )
+
+
+SQL_TPCH_Q16 = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+  AND p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q2-shaped cheapest-supplier-per-part: among the suppliers
+# observed (via lineitem) for each part of one size, the one with the
+# minimum account balance (suppkey-ascending tie-break).  The size
+# keyset broadcasts (selective); the supplier-attribute attach runs
+# reduce-side on suppkey (supplier scales with the lake), and the
+# per-part argmin runs reduce-side on partkey — both exchanges carry
+# only deduped (part, supp) combiner pairs.
+# --------------------------------------------------------------------------
+
+_Q2_SIZE = 10
+
+
+def q_tpch_q2(sf_dir: str):
+    part = pa.parquet.read_table(
+        _t(sf_dir, "part"),
+        columns=["p_partkey", "p_size"],
+        filters=[("p_size", "=", _Q2_SIZE)],
+    )
+    keys = part.column("p_partkey").combine_chunks()
+    kref = ray.put(keys)
+
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
+        t = (
+            pa.table({"p": f.column("l_partkey"), "k": f.column("l_suppkey")})
+            .group_by(["p", "k"])
+            .aggregate([])
+        )
+        return pa.table(
+            {
+                "p": t.column("p"),
+                "k": t.column("k"),
+                "bal": pa.array(np.full(t.num_rows, np.nan), pa.float64()),
+                "name": pa.array([""] * t.num_rows, pa.string()),
+            }
+        )
+
+    supp = _read_pq(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"])
+
+    def supp_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "k": b.column("s_suppkey"),
+                "bal": b.column("s_acctbal"),
+                "name": b.column("s_name"),
+            }
+        )
+
+    both = li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        supp.map_batches(supp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def attach_bucket(b: pd.DataFrame) -> pa.Table:
+        is_supp = b["p"].to_numpy() < 0
+        attrs = b[is_supp].set_index("k")[["bal", "name"]]
+        pairs = b[~is_supp][["p", "k"]].drop_duplicates()
+        m = pairs.merge(attrs, left_on="k", right_index=True, how="inner")
+        return pa.table(
+            {
+                "p": pa.array(m["p"].to_numpy(), pa.int64()),
+                "k": pa.array(m["k"].to_numpy(), pa.int64()),
+                "bal": pa.array(m["bal"].to_numpy(), pa.float64()),
+                "name": pa.array(m["name"], pa.string()),
+            }
+        )
+
+    tagged = _bucketed(both, "k", attach_bucket)
+
+    def argmin_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.drop_duplicates(subset=["p", "k"])
+        b = b.sort_values(["p", "bal", "k"], kind="mergesort")
+        first = b.groupby("p", sort=False).head(1)
+        return pa.table(
+            {
+                "p_partkey": pa.array(first["p"].to_numpy(), pa.int64()),
+                "s_suppkey": pa.array(first["k"].to_numpy(), pa.int64()),
+                "s_name": pa.array(first["name"], pa.string()),
+                "s_acctbal": pa.array(first["bal"].to_numpy(), pa.float64()),
+            }
+        )
+
+    def argmin_merge(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["p", "bal", "k"], kind="mergesort")
+        first = df.groupby("p", sort=False).head(1)
+        return pa.table(
+            {
+                "p_partkey": pa.array(first["p"].to_numpy(), pa.int64()),
+                "s_suppkey": pa.array(first["k"].to_numpy(), pa.int64()),
+                "s_name": pa.array(first["name"], pa.string()),
+                "s_acctbal": pa.array(first["bal"].to_numpy(), pa.float64()),
+            }
+        )
+
+    out = _merge_partials(
+        tagged,
+        "p",
+        argmin_merge,
+        input_schema=pa.schema(
+            [
+                ("p", pa.int64()),
+                ("k", pa.int64()),
+                ("bal", pa.float64()),
+                ("name", pa.string()),
+            ]
+        ),
+    )
+    return out.sort_by("p_partkey")
+
+
+SQL_TPCH_Q2 = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS k
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size = {_Q2_SIZE}),
+     j AS (SELECT p, k, s_acctbal, s_name
+           FROM ps JOIN supplier ON s_suppkey = k),
+     r AS (SELECT p, k, s_acctbal, s_name,
+                  row_number() OVER (PARTITION BY p
+                                     ORDER BY s_acctbal, k) AS rn
+           FROM j)
+SELECT p AS p_partkey, k AS s_suppkey, s_name, s_acctbal
+FROM r WHERE rn = 1 ORDER BY p_partkey
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -8363,6 +8842,9 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "sentence_stats": q_sentence_stats,
     "tpch_q21": q_tpch_q21,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q2": q_tpch_q2,
 }
 
 ORACLES = {
@@ -8478,4 +8960,7 @@ ORACLES = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "sentence_stats": SQL_SENTENCE_STATS,
     "tpch_q21": SQL_TPCH_Q21,
+    "tpch_q7": SQL_TPCH_Q7,
+    "tpch_q16": SQL_TPCH_Q16,
+    "tpch_q2": SQL_TPCH_Q2,
 }
