@@ -8715,6 +8715,486 @@ FROM r WHERE rn = 1 ORDER BY p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q8-shaped market share: one supplier nation's share of the
+# revenue flowing to one region's customers, by order year.  The
+# target-nation suppkey set broadcasts (1-of-25 — documented bound,
+# reduce-side suppkey exchange as the named fallback, the tpch_q9
+# shape); lineitem collapses per batch to (orderkey, Σrev, Σrev_target)
+# and joins the date-filtered orders reduce-side on orderkey, then the
+# region-filtered customer semi-join runs reduce-side on custkey.  The
+# final merge is O(years); share = target / total per year.
+# --------------------------------------------------------------------------
+
+_Q8_REGION = "EUROPE"
+
+
+def q_tpch_q8(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    nation = pa.parquet.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    region = pa.parquet.read_table(
+        _t(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    rkey = int(region.loc[region["r_name"] == _Q8_REGION, "r_regionkey"].iloc[0])
+    region_nkeys = nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].tolist()
+    # target = the region's lowest-numbered nation (deterministic)
+    target_nk = min(region_nkeys)
+    target_name = nation.set_index("n_nationkey").loc[target_nk, "n_name"]
+
+    supp = pa.parquet.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey"],
+        filters=[("s_nationkey", "=", target_nk)],
+    )
+    tkeys = supp.column("s_suppkey").combine_chunks()
+    tref = ray.put(tkeys)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        is_t = pc.is_in(b.column("l_suppkey"), value_set=ray.get(tref))
+        rev_t = pc.if_else(is_t, rev, pa.scalar(0.0))
+        g = (
+            pa.table({"k": b.column("l_orderkey"), "rev": rev, "rev_t": rev_t})
+            .group_by("k")
+            .aggregate([("rev", "sum"), ("rev_t", "sum")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "cust": pa.array(np.full(g.num_rows, -1, np.int64), pa.int64()),
+                "year": pa.array(np.full(g.num_rows, -1, np.int64), pa.int64()),
+                "rev": g.column("rev_sum"),
+                "rev_t": g.column("rev_t_sum"),
+            }
+        )
+
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "cust": b.column("o_custkey"),
+                "year": pc.year(b.column("o_orderdate")),
+                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
+                "rev_t": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_a(b: pd.DataFrame) -> pa.Table:
+        is_order = b["cust"].to_numpy() >= 0
+        ords = b[is_order].set_index("k")[["cust", "year"]]
+        m = b[~is_order].merge(ords, left_on="k", right_index=True, how="inner")
+        g = m.groupby(["cust_y", "year_y"], sort=False, as_index=False)[
+            ["rev", "rev_t"]
+        ].sum()
+        return pa.table(
+            {
+                "custkey": pa.array(g["cust_y"].to_numpy(), pa.int64()),
+                "year": pa.array(g["year_y"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+            }
+        )
+
+    stage_a = _bucketed(both, "k", bucket_a)
+
+    cust = _read_pq(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=pads.field("c_nationkey").isin(region_nkeys),
+    )
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "custkey": b.column("c_custkey"),
+                "year": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "rev": pa.array(np.full(n, -1.0), pa.float64()),
+                "rev_t": pa.array(np.zeros(n), pa.float64()),
+            }
+        )
+
+    both_b = stage_a.union(
+        cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_b(b: pd.DataFrame) -> pa.Table:
+        is_cust = b["year"].to_numpy() < 0
+        in_region = set(b.loc[is_cust, "custkey"].to_numpy())
+        m = b[~is_cust]
+        m = m[m["custkey"].isin(in_region)]
+        g = m.groupby("year", sort=False, as_index=False)[["rev", "rev_t"]].sum()
+        return pa.table(
+            {
+                "o_year": pa.array(g["year"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = _bucketed(both_b, "custkey", bucket_b)
+
+    def merge_fn(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]].sum()
+        g = g.sort_values("o_year")
+        share = np.round(g["rev_t"].to_numpy() / g["rev"].to_numpy(), 6)
+        return pa.table(
+            {
+                "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+                "mkt_share": pa.array(share, pa.float64()),
+            }
+        )
+
+    out = _merge_partials(
+        partials,
+        "o_year",
+        merge_fn,
+        input_schema=pa.schema(
+            [("o_year", pa.int64()), ("rev", pa.float64()), ("rev_t", pa.float64())]
+        ),
+    )
+    _ = target_name  # the SQL twin derives the same nation from the region
+    return out.sort_by("o_year")
+
+
+def _q8_sql() -> str:
+    return f"""
+WITH tn AS (SELECT min(n_nationkey) AS nk FROM nation
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = '{_Q8_REGION}')
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN s_nationkey = (SELECT nk FROM tn)
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = cn.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE r_name = '{_Q8_REGION}'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+SQL_TPCH_Q8 = _q8_sql()
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15-shaped top supplier: the supplier(s) with maximum quarter
+# revenue.  Per-suppkey revenue partials merge through one bucketed
+# exchange where each bucket emits ONLY its max-revenue row(s) (global
+# max ≥ every bucket max, so candidates suffice) — the driver sees
+# O(buckets) rows, takes the global max, and hydrates the winners via
+# a key-pruned supplier point read.  Revenue is rounded to cents
+# BEFORE the max compare on both engines, making the argmax set
+# deterministic.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q15(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        g = (
+            pa.table({"k": b.column("l_suppkey"), "rev": rev})
+            .group_by("k")
+            .aggregate([("rev", "sum")])
+        )
+        return pa.table({"k": g.column("k"), "rev": g.column("rev_sum")})
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", sort=False, as_index=False)["rev"].sum()
+        g["rev"] = np.round(g["rev"].to_numpy(), 2)
+        mx = g["rev"].max()
+        g = g[g["rev"] == mx]
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+            }
+        )
+
+    cand = _merge_partials(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "k",
+        per_bucket,
+        input_schema=pa.schema([("k", pa.int64()), ("rev", pa.float64())]),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()), ("total_rev", pa.float64())]
+    )
+    if cand.empty:
+        return out_schema.empty_table()
+    mx = cand["rev"].max()
+    win = cand[cand["rev"] == mx].sort_values("k")
+    supp = pa.parquet.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", win["k"].tolist())],
+    ).to_pandas()
+    m = win.merge(supp, left_on="k", right_on="s_suppkey").sort_values("k")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(m["k"].to_numpy(), pa.int64()),
+            "s_name": pa.array(m["s_name"], pa.string()),
+            "total_rev": pa.array(m["rev"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH r AS (SELECT l_suppkey AS k,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+SELECT k AS s_suppkey, s_name, rev AS total_rev
+FROM r JOIN supplier ON s_suppkey = k
+WHERE rev = (SELECT max(rev) FROM r) ORDER BY s_suppkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+# (brand, size-range, quantity-range) branches.  Each branch's part
+# predicate compiles to a broadcast keyset (selective — brand is 1-of-25
+# and the size band prunes further; the reduce-side partkey join is the
+# named fallback); the per-batch kernel is three vectorized masks and
+# one masked sum — a scalar combiner, no exchange.
+# --------------------------------------------------------------------------
+
+_Q19_BRANCHES = (
+    ("Brand#1", 1, 5, 1.0, 11.0),
+    ("Brand#2", 1, 10, 10.0, 20.0),
+    ("Brand#3", 1, 15, 20.0, 30.0),
+)
+
+
+def q_tpch_q19(sf_dir: str):
+    part = pa.parquet.read_table(
+        _t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"]
+    )
+    refs = []
+    for brand, slo, shi, _, _ in _Q19_BRANCHES:
+        mask = pc.and_(
+            pc.equal(part.column("p_brand"), brand),
+            pc.and_(
+                pc.greater_equal(part.column("p_size"), slo),
+                pc.less_equal(part.column("p_size"), shi),
+            ),
+        )
+        refs.append(ray.put(part.filter(mask).column("p_partkey").combine_chunks()))
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity")
+        keep = pa.array(np.zeros(b.num_rows, bool))
+        for (brand, _, _, qlo, qhi), ref in zip(_Q19_BRANCHES, refs):
+            m = pc.and_(
+                pc.is_in(b.column("l_partkey"), value_set=ray.get(ref)),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(qlo)),
+                    pc.less_equal(qty, pa.scalar(qhi)),
+                ),
+            )
+            keep = pc.or_(keep, m)
+        rev = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        total = pc.sum(pc.if_else(keep, rev, pa.scalar(0.0))).as_py() or 0.0
+        n = int(pc.sum(keep.cast(pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "rev": pa.array([total], pa.float64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    t = _to_table(li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+    n = int(pc.sum(t.column("n")).as_py() or 0) if t.num_rows else 0
+    if n == 0:
+        return pa.table({"revenue": pa.array([None], pa.float64())})
+    total = float(pc.sum(t.column("rev")).as_py() or 0.0)
+    return pa.table({"revenue": pa.array([round(total, 2)], pa.float64())})
+
+
+def _q19_sql() -> str:
+    branches = []
+    for brand, slo, shi, qlo, qhi in _Q19_BRANCHES:
+        branches.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {slo} AND {shi}"
+            f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+        )
+    return f"""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {" OR ".join(branches)}
+"""
+
+
+SQL_TPCH_Q19 = _q19_sql()
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20-shaped heavy-supplier semi-join: suppliers whose shipped
+# quantity of one part family in one year exceeds 2× the per-supplier
+# mean.  The same materialized per-suppkey partial stream feeds two
+# merges: a scalar (Σqty, n-suppliers) pass that fixes the threshold
+# (integer quantities ⇒ exact at any summation order), then a
+# filter-in-bucket pass so only qualifying suppliers reach the driver.
+# Names hydrate via a key-pruned point read.
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q20(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    part = pa.parquet.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_name"])
+    keys = (
+        part.filter(pc.starts_with(part.column("p_name"), _Q9_NAME_PREFIX))
+        .column("p_partkey")
+        .combine_chunks()
+    )
+    kref = ray.put(keys)
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
+        g = (
+            pa.table({"k": f.column("l_suppkey"), "qty": f.column("l_quantity")})
+            .group_by("k")
+            .aggregate([("qty", "sum")])
+        )
+        return pa.table({"k": g.column("k"), "qty": g.column("qty_sum")})
+
+    partials = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def scalar_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", sort=False, as_index=False)["qty"].sum()
+        return pa.table(
+            {
+                "s": pa.array([float(g["qty"].sum())], pa.float64()),
+                "n": pa.array([len(g)], pa.int64()),
+            }
+        )
+
+    stats = _merge_partials(
+        partials,
+        "k",
+        scalar_bucket,
+        input_schema=pa.schema([("k", pa.int64()), ("qty", pa.float64())]),
+    ).to_pandas()
+    s, n = float(stats["s"].sum()), int(stats["n"].sum())
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()), ("qty", pa.float64())]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    thr = 2.0 * (s / n)
+
+    def filter_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", sort=False, as_index=False)["qty"].sum()
+        g = g[g["qty"] > thr]
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "qty": pa.array(g["qty"].to_numpy(), pa.float64()),
+            }
+        )
+
+    heavy = _merge_partials(
+        partials,
+        "k",
+        filter_bucket,
+        input_schema=pa.schema([("k", pa.int64()), ("qty", pa.float64())]),
+    ).to_pandas()
+    if heavy.empty:
+        return out_schema.empty_table()
+    supp = pa.parquet.read_table(
+        _t(sf_dir, "supplier"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", heavy["k"].tolist())],
+    ).to_pandas()
+    m = heavy.merge(supp, left_on="k", right_on="s_suppkey").sort_values("k")
+    return pa.table(
+        {
+            "s_suppkey": pa.array(m["k"].to_numpy(), pa.int64()),
+            "s_name": pa.array(m["s_name"], pa.string()),
+            "qty": pa.array(m["qty"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_TPCH_Q20 = f"""
+WITH sq AS (SELECT l_suppkey AS k, sum(l_quantity) AS qty
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_name LIKE '{_Q9_NAME_PREFIX}%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey)
+SELECT k AS s_suppkey, s_name, qty
+FROM sq JOIN supplier ON s_suppkey = k
+WHERE qty > (SELECT 2.0 * (sum(qty) / count(*)) FROM sq)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -8845,6 +9325,10 @@ QUERIES = {
     "tpch_q7": q_tpch_q7,
     "tpch_q16": q_tpch_q16,
     "tpch_q2": q_tpch_q2,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
 }
 
 ORACLES = {
@@ -8963,4 +9447,8 @@ ORACLES = {
     "tpch_q7": SQL_TPCH_Q7,
     "tpch_q16": SQL_TPCH_Q16,
     "tpch_q2": SQL_TPCH_Q2,
+    "tpch_q8": SQL_TPCH_Q8,
+    "tpch_q15": SQL_TPCH_Q15,
+    "tpch_q19": SQL_TPCH_Q19,
+    "tpch_q20": SQL_TPCH_Q20,
 }
