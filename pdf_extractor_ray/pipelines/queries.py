@@ -9195,6 +9195,260 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# Prefix-duplicate rate per source — the "which crawl is dirtiest"
+# boilerplate diagnostic: a document is a prefix-dup if its first
+# _PREFIX_LEN characters match another document's (the cheap
+# template/boilerplate detector).  Per-batch (fp64, source, n)
+# combiner partials take ONE fp-bucketed exchange (every copy of a
+# prefix lands in one bucket), where the >1-copy test and the
+# per-source fold both run.  Text never crosses; the 64-bit prefix
+# fingerprint rides the dedup_exact GROUP-BY-equivalence contract.
+# --------------------------------------------------------------------------
+
+
+_PREFIX_LEN = 40
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    from ..functions.textstats import fingerprint_exact
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").to_pylist()
+        fps = np.fromiter(
+            (fingerprint_exact((t or "")[:_PREFIX_LEN]) for t in txt),
+            dtype=np.int64,
+            count=len(txt),
+        )
+        g = (
+            pd.DataFrame({"fp64": fps, "source": batch.column("source").to_pandas()})
+            .groupby(["fp64", "source"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "fp64": pa.array(g["fp64"].to_numpy(), pa.int64()),
+                "source": pa.array(g["source"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["fp64", "source"], sort=False, as_index=False)["n"].sum()
+        totals = g.groupby("fp64", sort=False)["n"].sum()
+        dup_fps = set(totals[totals > 1].index)
+        g["is_dup"] = g["fp64"].isin(dup_fps)
+        s = g.groupby("source", sort=False).agg(
+            n_docs=("n", "sum"),
+            n_dup=("n", lambda x: int(x[g.loc[x.index, "is_dup"]].sum())),
+        )
+        return pa.table(
+            {
+                "source": pa.array(s.index.to_numpy(), pa.string()),
+                "n_docs": pa.array(s["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "n_dup": pa.array(s["n_dup"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    # the bucketed merge already returns O(sources × buckets) rows —
+    # the final per-source fold is a tiny driver-side sum
+    out = (
+        _merge_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "fp64",
+            per_bucket,
+            input_schema=pa.schema(
+                [("fp64", pa.int64()), ("source", pa.string()), ("n", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .groupby("source", as_index=False)[["n_docs", "n_dup"]]
+        .sum()
+        .sort_values("source")
+    )
+    rate = np.round(
+        out["n_dup"].to_numpy().astype(np.float64)
+        / out["n_docs"].to_numpy().astype(np.float64),
+        6,
+    )
+    return pa.table(
+        {
+            "source": pa.array(out["source"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(), pa.int64()),
+            "n_dup": pa.array(out["n_dup"].to_numpy(), pa.int64()),
+            "dup_rate": pa.array(rate, pa.float64()),
+        }
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH d AS (SELECT source,
+                  count(*) OVER (PARTITION BY substr(text, 1, {_PREFIX_LEN})) AS c
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN c > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6) AS dup_rate
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Zipf slope of the vocabulary: ln-cnt vs ln-rank regression over the
+# top-K words — the one-number "is this corpus natural language"
+# check.  Vocabulary counts are the q_vocab_topk combiner exchange;
+# the regression runs driver-side over exactly K rows with the
+# closed-form sums written identically in both engines (regr_slope's
+# streaming accumulator deliberately unused).
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 200
+
+
+def q_zipf_slope(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    uni = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["word"],
+        sum_cols=["cnt"],
+        schema=pa.schema([("word", pa.string()), ("cnt", pa.int64())]),
+    ).to_pandas()
+    if uni.empty:
+        return pa.table(
+            {
+                "zipf_slope": pa.array([None], pa.float64()),
+                "n_ranks": pa.array([0], pa.int64()),
+            }
+        )
+    uni = uni.sort_values(["cnt", "word"], ascending=[False, True]).head(_ZIPF_TOPK)
+    n = len(uni)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(uni["cnt"].to_numpy(dtype=np.float64))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return pa.table(
+        {
+            "zipf_slope": pa.array([slope], pa.float64()),
+            "n_ranks": pa.array([n], pa.int64()),
+        }
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH u AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+             FROM documents) WHERE word <> ''
+           GROUP BY word),
+     r AS (SELECT row_number() OVER (ORDER BY cnt DESC, word) AS rank, cnt
+           FROM u ORDER BY cnt DESC, word LIMIT {_ZIPF_TOPK}),
+     s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(ln(rank)) AS sx, sum(ln(cnt)) AS sy,
+                  sum(ln(rank) * ln(cnt)) AS sxy,
+                  sum(ln(rank) * ln(rank)) AS sxx,
+                  CAST(count(*) AS BIGINT) AS n_ranks
+           FROM r)
+SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       n_ranks
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-source duplicate overlap: for every source pair, how many
+# distinct _PREFIX_LEN-char prefixes appear in BOTH — the
+# contamination matrix between crawls (prefix key, as above).
+# Distinct (fp, source) pairs take the fp-bucketed exchange;
+# the per-fp pair expansion is bounded by the source count (≤ sources²
+# rows per fp), and the final merge is O(source-pairs).
+# --------------------------------------------------------------------------
+
+
+def q_source_overlap(sf_dir: str):
+    from ..functions.textstats import fingerprint_exact
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").to_pylist()
+        fps = np.fromiter(
+            (fingerprint_exact((t or "")[:_PREFIX_LEN]) for t in txt),
+            dtype=np.int64,
+            count=len(txt),
+        )
+        g = pd.DataFrame(
+            {"fp64": fps, "source": batch.column("source").to_pandas()}
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "fp64": pa.array(g["fp64"].to_numpy(), pa.int64()),
+                "source": pa.array(g["source"], pa.string()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        u = b.drop_duplicates()
+        m = u.merge(u, on="fp64")
+        m = m[m["source_x"] < m["source_y"]]
+        g = m.groupby(["source_x", "source_y"], sort=False).size()
+        gi = g.reset_index(name="n_shared")
+        return pa.table(
+            {
+                "s1": pa.array(gi["source_x"], pa.string()),
+                "s2": pa.array(gi["source_y"], pa.string()),
+                "n_shared": pa.array(
+                    gi["n_shared"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    pairs = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "fp64",
+        per_bucket,
+        input_schema=pa.schema([("fp64", pa.int64()), ("source", pa.string())]),
+    )
+    # a source pair spans many fp buckets — one final tiny sum
+    # (O(source-pairs) rows) folds the per-bucket partials
+    df = (
+        pairs.to_pandas()
+        .groupby(["s1", "s2"], as_index=False)["n_shared"]
+        .sum()
+        .sort_values(["s1", "s2"])
+    )
+    return pa.table(
+        {
+            "s1": pa.array(df["s1"], pa.string()),
+            "s2": pa.array(df["s2"], pa.string()),
+            "n_shared": pa.array(df["n_shared"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_SOURCE_OVERLAP = f"""
+WITH ds AS (SELECT DISTINCT substr(text, 1, {_PREFIX_LEN}) AS p, source
+            FROM documents)
+SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_shared
+FROM ds a JOIN ds b ON a.p = b.p AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -9329,6 +9583,9 @@ QUERIES = {
     "tpch_q15": q_tpch_q15,
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "zipf_slope": q_zipf_slope,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -9451,4 +9708,7 @@ ORACLES = {
     "tpch_q15": SQL_TPCH_Q15,
     "tpch_q19": SQL_TPCH_Q19,
     "tpch_q20": SQL_TPCH_Q20,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }
