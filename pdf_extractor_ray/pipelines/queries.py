@@ -9449,6 +9449,114 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q11-shaped important stock: parts whose shipped value exceeds
+# a multiple of the mean per-part shipped value (partsupp is absent
+# from the lake, so value derives from lineitem price × quantity —
+# same plan shape: grouped sum, scalar subquery threshold, filtered
+# output).
+# Exact integer cents make the threshold summation-order-proof; the
+# same materialized per-partkey partial stream feeds the scalar pass
+# and the in-bucket filter pass, so only qualifying parts reach the
+# driver (the q20 two-merge pattern).
+# --------------------------------------------------------------------------
+
+_Q11_FACTOR = 1.5  # keep parts above 1.5× the mean per-part value
+
+
+def q_tpch_q11(sf_dir: str):
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64) * b.column("l_quantity").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"k": b.column("l_partkey").to_numpy(zero_copy_only=False), "v": cents}
+            )
+            .groupby("k", sort=False, as_index=False)["v"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def scalar_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", sort=False)["v"].sum()
+        return pa.table(
+            {
+                "s": pa.array([int(g.sum())], pa.int64()),
+                "n": pa.array([len(g)], pa.int64()),
+            }
+        )
+
+    stats = _merge_partials(
+        partials,
+        "k",
+        scalar_bucket,
+        input_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    ).to_pandas()
+    total = int(stats["s"].sum())
+    n_parts = int(stats["n"].sum())
+    if n_parts == 0:
+        return pa.schema(
+            [("p_partkey", pa.int64()), ("value", pa.float64())]
+        ).empty_table()
+    # exact int sums; the ÷ then × ordering matches the SQL expression
+    thr = _Q11_FACTOR * (total / n_parts)
+
+    def filter_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("k", sort=False, as_index=False)["v"].sum()
+        g = g[g["v"] > thr]
+        return pa.table(
+            {
+                "k": pa.array(g["k"].to_numpy(), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+            }
+        )
+
+    heavy = _merge_partials(
+        partials,
+        "k",
+        filter_bucket,
+        input_schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+    ).to_pandas()
+    heavy = heavy.sort_values(["v", "k"], ascending=[False, True])
+    return pa.table(
+        {
+            "p_partkey": pa.array(heavy["k"].to_numpy(), pa.int64()),
+            "value": pa.array(
+                np.round(heavy["v"].to_numpy() / 100.0, 2), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q11 = f"""
+WITH pv AS (SELECT l_partkey AS k,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS v
+            FROM lineitem GROUP BY l_partkey)
+SELECT k AS p_partkey, round(v / 100.0, 2) AS value
+FROM pv
+WHERE v > {_Q11_FACTOR} * (SELECT sum(v) / count(*) FROM pv)
+ORDER BY v DESC, k
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -9586,6 +9694,7 @@ QUERIES = {
     "dup_rate_by_source": q_dup_rate_by_source,
     "zipf_slope": q_zipf_slope,
     "source_overlap": q_source_overlap,
+    "tpch_q11": q_tpch_q11,
 }
 
 ORACLES = {
@@ -9711,4 +9820,5 @@ ORACLES = {
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "tpch_q11": SQL_TPCH_Q11,
 }
