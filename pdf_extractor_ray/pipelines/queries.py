@@ -8744,7 +8744,6 @@ def q_tpch_q8(sf_dir: str):
     region_nkeys = nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].tolist()
     # target = the region's lowest-numbered nation (deterministic)
     target_nk = min(region_nkeys)
-    target_name = nation.set_index("n_nationkey").loc[target_nk, "n_name"]
 
     supp = pa.parquet.read_table(
         _t(sf_dir, "supplier"),
@@ -8877,7 +8876,6 @@ def q_tpch_q8(sf_dir: str):
             [("o_year", pa.int64()), ("rev", pa.float64()), ("rev_t", pa.float64())]
         ),
     )
-    _ = target_name  # the SQL twin derives the same nation from the region
     return out.sort_by("o_year")
 
 
