@@ -9555,6 +9555,120 @@ ORDER BY v DESC, k
 """
 
 
+# --------------------------------------------------------------------------
+# Label-centroid cosine-similarity matrix: per-label mean embedding,
+# then pairwise cosine between centroids — the "are my clusters /
+# sources semantically distinct" diagnostic.  Per-batch combiner emits
+# (label, dim, Σv, n) long rows (O(labels × dims) per batch, never
+# O(vectors)); one tiny keyed sum merges them and the pairwise cosine
+# runs driver-side over the labels² ≪ corpus matrix.  The same
+# dot/‖·‖ expression is written term-for-term in the SQL twin.
+# --------------------------------------------------------------------------
+
+
+def q_label_centroid_sim(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = b.column("embedding")
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False).astype(np.float64)
+        n_rows = b.num_rows
+        if n_rows == 0 or len(flat) == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int32()),
+                    "dim": pa.array([], pa.int32()),
+                    "s": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = len(flat) // n_rows
+        M = flat.reshape(n_rows, d)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"label": lab})
+        df["n"] = 1
+        cnt = df.groupby("label", sort=False)["n"].sum()
+        sums = (
+            pd.DataFrame(M, index=lab).groupby(level=0, sort=False).sum()
+        )  # labels × dims
+        labels = sums.index.to_numpy()
+        out_lab = np.repeat(labels, d).astype(np.int32)
+        out_dim = np.tile(np.arange(d, dtype=np.int32), len(labels))
+        out_s = sums.to_numpy().ravel()
+        out_n = np.repeat(cnt.loc[labels].to_numpy(), d).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(out_lab, pa.int32()),
+                "dim": pa.array(out_dim, pa.int32()),
+                "s": pa.array(out_s, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["label", "dim"],
+        sum_cols=["s", "n"],
+        schema=pa.schema(
+            [
+                ("label", pa.int32()),
+                ("dim", pa.int32()),
+                ("s", pa.float64()),
+                ("n", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    if agg.empty:
+        return pa.schema(
+            [("l1", pa.int32()), ("l2", pa.int32()), ("cos_sim", pa.float64())]
+        ).empty_table()
+    agg = agg.sort_values(["label", "dim"])
+    labels = np.sort(agg["label"].unique())
+    d = int(agg["dim"].max()) + 1
+    C = {}
+    for lb in labels:
+        rows = agg[agg["label"] == lb]
+        C[lb] = rows["s"].to_numpy() / rows["n"].to_numpy()
+    out = {"l1": [], "l2": [], "cos_sim": []}
+    for i, a in enumerate(labels):
+        for bl in labels[i + 1 :]:
+            va, vb = C[a], C[bl]
+            cos = float(
+                np.round(
+                    (va * vb).sum()
+                    / (np.sqrt((va * va).sum()) * np.sqrt((vb * vb).sum())),
+                    6,
+                )
+            )
+            out["l1"].append(int(a))
+            out["l2"].append(int(bl))
+            out["cos_sim"].append(cos)
+    _ = d
+    return pa.table(
+        {
+            "l1": pa.array(out["l1"], pa.int32()),
+            "l2": pa.array(out["l2"], pa.int32()),
+            "cos_sim": pa.array(out["cos_sim"], pa.float64()),
+        }
+    )
+
+
+# generate_series only takes constants in this DuckDB — the embedding
+# dim is fixed at 64 across every testdata lake (min=max=64 verified)
+SQL_LABEL_CENTROID_SIM = """
+WITH c AS (SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS v
+           FROM embeddings, generate_series(1, 64) t(i)
+           GROUP BY label, i),
+     dots AS (SELECT a.label AS l1, b.label AS l2, sum(a.v * b.v) AS dot
+              FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+              GROUP BY 1, 2),
+     norms AS (SELECT label, sqrt(sum(v * v)) AS nrm FROM c GROUP BY label)
+SELECT l1, l2, round(dot / (n1.nrm * n2.nrm), 6) AS cos_sim
+FROM dots JOIN norms n1 ON n1.label = l1 JOIN norms n2 ON n2.label = l2
+ORDER BY l1, l2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -9693,6 +9807,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "source_overlap": q_source_overlap,
     "tpch_q11": q_tpch_q11,
+    "label_centroid_sim": q_label_centroid_sim,
 }
 
 ORACLES = {
@@ -9819,4 +9934,5 @@ ORACLES = {
     "zipf_slope": SQL_ZIPF_SLOPE,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "tpch_q11": SQL_TPCH_Q11,
+    "label_centroid_sim": SQL_LABEL_CENTROID_SIM,
 }
