@@ -9669,6 +9669,113 @@ ORDER BY l1, l2
 """
 
 
+# --------------------------------------------------------------------------
+# Per-language KL divergence from the corpus unigram distribution —
+# the "which slice drifts from the mix" curation diagnostic.  One
+# (lang, word, c) combiner stream merges through a word-bucketed
+# exchange (vocab-bounded, the unigram_logprob assumption); the KL
+# fold runs driver-side over the O(langs × vocab) table with every
+# term derived from exact integer counts and the p/q expression
+# written identically in both engines before the 6-decimal round.
+# Restricting each language's sum to its own support (c_lw > 0) makes
+# the sum well-defined with no smoothing constant to keep in sync.
+# --------------------------------------------------------------------------
+
+
+def q_lang_kl(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        lang = np.repeat(
+            b.column("lang").to_numpy(zero_copy_only=False), offs[1:] - offs[:-1]
+        )
+        m = vals != ""
+        g = (
+            pd.DataFrame({"lang": lang[m], "w": vals[m]})
+            .groupby(["lang", "w"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "w": pa.array(g["w"], pa.string()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "w"], sort=False, as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "w": pa.array(g["w"], pa.string()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    lw = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "w",
+        per_bucket,
+        input_schema=pa.schema(
+            [("lang", pa.string()), ("w", pa.string()), ("c", pa.int64())]
+        ),
+    ).to_pandas()
+    if lw.empty:
+        return pa.schema(
+            [("lang", pa.string()), ("n_tokens", pa.int64()), ("kl", pa.float64())]
+        ).empty_table()
+    lt = lw.groupby("lang")["c"].sum()
+    wt = lw.groupby("w")["c"].sum()
+    tot = float(lt.sum())
+    p = lw["c"].to_numpy(dtype=np.float64) / lw["lang"].map(lt).to_numpy(
+        dtype=np.float64
+    )
+    q = lw["w"].map(wt).to_numpy(dtype=np.float64) / tot
+    term = p * np.log(p / q)
+    kl = (
+        pd.DataFrame({"lang": lw["lang"], "t": term})
+        .groupby("lang", sort=True)["t"]
+        .sum()
+    )
+    langs = kl.index.to_numpy()
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_tokens": pa.array(
+                lt.loc[langs].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "kl": pa.array(np.round(kl.to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_LANG_KL = """
+WITH t AS (SELECT lang,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+           FROM documents),
+     lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+            FROM t WHERE w <> '' GROUP BY 1, 2),
+     lt AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM lw GROUP BY 1),
+     wt AS (SELECT w, CAST(sum(c) AS DOUBLE) AS c FROM lw GROUP BY 1),
+     tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM wt)
+SELECT lw.lang,
+       CAST(lt.n AS BIGINT) AS n_tokens,
+       round(sum((lw.c / lt.n)
+                 * ln((lw.c / lt.n) / (wt.c / (SELECT n FROM tot)))), 6) AS kl
+FROM lw JOIN lt USING (lang) JOIN wt USING (w)
+GROUP BY lw.lang, lt.n ORDER BY lang
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -9808,6 +9915,7 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "tpch_q11": q_tpch_q11,
     "label_centroid_sim": q_label_centroid_sim,
+    "lang_kl": q_lang_kl,
 }
 
 ORACLES = {
@@ -9935,4 +10043,5 @@ ORACLES = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "tpch_q11": SQL_TPCH_Q11,
     "label_centroid_sim": SQL_LABEL_CENTROID_SIM,
+    "lang_kl": SQL_LANG_KL,
 }
