@@ -8251,6 +8251,33 @@ WHERE j.late GROUP BY s_name ORDER BY numwait DESC, s_name
 
 _Q7_NATIONS = ("NATION_3", "NATION_7")
 
+# broadcast cap for the q7/q8 size gate (override with
+# GRAFT_JOIN_BROADCAST_MAX; 0 forces the reduce-side exchanges)
+_JOIN_BROADCAST_MAX = 64 << 20
+
+_Q7_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("supp_nation", pa.string()),
+        ("cust_nation", pa.string()),
+        ("l_year", pa.int64()),
+        ("revenue", pa.float64()),
+    ]
+)
+
+
+def _q7_merge_fn(df: pd.DataFrame) -> pa.Table:
+    g = df.groupby(
+        ["supp_nation", "cust_nation", "l_year"], sort=False, as_index=False
+    )["revenue"].sum()
+    return pa.table(
+        {
+            "supp_nation": pa.array(g["supp_nation"], pa.string()),
+            "cust_nation": pa.array(g["cust_nation"], pa.string()),
+            "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
+            "revenue": pa.array(np.round(g["revenue"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
 
 def q_tpch_q7(sf_dir: str):
     import pyarrow.dataset as pads
@@ -8284,6 +8311,96 @@ def q_tpch_q7(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
 
+    # SIZE GATE (the q18 pattern): both join sides are slim two-column
+    # projections that measure in the low MB at bench scale — under the
+    # cap they broadcast and the whole query is ONE lineitem pass plus
+    # a tiny merge; above it (a real lake) the reduce-side double
+    # exchange below runs instead.  GRAFT_JOIN_BROADCAST_MAX=0 forces
+    # the exchange path (tests pin it against the same oracle).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    orders_slim = _read_pq(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).materialize()
+    cust_slim = _read_pq(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nkeys),
+    ).materialize()
+    if (orders_slim.size_bytes() or 0) <= cap and (
+        cust_slim.size_bytes() or 0
+    ) <= cap:
+        ot = _to_table(orders_slim)
+        ct = _to_table(cust_slim)
+        o_ser = pd.Series(
+            ot.column("o_custkey").to_numpy(zero_copy_only=False),
+            index=ot.column("o_orderkey").to_numpy(zero_copy_only=False),
+        )
+        c_ser = pd.Series(
+            [nmap[k] for k in ct.column("c_nationkey").to_pylist()],
+            index=ct.column("c_custkey").to_numpy(zero_copy_only=False),
+        )
+        oref, cref = ray.put(o_ser), ray.put(c_ser)
+
+        def li_map(b: pa.Table) -> pa.Table:
+            sn = pd.Series(
+                b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            ).map(ray.get(sref))
+            keep = sn.notna().to_numpy()
+            f = b.filter(pa.array(keep))
+            cust = (
+                pd.Series(f.column("l_orderkey").to_numpy(zero_copy_only=False))
+                .map(ray.get(oref))
+                .to_numpy()
+            )
+            c_nat = pd.Series(cust).map(ray.get(cref))
+            ok = c_nat.notna().to_numpy()
+            s_nat = sn[keep].to_numpy()[ok]
+            m = s_nat != c_nat[ok].to_numpy()
+            f2 = f.filter(pa.array(ok))
+            rev = pc.multiply(
+                f2.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), f2.column("l_discount")),
+            ).to_numpy(zero_copy_only=False)[m]
+            g = (
+                pd.DataFrame(
+                    {
+                        "supp_nation": s_nat[m],
+                        "cust_nation": c_nat[ok].to_numpy()[m],
+                        "l_year": pc.year(f2.column("l_shipdate"))
+                        .to_numpy(zero_copy_only=False)[m],
+                        "revenue": rev,
+                    }
+                )
+                .groupby(
+                    ["supp_nation", "cust_nation", "l_year"],
+                    sort=False,
+                    as_index=False,
+                )["revenue"]
+                .sum()
+            )
+            return pa.table(
+                {
+                    "supp_nation": pa.array(g["supp_nation"], pa.string()),
+                    "cust_nation": pa.array(g["cust_nation"], pa.string()),
+                    "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
+                    "revenue": pa.array(g["revenue"].to_numpy(), pa.float64()),
+                }
+            )
+
+        out = _merge_partials(
+            li.map_batches(li_map, batch_format="pyarrow", zero_copy_batch=True),
+            "supp_nation",
+            _q7_merge_fn,
+            input_schema=_Q7_PARTIAL_SCHEMA,
+        )
+        return out.sort_by(
+            [
+                ("supp_nation", "ascending"),
+                ("cust_nation", "ascending"),
+                ("l_year", "ascending"),
+            ]
+        )
+
     def li_partial(b: pa.Table) -> pa.Table:
         sn = pd.Series(b.column("l_suppkey").to_numpy(zero_copy_only=False)).map(
             ray.get(sref)
@@ -8315,8 +8432,6 @@ def q_tpch_q7(sf_dir: str):
             }
         )
 
-    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"])
-
     def order_rows(b: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -8328,7 +8443,7 @@ def q_tpch_q7(sf_dir: str):
         )
 
     both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
-        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+        orders_slim.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def bucket_a(b: pd.DataFrame) -> pa.Table:
@@ -8349,12 +8464,6 @@ def q_tpch_q7(sf_dir: str):
 
     stage_a = _bucketed(both, "k", bucket_a)
 
-    cust = _read_pq(
-        _t(sf_dir, "customer"),
-        columns=["c_custkey", "c_nationkey"],
-        filter=pads.field("c_nationkey").isin(nkeys),
-    )
-
     def cust_rows(b: pa.Table) -> pa.Table:
         cn = pd.Series(b.column("c_nationkey").to_pylist()).map(nmap)
         return pa.table(
@@ -8371,7 +8480,7 @@ def q_tpch_q7(sf_dir: str):
         return b.append_column("c_nat", pa.array([""] * b.num_rows, pa.string()))
 
     both_b = stage_a.map_batches(tag_li, batch_format="pyarrow").union(
-        cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+        cust_slim.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def bucket_b(b: pd.DataFrame) -> pa.Table:
@@ -8393,33 +8502,11 @@ def q_tpch_q7(sf_dir: str):
 
     partials = _bucketed(both_b, "custkey", bucket_b)
 
-    def merge_fn(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby(
-            ["supp_nation", "cust_nation", "l_year"], sort=False, as_index=False
-        )["revenue"].sum()
-        return pa.table(
-            {
-                "supp_nation": pa.array(g["supp_nation"], pa.string()),
-                "cust_nation": pa.array(g["cust_nation"], pa.string()),
-                "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
-                "revenue": pa.array(
-                    np.round(g["revenue"].to_numpy(), 2), pa.float64()
-                ),
-            }
-        )
-
     out = _merge_partials(
         partials,
         "supp_nation",
-        merge_fn,
-        input_schema=pa.schema(
-            [
-                ("supp_nation", pa.string()),
-                ("cust_nation", pa.string()),
-                ("l_year", pa.int64()),
-                ("revenue", pa.float64()),
-            ]
-        ),
+        _q7_merge_fn,
+        input_schema=_Q7_PARTIAL_SCHEMA,
     )
     return out.sort_by(
         [("supp_nation", "ascending"), ("cust_nation", "ascending"), ("l_year", "ascending")]
@@ -8728,6 +8815,22 @@ FROM r WHERE rn = 1 ORDER BY p_partkey
 
 _Q8_REGION = "EUROPE"
 
+_Q8_PARTIAL_SCHEMA = pa.schema(
+    [("o_year", pa.int64()), ("rev", pa.float64()), ("rev_t", pa.float64())]
+)
+
+
+def _q8_merge_fn(df: pd.DataFrame) -> pa.Table:
+    g = df.groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]].sum()
+    g = g.sort_values("o_year")
+    share = np.round(g["rev_t"].to_numpy() / g["rev"].to_numpy(), 6)
+    return pa.table(
+        {
+            "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+            "mkt_share": pa.array(share, pa.float64()),
+        }
+    )
+
 
 def q_tpch_q8(sf_dir: str):
     import datetime as _dt
@@ -8758,6 +8861,77 @@ def q_tpch_q8(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
+    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    ).materialize()
+    cust_slim = _read_pq(
+        _t(sf_dir, "customer"),
+        columns=["c_custkey"],
+        filter=pads.field("c_nationkey").isin(region_nkeys),
+    ).materialize()
+
+    # SIZE GATE (the q7/q18 pattern): under the cap the date-filtered
+    # orders map and region custkey set broadcast, and the whole query
+    # is ONE lineitem pass + an O(years) merge; above it the two
+    # reduce-side exchanges below run.  GRAFT_JOIN_BROADCAST_MAX=0
+    # forces the exchange path (pinned by test against the oracle).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    if (orders.size_bytes() or 0) <= cap and (cust_slim.size_bytes() or 0) <= cap:
+        ot = _to_table(orders)
+        ct = _to_table(cust_slim)
+        in_region = set(ct.column("c_custkey").to_numpy(zero_copy_only=False))
+        ok = pd.Series(ot.column("o_custkey").to_numpy(zero_copy_only=False)).isin(
+            in_region
+        ).to_numpy()
+        o_keys = ot.column("o_orderkey").to_numpy(zero_copy_only=False)[ok]
+        o_year = (
+            pc.year(ot.column("o_orderdate")).to_numpy(zero_copy_only=False)[ok]
+        )
+        yref = ray.put(pd.Series(o_year, index=o_keys))
+
+        def li_map(b: pa.Table) -> pa.Table:
+            yr = pd.Series(
+                b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ).map(ray.get(yref))
+            keep = yr.notna().to_numpy()
+            f = b.filter(pa.array(keep))
+            rev = pc.multiply(
+                f.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+            ).to_numpy(zero_copy_only=False)
+            is_t = pc.is_in(
+                f.column("l_suppkey"), value_set=ray.get(tref)
+            ).to_numpy(zero_copy_only=False)
+            g = (
+                pd.DataFrame(
+                    {
+                        "o_year": yr[keep].to_numpy().astype(np.int64),
+                        "rev": rev,
+                        "rev_t": np.where(is_t, rev, 0.0),
+                    }
+                )
+                .groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]]
+                .sum()
+            )
+            return pa.table(
+                {
+                    "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
+                    "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                    "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+                }
+            )
+
+        out = _merge_partials(
+            li.map_batches(li_map, batch_format="pyarrow", zero_copy_batch=True),
+            "o_year",
+            _q8_merge_fn,
+            input_schema=_Q8_PARTIAL_SCHEMA,
+        )
+        return out.sort_by("o_year")
+
     def li_partial(b: pa.Table) -> pa.Table:
         rev = pc.multiply(
             b.column("l_extendedprice"),
@@ -8779,13 +8953,6 @@ def q_tpch_q8(sf_dir: str):
                 "rev_t": g.column("rev_t_sum"),
             }
         )
-
-    lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
-    orders = _read_pq(
-        _t(sf_dir, "orders"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
-    )
 
     def order_rows(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -8820,12 +8987,6 @@ def q_tpch_q8(sf_dir: str):
 
     stage_a = _bucketed(both, "k", bucket_a)
 
-    cust = _read_pq(
-        _t(sf_dir, "customer"),
-        columns=["c_custkey"],
-        filter=pads.field("c_nationkey").isin(region_nkeys),
-    )
-
     def cust_rows(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table(
@@ -8838,7 +8999,7 @@ def q_tpch_q8(sf_dir: str):
         )
 
     both_b = stage_a.union(
-        cust.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+        cust_slim.map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def bucket_b(b: pd.DataFrame) -> pa.Table:
@@ -8857,24 +9018,11 @@ def q_tpch_q8(sf_dir: str):
 
     partials = _bucketed(both_b, "custkey", bucket_b)
 
-    def merge_fn(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]].sum()
-        g = g.sort_values("o_year")
-        share = np.round(g["rev_t"].to_numpy() / g["rev"].to_numpy(), 6)
-        return pa.table(
-            {
-                "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
-                "mkt_share": pa.array(share, pa.float64()),
-            }
-        )
-
     out = _merge_partials(
         partials,
         "o_year",
-        merge_fn,
-        input_schema=pa.schema(
-            [("o_year", pa.int64()), ("rev", pa.float64()), ("rev_t", pa.float64())]
-        ),
+        _q8_merge_fn,
+        input_schema=_Q8_PARTIAL_SCHEMA,
     )
     return out.sort_by("o_year")
 

@@ -112,3 +112,30 @@ def test_tpch_q13_counts_customers_without_orders(tmp_path):
     got = _check("tpch_q13", str(tmp_path), {"customer": cust, "orders": orders})
     by_count = dict(zip(got["c_count"], got["custdist"]))
     assert by_count == {2: 1, 1: 1, 0: 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tpch_q7_q8_exchange_path_matches_broadcast(monkeypatch):
+    # GRAFT_JOIN_BROADCAST_MAX=0 forces the reduce-side double
+    # exchange; both regimes must agree with the DuckDB oracle on the
+    # real sf0.001 lake (the broadcast path is what the sf lakes take
+    # by default, so without this pin the exchange path never runs).
+    from pdf_extractor_ray.pipelines.queries import ORACLES, QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("nation", "customer", "supplier", "part", "orders", "lineitem", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    for name in ("tpch_q7", "tpch_q8"):
+        exp = _canon(con.execute(ORACLES[name]).fetchdf())
+        monkeypatch.delenv("GRAFT_JOIN_BROADCAST_MAX", raising=False)
+        bcast = QUERIES[name](sf_dir)
+        bcast = bcast.to_pandas() if not isinstance(bcast, pd.DataFrame) else bcast
+        monkeypatch.setenv("GRAFT_JOIN_BROADCAST_MAX", "0")
+        exch = QUERIES[name](sf_dir)
+        exch = exch.to_pandas() if not isinstance(exch, pd.DataFrame) else exch
+        pd.testing.assert_frame_equal(_canon(bcast), exp, check_dtype=True)
+        pd.testing.assert_frame_equal(_canon(exch), exp, check_dtype=True)
