@@ -393,12 +393,90 @@ def q_tpch_q3(sf_dir: str):
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pads.field("o_orderdate") < cutoff,
-    )
+    ).materialize()
     lineitem = _read_pq(
         _t(sf_dir, "lineitem"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
         filter=pads.field("l_shipdate") > cutoff,
     )
+
+    # SIZE GATE (the q7/q8/q18 pattern): the date-filtered orders slice
+    # is a 4-column projection; under the cap its (orderkey → date,
+    # priority) map broadcasts and the query is ONE lineitem pass with
+    # per-batch revenue combining, per-bucket top-10, and a ≤(buckets ×
+    # 10)-row driver finish.  Above the cap (a real lake) the
+    # large-large hash join below runs instead.
+    # GRAFT_JOIN_BROADCAST_MAX=0 forces the join path (pinned by test
+    # against the same oracle).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    if (orders.size_bytes() or 0) <= cap:
+        ot = _to_table(orders)
+        ot = ot.filter(pc.is_in(ot.column("o_custkey"), value_set=ray.get(keys)))
+        odf = pd.DataFrame(
+            {
+                "o_date_us": ot.column("o_orderdate")
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                # raw ndarray, NOT to_pandas(): a Series would align its
+                # own RangeIndex against the explicit orderkey index
+                "o_orderpriority": ot.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False
+                ),
+            },
+            index=ot.column("o_orderkey").to_numpy(zero_copy_only=False),
+        )
+        okref = ray.put(ot.column("o_orderkey").combine_chunks())
+        omref = ray.put(odf)
+
+        def li_bcast(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ray.get(okref)))
+            rev = pc.multiply(
+                f.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+            )
+            part = (
+                pa.table({"l_orderkey": f.column("l_orderkey"), "rev": rev})
+                .group_by("l_orderkey")
+                .aggregate([("rev", "sum")])
+            )
+            return part.rename_columns(["l_orderkey", "rev"])
+
+        def bucket_top10(df: pd.DataFrame) -> pa.Table:
+            g = df.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
+            om = ray.get(omref).loc[g["l_orderkey"].to_numpy()]
+            g["revenue"] = np.round(g["rev"].to_numpy(), 2)
+            g["o_date_us"] = om["o_date_us"].to_numpy()
+            g["o_orderpriority"] = om["o_orderpriority"].to_numpy()
+            # top-10 is bucket-combinable: partial-sum buckets hold ALL
+            # partials of each orderkey, so a local (revenue DESC,
+            # l_orderkey ASC) head-10 can never drop a global winner
+            g = g.sort_values(
+                ["revenue", "l_orderkey"], ascending=[False, True]
+            ).head(10)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(g["l_orderkey"].to_numpy(), pa.int64()),
+                    "o_date_us": pa.array(g["o_date_us"].to_numpy(), pa.int64()),
+                    "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+                    "revenue": pa.array(g["revenue"].to_numpy(), pa.float64()),
+                }
+            )
+
+        merged = _merge_partials(
+            lineitem.map_batches(
+                li_bcast, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "l_orderkey",
+            bucket_top10,
+            input_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+        )
+        fin = (
+            merged.to_pandas()
+            .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+        return pa.Table.from_pandas(fin, preserve_index=False)
 
     def semi_cust(batch: pa.Table) -> pa.Table:
         k = ray.get(keys)  # object-store local after first fetch

@@ -115,7 +115,7 @@ def test_tpch_q13_counts_customers_without_orders(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_tpch_q7_q8_exchange_path_matches_broadcast(monkeypatch):
+def test_tpch_join_exchange_path_matches_broadcast(monkeypatch):
     # GRAFT_JOIN_BROADCAST_MAX=0 forces the reduce-side double
     # exchange; both regimes must agree with the DuckDB oracle on the
     # real sf0.001 lake (the broadcast path is what the sf lakes take
@@ -129,7 +129,7 @@ def test_tpch_q7_q8_exchange_path_matches_broadcast(monkeypatch):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
-    for name in ("tpch_q7", "tpch_q8"):
+    for name in ("tpch_q3", "tpch_q7", "tpch_q8"):
         exp = _canon(con.execute(ORACLES[name]).fetchdf())
         monkeypatch.delenv("GRAFT_JOIN_BROADCAST_MAX", raising=False)
         bcast = QUERIES[name](sf_dir)
