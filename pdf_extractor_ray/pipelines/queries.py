@@ -10002,6 +10002,357 @@ GROUP BY lw.lang, lt.n ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# — the MOSS construction): base-31 polynomial hash over every K-gram
+# of code points, then per window of W consecutive grams keep the
+# minimum hash (rightmost on ties); the distinct selected (pos, hash)
+# set is the document's fingerprint.  Guarantee: any shared substring
+# of length ≥ K+W-1 yields at least one shared fingerprint.
+#
+# Map-only — every document fingerprints independently inside its
+# batch, so there is NO exchange at any scale; at 100 TB this stage
+# streams straight into a partitioned sink.  The outer per-document
+# loop is the unit of work (variable-length docs), with the gram hash
+# and the window-min both vectorized numpy over the whole document.
+# K=8/W=4 keeps the polynomial exact in int64 (max code point 0x10FFFF
+# × 31^7 × 8 < 2^63) so the SQL oracle reproduces identical hashes.
+# --------------------------------------------------------------------------
+
+_WIN_K, _WIN_W = 8, 4
+_WIN_POW = (31 ** np.arange(_WIN_K - 1, -1, -1)).astype(np.int64)
+
+
+def q_winnow_fingerprints(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def fps(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        o_id, o_pos, o_fp = [], [], []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            if len(t) < _WIN_K + _WIN_W - 1:
+                continue  # no full window → no fingerprints (matches SQL)
+            # utf-32-le gives the code-point array vectorized — the same
+            # values SQL's unicode(substr(text, i, 1)) sees
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            grams = np.lib.stride_tricks.sliding_window_view(codes, _WIN_K)
+            h = grams @ _WIN_POW
+            sw = np.lib.stride_tricks.sliding_window_view(h, _WIN_W)
+            # rightmost min: argmin scans the reversed window, returning
+            # the FIRST minimum there = the LAST in the original order
+            idx = _WIN_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+            pos = np.unique(np.arange(sw.shape[0]) + idx)
+            o_id.append(np.full(len(pos), did, np.int64))
+            o_pos.append(pos + 1)  # 1-based, matches SQL substr indexing
+            o_fp.append(h[pos])
+        if not o_id:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("pos", pa.int64()), ("fp", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(o_id), pa.int64()),
+                "pos": pa.array(np.concatenate(o_pos), pa.int64()),
+                "fp": pa.array(np.concatenate(o_fp), pa.int64()),
+            }
+        )
+
+    df = _to_table(
+        ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+    ).to_pandas()
+    df = df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _gram_hash_sql() -> str:
+    return " + ".join(
+        f"CAST(unicode(substr(text, i + {j}, 1)) AS BIGINT) * {31 ** (_WIN_K - 1 - j)}"
+        for j in range(_WIN_K)
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+     g AS (SELECT doc_id, unnest(generate_series(1, n - {_WIN_K - 1})) AS i, text
+           FROM d WHERE n >= {_WIN_K + _WIN_W - 1}),
+     gh AS (SELECT doc_id, i, {_gram_hash_sql()} AS h FROM g),
+     w AS (SELECT doc_id, i AS s,
+                  min(h) OVER fr AS wmin,
+                  count(*) OVER fr AS wn
+           FROM gh
+           WINDOW fr AS (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)),
+     sel AS (SELECT w.doc_id, max(gh.i) AS pos
+             FROM w JOIN gh ON gh.doc_id = w.doc_id
+                           AND gh.i BETWEEN w.s AND w.s + {_WIN_W - 1}
+                           AND gh.h = w.wmin
+             WHERE w.wn = {_WIN_W}
+             GROUP BY w.doc_id, w.s)
+SELECT DISTINCT sel.doc_id AS doc_id, sel.pos AS pos, gh.h AS fp
+FROM sel JOIN gh ON gh.doc_id = sel.doc_id AND gh.i = sel.pos
+ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Boilerplate shared-prefix detector — web-scale corpora are full of
+# template headers; groups of documents sharing their first 16 chars
+# are the cheap first-pass signal.  Per-batch Arrow group_by partial
+# (prefix → count, min doc) → merged exchange over combiner OUTPUT →
+# top-20 driver finish on the ≤|prefixes| merged frame.
+# --------------------------------------------------------------------------
+
+_BP_PREFIX_LEN = 16
+
+
+def q_boilerplate_prefixes(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "prefix": pc.utf8_slice_codeunits(
+                        b.column("text"), 0, _BP_PREFIX_LEN
+                    ),
+                    "doc_id": b.column("doc_id"),
+                }
+            )
+            .group_by("prefix")
+            .aggregate([("doc_id", "count"), ("doc_id", "min")])
+        )
+        return pa.table(
+            {
+                "prefix": g.column("prefix"),
+                "n_docs": pc.cast(g.column("doc_id_count"), pa.int64()),
+                "min_doc": g.column("doc_id_min"),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("prefix", sort=False, as_index=False).agg(
+            n_docs=("n_docs", "sum"), min_doc=("min_doc", "min")
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(g["prefix"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "min_doc": pa.array(g["min_doc"].to_numpy(), pa.int64()),
+            }
+        )
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "prefix",
+        per_bucket,
+        input_schema=pa.schema(
+            [("prefix", pa.string()), ("n_docs", pa.int64()), ("min_doc", pa.int64())]
+        ),
+    ).to_pandas()
+    top = (
+        merged[merged["n_docs"] > 1]
+        .sort_values(["n_docs", "prefix"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return pa.table(
+        {
+            "prefix": pa.array(top["prefix"], pa.string()),
+            "n_docs": pa.array(top["n_docs"].to_numpy(), pa.int64()),
+            "min_doc": pa.array(top["min_doc"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_BOILERPLATE_PREFIXES = f"""
+SELECT substr(text, 1, {_BP_PREFIX_LEN}) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1
+ORDER BY n_docs DESC, prefix LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Mutual information between the lang and source columns — the "does
+# my sampling key leak my stratification key" curation diagnostic.
+# One (lang, source) count exchange over combiner partials; the MI
+# fold runs driver-side over the O(langs × sources) contingency table
+# with exact integer counts, the expression written identically in
+# both engines before the 6-decimal round.
+# --------------------------------------------------------------------------
+
+
+def q_lang_source_mi(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    ls = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "source"],
+        ["c"],
+        pa.schema([("lang", pa.string()), ("source", pa.string()), ("c", pa.int64())]),
+    ).to_pandas()
+    if ls.empty:
+        return pa.schema(
+            [("n_docs", pa.int64()), ("mi", pa.float64())]
+        ).empty_table()
+    n = float(ls["c"].sum())
+    cl = ls.groupby("lang")["c"].sum()
+    cs = ls.groupby("source")["c"].sum()
+    c = ls["c"].to_numpy(dtype=np.float64)
+    term = (c / n) * np.log(
+        c * n / (ls["lang"].map(cl).to_numpy() * ls["source"].map(cs).to_numpy())
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n)], pa.int64()),
+            "mi": pa.array([round(float(term.sum()), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_LANG_SOURCE_MI = """
+WITH ls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+     l AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS cl FROM ls GROUP BY 1),
+     s AS (SELECT source, CAST(sum(c) AS DOUBLE) AS cs FROM ls GROUP BY 1),
+     n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ls)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_docs,
+       round(sum((c / (SELECT n FROM n))
+                 * ln(c * (SELECT n FROM n) / (l.cl * s.cs))), 6) AS mi
+FROM ls JOIN l USING (lang) JOIN s USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language Herfindahl-Hirschman concentration of source shares —
+# "is this language slice dominated by one crawl source".  Same
+# (lang, source) count exchange as the MI query; per-lang finish is
+# O(langs × sources) driver-side.
+# --------------------------------------------------------------------------
+
+
+def q_hhi_concentration(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    ls = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "source"],
+        ["c"],
+        pa.schema([("lang", pa.string()), ("source", pa.string()), ("c", pa.int64())]),
+    ).to_pandas()
+    if ls.empty:
+        return pa.schema(
+            [("lang", pa.string()), ("n_docs", pa.int64()), ("hhi", pa.float64())]
+        ).empty_table()
+    nl = ls.groupby("lang")["c"].sum()
+    share = ls["c"].to_numpy(dtype=np.float64) / ls["lang"].map(nl).to_numpy(
+        dtype=np.float64
+    )
+    hhi = (
+        pd.DataFrame({"lang": ls["lang"], "t": share * share})
+        .groupby("lang", sort=True)["t"]
+        .sum()
+    )
+    langs = hhi.index.to_numpy()
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array(nl.loc[langs].to_numpy().astype(np.int64), pa.int64()),
+            "hhi": pa.array(np.round(hhi.to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+SQL_HHI_CONCENTRATION = """
+WITH ls AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+     l AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM ls GROUP BY 1)
+SELECT ls.lang, l.n AS n_docs,
+       round(sum((CAST(c AS DOUBLE) / l.n) * (CAST(c AS DOUBLE) / l.n)), 6) AS hhi
+FROM ls JOIN l USING (lang) GROUP BY 1, 2 ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA over the embedding column (top-2 principal values +
+# explained-variance ratio).  The classic moment-accumulation shape:
+# each batch emits ONE row holding (count, Σx, flattened Σxxᵀ) — d=64
+# so a partial is 4096+64+1 doubles regardless of batch size — the
+# partial stream driver-reduces (O(#batches) rows), and the d×d eigen
+# solve runs once on the driver.  No oracle: DuckDB has no
+# eigendecomposition; pinned against numpy's direct covariance eig in
+# tests instead.
+# --------------------------------------------------------------------------
+
+
+def q_embed_pca(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        x = flat.reshape(len(col), -1)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "g": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if parts.num_rows == 0:
+        return pa.schema(
+            [
+                ("component", pa.int32()),
+                ("eigenvalue", pa.float64()),
+                ("explained", pa.float64()),
+            ]
+        ).empty_table()
+    n = int(pc.sum(parts.column("n")).as_py())
+    s = np.sum([np.asarray(v) for v in parts.column("s").to_pylist()], axis=0)
+    g = np.sum([np.asarray(v) for v in parts.column("g").to_pylist()], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    ev = np.linalg.eigvalsh(cov)[::-1]  # descending
+    tr = float(ev.sum())
+    return pa.table(
+        {
+            "component": pa.array([1, 2], pa.int32()),
+            "eigenvalue": pa.array(np.round(ev[:2], 6), pa.float64()),
+            "explained": pa.array(np.round(ev[:2] / tr, 6), pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -10142,6 +10493,11 @@ QUERIES = {
     "tpch_q11": q_tpch_q11,
     "label_centroid_sim": q_label_centroid_sim,
     "lang_kl": q_lang_kl,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "boilerplate_prefixes": q_boilerplate_prefixes,
+    "lang_source_mi": q_lang_source_mi,
+    "hhi_concentration": q_hhi_concentration,
+    "embed_pca": q_embed_pca,
 }
 
 ORACLES = {
@@ -10270,4 +10626,8 @@ ORACLES = {
     "tpch_q11": SQL_TPCH_Q11,
     "label_centroid_sim": SQL_LABEL_CENTROID_SIM,
     "lang_kl": SQL_LANG_KL,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
+    "lang_source_mi": SQL_LANG_SOURCE_MI,
+    "hhi_concentration": SQL_HHI_CONCENTRATION,
 }

@@ -1,0 +1,129 @@
+"""Pins for the fingerprinting/diagnostics batch: winnowing against an
+independent brute-force reference (and the SIGMOD'03 shared-substring
+guarantee), PCA moments against numpy's direct covariance eig."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_winnow(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Straight-from-the-paper winnowing, no vectorization: hash every
+    k-gram with the base-31 polynomial, slide a w-window, keep the
+    rightmost minimum per window, return distinct (1-based pos, hash)."""
+    n = len(text)
+    if n < k + w - 1:
+        return set()
+    h = [
+        sum(ord(text[i + j]) * 31 ** (k - 1 - j) for j in range(k))
+        for i in range(n - k + 1)
+    ]
+    out = set()
+    for s in range(len(h) - w + 1):
+        win = h[s : s + w]
+        m = min(win)
+        pos = s + max(i for i, v in enumerate(win) if v == m)
+        out.add((pos + 1, h[pos]))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_matches_brute_force(tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaaaaaaaaaa",  # all-equal hashes → tie-break path
+        "short",  # below K+W-1 → no fingerprints
+        "abcdefghijk",  # exactly K+W-1 → one window
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import _WIN_K, _WIN_W, QUERIES
+
+    got = QUERIES["winnow_fingerprints"](str(tmp_path)).to_pandas()
+    for did, t in enumerate(texts):
+        g = set(
+            zip(
+                got[got["doc_id"] == did]["pos"].tolist(),
+                got[got["doc_id"] == did]["fp"].tolist(),
+            )
+        )
+        assert g == _brute_winnow(t, _WIN_K, _WIN_W), f"doc {did}"
+    # the winnowing guarantee: docs 0 and 4 share a substring of length
+    # >= K+W-1, so they MUST share at least one fingerprint hash
+    f0 = set(got[got["doc_id"] == 0]["fp"])
+    f4 = set(got[got["doc_id"] == 4]["fp"])
+    assert f0 & f4
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_pca_matches_numpy_direct():
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["embed_pca"](SF).to_pandas()
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    ev = np.linalg.eigvalsh(cov)[::-1]
+    want_ev = np.round(ev[:2], 6)
+    want_ex = np.round(ev[:2] / ev.sum(), 6)
+    assert got["component"].tolist() == [1, 2]
+    np.testing.assert_allclose(got["eigenvalue"].to_numpy(), want_ev, atol=2e-6)
+    np.testing.assert_allclose(got["explained"].to_numpy(), want_ex, atol=2e-6)
+    assert (np.diff(got["eigenvalue"].to_numpy()) <= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hhi_single_source_is_one(tmp_path):
+    # a language drawn entirely from one source must score HHI = 1.0
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["mono", "mono", "mix", "mix"], pa.string()),
+            "source": pa.array(["a", "a", "a", "b"], pa.string()),
+            "n_chars": pa.array([1] * 4, pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["hhi_concentration"](str(tmp_path)).to_pandas()
+    by = dict(zip(got["lang"], got["hhi"]))
+    assert by["mono"] == 1.0 and by["mix"] == 0.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mi_independent_is_zero(tmp_path):
+    # lang ⫫ source (full factorial, equal counts) → MI exactly 0
+    langs, sources = ["en", "de"], ["s0", "s1", "s2"]
+    rows = [(l, s) for l in langs for s in sources for _ in range(4)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(rows))), pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["lang_source_mi"](str(tmp_path)).to_pandas()
+    assert got["n_docs"].iloc[0] == len(rows)
+    assert got["mi"].iloc[0] == 0.0
