@@ -10023,46 +10023,47 @@ _WIN_K, _WIN_W = 8, 4
 _WIN_POW = (31 ** np.arange(_WIN_K - 1, -1, -1)).astype(np.int64)
 
 
+def _winnow_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch winnowing kernel → (doc_id, pos, fp) rows.  The outer
+    per-document loop is the unit of work (variable-length docs); the
+    gram hash and the window-min are vectorized numpy per document."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    o_id, o_pos, o_fp = [], [], []
+    for did, t in zip(ids, texts):
+        t = t or ""
+        if len(t) < _WIN_K + _WIN_W - 1:
+            continue  # no full window → no fingerprints (matches SQL)
+        # utf-32-le gives the code-point array vectorized — the same
+        # values SQL's unicode(substr(text, i, 1)) sees
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        grams = np.lib.stride_tricks.sliding_window_view(codes, _WIN_K)
+        h = grams @ _WIN_POW
+        sw = np.lib.stride_tricks.sliding_window_view(h, _WIN_W)
+        # rightmost min: argmin scans the reversed window, returning
+        # the FIRST minimum there = the LAST in the original order
+        idx = _WIN_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+        pos = np.unique(np.arange(sw.shape[0]) + idx)
+        o_id.append(np.full(len(pos), did, np.int64))
+        o_pos.append(pos + 1)  # 1-based, matches SQL substr indexing
+        o_fp.append(h[pos])
+    if not o_id:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("pos", pa.int64()), ("fp", pa.int64())]
+        ).empty_table()
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(o_id), pa.int64()),
+            "pos": pa.array(np.concatenate(o_pos), pa.int64()),
+            "fp": pa.array(np.concatenate(o_fp), pa.int64()),
+        }
+    )
+
+
 def q_winnow_fingerprints(sf_dir: str):
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    def fps(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        o_id, o_pos, o_fp = [], [], []
-        for did, t in zip(ids, texts):
-            t = t or ""
-            if len(t) < _WIN_K + _WIN_W - 1:
-                continue  # no full window → no fingerprints (matches SQL)
-            # utf-32-le gives the code-point array vectorized — the same
-            # values SQL's unicode(substr(text, i, 1)) sees
-            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
-                np.int64
-            )
-            grams = np.lib.stride_tricks.sliding_window_view(codes, _WIN_K)
-            h = grams @ _WIN_POW
-            sw = np.lib.stride_tricks.sliding_window_view(h, _WIN_W)
-            # rightmost min: argmin scans the reversed window, returning
-            # the FIRST minimum there = the LAST in the original order
-            idx = _WIN_W - 1 - np.argmin(sw[:, ::-1], axis=1)
-            pos = np.unique(np.arange(sw.shape[0]) + idx)
-            o_id.append(np.full(len(pos), did, np.int64))
-            o_pos.append(pos + 1)  # 1-based, matches SQL substr indexing
-            o_fp.append(h[pos])
-        if not o_id:
-            return pa.schema(
-                [("doc_id", pa.int64()), ("pos", pa.int64()), ("fp", pa.int64())]
-            ).empty_table()
-        return pa.table(
-            {
-                "doc_id": pa.array(np.concatenate(o_id), pa.int64()),
-                "pos": pa.array(np.concatenate(o_pos), pa.int64()),
-                "fp": pa.array(np.concatenate(o_fp), pa.int64()),
-            }
-        )
-
     df = _to_table(
-        ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(_winnow_batch, batch_format="pyarrow", zero_copy_batch=True)
     ).to_pandas()
     df = df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
@@ -10075,8 +10076,7 @@ def _gram_hash_sql() -> str:
     )
 
 
-SQL_WINNOW_FINGERPRINTS = f"""
-WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+_WINNOW_CTES = f"""d AS (SELECT doc_id, text, length(text) AS n FROM documents),
      g AS (SELECT doc_id, unnest(generate_series(1, n - {_WIN_K - 1})) AS i, text
            FROM d WHERE n >= {_WIN_K + _WIN_W - 1}),
      gh AS (SELECT doc_id, i, {_gram_hash_sql()} AS h FROM g),
@@ -10091,10 +10091,185 @@ WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
                            AND gh.i BETWEEN w.s AND w.s + {_WIN_W - 1}
                            AND gh.h = w.wmin
              WHERE w.wn = {_WIN_W}
-             GROUP BY w.doc_id, w.s)
+             GROUP BY w.doc_id, w.s)"""
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_CTES}
 SELECT DISTINCT sel.doc_id AS doc_id, sel.pos AS pos, gh.h AS fp
 FROM sel JOIN gh ON gh.doc_id = sel.doc_id AND gh.i = sel.pos
 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# MOSS-style near-duplicate PAIR detection on winnowed fingerprints:
+# two documents are flagged when they share ≥ _WD_MIN_SHARED distinct
+# fingerprint hashes, fingerprints appearing in > _WD_MAX_DF documents
+# first dropped as stop-fingerprints (the standard MOSS noise filter —
+# and the bound that keeps the per-fingerprint pair expansion ≤
+# _WD_MAX_DF² at any corpus size).  Shape: map-only fingerprinting →
+# distinct (fp, doc) per batch → ONE fp-bucketed exchange where the
+# exact df test and the bounded pair expansion run (every copy of a
+# fingerprint lands in one bucket) → O(qualifying-pairs) final fold.
+# --------------------------------------------------------------------------
+
+_WD_MAX_DF, _WD_MIN_SHARED = 20, 10
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _winnow_batch(batch)
+        df = (
+            pd.DataFrame(
+                {
+                    "fp": t.column("fp").to_numpy(zero_copy_only=False),
+                    "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "fp": pa.array(df["fp"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        u = b.drop_duplicates()
+        df = u.groupby("fp", sort=False)["doc_id"].nunique()
+        ok = set(df[(df >= 2) & (df <= _WD_MAX_DF)].index)
+        u = u[u["fp"].isin(ok)]
+        m = u.merge(u, on="fp")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        g = (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(g["doc_id_x"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(g["doc_id_y"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "fp",
+        per_bucket,
+        input_schema=pa.schema([("fp", pa.int64()), ("doc_id", pa.int64())]),
+    ).to_pandas()
+    if pairs.empty:
+        return pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+        ).empty_table()
+    # a doc pair spans many fp buckets — one final tiny sum, then the
+    # threshold (which can only be applied AFTER the cross-bucket sum)
+    g = (
+        pairs.groupby(["doc_a", "doc_b"], as_index=False)["n"]
+        .sum()
+        .query(f"n >= {_WD_MIN_SHARED}")
+        .sort_values(["doc_a", "doc_b"])
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(g["doc_a"].to_numpy(), pa.int64()),
+            "doc_b": pa.array(g["doc_b"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(g["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_WINNOW_DUP_PAIRS = f"""
+WITH {_WINNOW_CTES},
+     fp AS (SELECT DISTINCT gh.h AS fp, sel.doc_id AS doc_id
+            FROM sel JOIN gh ON gh.doc_id = sel.doc_id AND gh.i = sel.pos),
+     ok AS (SELECT fp FROM fp GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND {_WD_MAX_DF}),
+     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS n_shared
+           FROM fp a JOIN fp b USING (fp) JOIN ok USING (fp)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM p
+WHERE n_shared >= {_WD_MIN_SHARED} ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact per-language Gini coefficient of document lengths — the
+# length-inequality curation diagnostic.  n_chars is discrete, so the
+# exact rank sum Σ rank·x folds from a (lang, value, count) table:
+# for each value v (ascending) with count c and cumulative-before C,
+# Σ ranks over its tie block = c·C + c(c+1)/2 regardless of intra-tie
+# order.  Per-batch value-count partials → one keyed-sum exchange →
+# driver finish over O(langs × distinct-values) rows in PYTHON ints
+# (no float64 overflow of c·C at 10^10-doc scale); both engines
+# evaluate the identical 2·Sr/(n·T) − (n+1)/n expression before the
+# 6-decimal round.
+# --------------------------------------------------------------------------
+
+
+def q_gini_by_lang(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "v": pc.cast(g.column("n_chars"), pa.int64()),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    vc = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang", "v"],
+        ["c"],
+        pa.schema([("lang", pa.string()), ("v", pa.int64()), ("c", pa.int64())]),
+    ).to_pandas()
+    if vc.empty:
+        return pa.schema(
+            [("lang", pa.string()), ("n_docs", pa.int64()), ("gini", pa.float64())]
+        ).empty_table()
+    out_lang, out_n, out_g = [], [], []
+    for lang, grp in vc.sort_values(["lang", "v"]).groupby("lang", sort=True):
+        n = t = sr = cb = 0  # python ints: exact at any scale
+        for v, c in zip(grp["v"].tolist(), grp["c"].tolist()):
+            sr += v * (c * cb + c * (c + 1) // 2)
+            t += v * c
+            n += c
+            cb += c
+        out_lang.append(lang)
+        out_n.append(n)
+        out_g.append(round(2.0 * sr / (n * t) - (n + 1.0) / n, 6))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "gini": pa.array(out_g, pa.float64()),
+        }
+    )
+
+
+SQL_GINI_BY_LANG = """
+WITH vc AS (SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1, 2),
+     cw AS (SELECT lang, v, c,
+                   coalesce(sum(c) OVER (PARTITION BY lang ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS cb
+            FROM vc),
+     agg AS (SELECT lang, sum(c) AS n, sum(v * c) AS t,
+                    sum(v * (c * cb + (c * (c + 1)) // 2)) AS sr
+             FROM cw GROUP BY 1)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       round(2.0 * sr / (n * t) - (n + 1.0) / n, 6) AS gini
+FROM agg ORDER BY lang
 """
 
 
@@ -10494,6 +10669,8 @@ QUERIES = {
     "label_centroid_sim": q_label_centroid_sim,
     "lang_kl": q_lang_kl,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
+    "gini_by_lang": q_gini_by_lang,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "lang_source_mi": q_lang_source_mi,
     "hhi_concentration": q_hhi_concentration,
@@ -10627,6 +10804,8 @@ ORACLES = {
     "label_centroid_sim": SQL_LABEL_CENTROID_SIM,
     "lang_kl": SQL_LANG_KL,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
+    "gini_by_lang": SQL_GINI_BY_LANG,
     "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
     "lang_source_mi": SQL_LANG_SOURCE_MI,
     "hhi_concentration": SQL_HHI_CONCENTRATION,

@@ -127,3 +127,69 @@ def test_mi_independent_is_zero(tmp_path):
     got = QUERIES["lang_source_mi"](str(tmp_path)).to_pandas()
     assert got["n_docs"].iloc[0] == len(rows)
     assert got["mi"].iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_dup_pairs_flags_planted_pair(tmp_path):
+    import duckdb
+    import os
+
+    # docs 0/1 share a 200-char block (≫ the 10-shared-fp threshold);
+    # docs 2/3 are built from disjoint alphabets → zero shared grams
+    shared = "the quick brown fox jumps over the lazy dog " * 5
+    texts = [
+        shared + " alpha tail one",
+        shared + " beta tail two xx",
+        "qrstuvwx " * 30,
+        "12345678 " * 30,
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s0"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import ORACLES, QUERIES
+
+    got = QUERIES["winnow_dup_pairs"](str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + os.path.join(str(tmp_path), "documents.parquet")
+        + "')"
+    )
+    exp = con.execute(ORACLES["winnow_dup_pairs"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=True
+    )
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (0, 1) in pairs
+    assert not any(2 in p or 3 in p for p in pairs)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_edge_values(tmp_path):
+    # equal lengths → gini exactly 0; an extreme 1-vs-999 split → the
+    # closed-form two-doc value (keeps the rank-sum algebra honest)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x"] * 4, pa.string()),
+            "lang": pa.array(["eq", "eq", "sk", "sk"], pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([7, 7, 1, 999], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["gini_by_lang"](str(tmp_path)).to_pandas()
+    by = dict(zip(got["lang"], got["gini"]))
+    assert by["eq"] == 0.0
+    # n=2, values (1, 999): sr = 1*1 + 999*2, t = 1000
+    # gini = 2*1999/(2*1000) - 3/2 = 0.499
+    assert by["sk"] == round(2.0 * 1999 / 2000 - 1.5, 6)
