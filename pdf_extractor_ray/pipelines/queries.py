@@ -8625,6 +8625,27 @@ _Q16_EXCL_BRAND = "Brand#5"
 _Q16_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
 
 
+def _q16_count_bucket(b: pd.DataFrame) -> pa.Table:
+    """Per-gkey-bucket distinct-supplier count (all rows of a group
+    land in one bucket, so the cross-batch dedup here is exact)."""
+    u = b.drop_duplicates(subset=["brand", "ptype", "size", "s"])
+    g = (
+        u.groupby(["brand", "ptype", "size"], sort=False)
+        .size()
+        .reset_index(name="supplier_cnt")
+    )
+    return pa.table(
+        {
+            "p_brand": pa.array(g["brand"], pa.string()),
+            "p_type": pa.array(g["ptype"], pa.string()),
+            "p_size": pa.array(g["size"].to_numpy().astype(np.int32), pa.int32()),
+            "supplier_cnt": pa.array(
+                g["supplier_cnt"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
 def q_tpch_q16(sf_dir: str):
     import pyarrow.dataset as pads
 
@@ -8665,8 +8686,87 @@ def q_tpch_q16(sf_dir: str):
             }
         )
 
+    # SIZE GATE (the q3/q7/q8 pattern): the filtered part family is
+    # ~13% of part; under the cap its partkey→(brand,type,size) map
+    # broadcasts and the query is ONE lineitem pass (keyset filter +
+    # map-side attribute attach on deduped pairs) feeding the single
+    # group-dedup exchange — exchange A (partkey attach) disappears.
+    # Above the cap, the two-exchange reduce-side path below runs.
+    # GRAFT_JOIN_BROADCAST_MAX=0 forces that path (pinned by test).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    part_mat = part.materialize()
+    if (part_mat.size_bytes() or 0) <= cap:
+        import zlib
+
+        pt = _to_table(part_mat)
+        attrs = pd.DataFrame(
+            {
+                "brand": pt.column("p_brand").to_numpy(zero_copy_only=False),
+                "ptype": pt.column("p_type").to_numpy(zero_copy_only=False),
+                "size": pt.column("p_size")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32),
+            },
+            index=pt.column("p_partkey").to_numpy(zero_copy_only=False),
+        )
+        kref = ray.put(pt.column("p_partkey").combine_chunks())
+        aref = ray.put(attrs)
+
+        def pair_bcast(b: pa.Table) -> pa.Table:
+            f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
+            t = (
+                pa.table({"k": f.column("l_partkey"), "s": f.column("l_suppkey")})
+                .group_by(["k", "s"])
+                .aggregate([])
+            )
+            a = ray.get(aref).loc[t.column("k").to_numpy(zero_copy_only=False)]
+            df = pd.DataFrame(
+                {
+                    "brand": a["brand"].to_numpy(),
+                    "ptype": a["ptype"].to_numpy(),
+                    "size": a["size"].to_numpy(),
+                    "s": t.column("s").to_numpy(zero_copy_only=False),
+                }
+            ).drop_duplicates()
+            gk = [
+                zlib.crc32(f"{br}|{ty}|{sz}".encode())
+                for br, ty, sz in zip(df["brand"], df["ptype"], df["size"])
+            ]
+            return pa.table(
+                {
+                    "brand": pa.array(df["brand"], pa.string()),
+                    "ptype": pa.array(df["ptype"], pa.string()),
+                    "size": pa.array(df["size"].to_numpy().astype(np.int32), pa.int32()),
+                    "s": pa.array(df["s"].to_numpy(), pa.int64()),
+                    "gkey": pa.array(gk, pa.int64()),
+                }
+            )
+
+        out = _merge_partials(
+            li.map_batches(pair_bcast, batch_format="pyarrow", zero_copy_batch=True),
+            "gkey",
+            lambda df: _q16_count_bucket(df),
+            input_schema=pa.schema(
+                [
+                    ("brand", pa.string()),
+                    ("ptype", pa.string()),
+                    ("size", pa.int32()),
+                    ("s", pa.int64()),
+                    ("gkey", pa.int64()),
+                ]
+            ),
+        )
+        return out.sort_by(
+            [
+                ("supplier_cnt", "descending"),
+                ("p_brand", "ascending"),
+                ("p_type", "ascending"),
+                ("p_size", "ascending"),
+            ]
+        )
+
     both = li.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True).union(
-        part.map_batches(part_rows, batch_format="pyarrow", zero_copy_batch=True)
+        part_mat.map_batches(part_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
     def attach_bucket(b: pd.DataFrame) -> pa.Table:
@@ -8699,28 +8799,10 @@ def q_tpch_q16(sf_dir: str):
         ]
         return b.append_column("gkey", pa.array(gk, pa.int64()))
 
-    def count_bucket(b: pd.DataFrame) -> pa.Table:
-        u = b.drop_duplicates(subset=["brand", "ptype", "size", "s"])
-        g = (
-            u.groupby(["brand", "ptype", "size"], sort=False)
-            .size()
-            .reset_index(name="supplier_cnt")
-        )
-        return pa.table(
-            {
-                "p_brand": pa.array(g["brand"], pa.string()),
-                "p_type": pa.array(g["ptype"], pa.string()),
-                "p_size": pa.array(g["size"].to_numpy().astype(np.int32), pa.int32()),
-                "supplier_cnt": pa.array(
-                    g["supplier_cnt"].to_numpy().astype(np.int64), pa.int64()
-                ),
-            }
-        )
-
     out = _merge_partials(
         tagged.map_batches(add_gkey, batch_format="pyarrow"),
         "gkey",
-        lambda df: count_bucket(df),
+        lambda df: _q16_count_bucket(df),
         input_schema=pa.schema(
             [
                 ("brand", pa.string()),
