@@ -10356,6 +10356,201 @@ FROM agg ORDER BY lang
 
 
 # --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic between the two LARGEST
+# sources' document-length distributions — the "did crawl B drift
+# from crawl A" distribution test.  n_chars is discrete, so the exact
+# D = max|CDF₁−CDF₂| folds from per-(source, value) counts: one
+# keyed-sum exchange, then a driver finish over O(distinct values)
+# rows with the CDF difference computed from exact integer counts.
+# Deterministic source pick: (count DESC, source ASC).
+# --------------------------------------------------------------------------
+
+
+def q_ks_sources(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "v": pc.cast(g.column("n_chars"), pa.int64()),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    vc = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "v"],
+        ["c"],
+        pa.schema([("source", pa.string()), ("v", pa.int64()), ("c", pa.int64())]),
+    ).to_pandas()
+    if vc.empty or vc["source"].nunique() < 2:
+        return pa.schema(
+            [
+                ("s1", pa.string()),
+                ("s2", pa.string()),
+                ("n1", pa.int64()),
+                ("n2", pa.int64()),
+                ("ks", pa.float64()),
+            ]
+        ).empty_table()
+    totals = (
+        vc.groupby("source")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "source"], ascending=[False, True])
+    )
+    s1, s2 = totals["source"].iloc[0], totals["source"].iloc[1]
+    n1, n2 = int(totals["c"].iloc[0]), int(totals["c"].iloc[1])
+    grid = np.sort(vc[vc["source"].isin([s1, s2])]["v"].unique())
+
+    def cdf(src: str, n: int) -> np.ndarray:
+        g = vc[vc["source"] == src].sort_values("v")
+        cum = np.zeros(len(grid), dtype=np.int64)
+        idx = np.searchsorted(grid, g["v"].to_numpy())
+        cum[idx] = g["c"].to_numpy()
+        return np.cumsum(cum) / float(n)
+
+    d = float(np.max(np.abs(cdf(s1, n1) - cdf(s2, n2))))
+    return pa.table(
+        {
+            "s1": pa.array([s1], pa.string()),
+            "s2": pa.array([s2], pa.string()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "ks": pa.array([round(d, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_KS_SOURCES = """
+WITH top2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (ORDER BY count(*) DESC, source) AS r
+              FROM documents GROUP BY 1),
+     s1 AS (SELECT source, n FROM top2 WHERE r = 1),
+     s2 AS (SELECT source, n FROM top2 WHERE r = 2),
+     vc AS (SELECT n_chars AS v,
+                   CAST(sum(CASE WHEN source = (SELECT source FROM s1)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN source = (SELECT source FROM s2)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+            FROM documents
+            WHERE source IN ((SELECT source FROM s1), (SELECT source FROM s2))
+            GROUP BY 1),
+     cw AS (SELECT v,
+                   sum(c1) OVER (ORDER BY v) AS k1,
+                   sum(c2) OVER (ORDER BY v) AS k2
+            FROM vc)
+SELECT (SELECT source FROM s1) AS s1, (SELECT source FROM s2) AS s2,
+       (SELECT n FROM s1) AS n1, (SELECT n FROM s2) AS n2,
+       round(max(abs(CAST(k1 AS DOUBLE) / (SELECT n FROM s1)
+                     - CAST(k2 AS DOUBLE) / (SELECT n FROM s2))), 6) AS ks
+FROM cw
+"""
+
+
+# --------------------------------------------------------------------------
+# Type-token ratio per language — the vocabulary-richness curation
+# stat.  Distinct (lang, word) pairs dedup per batch, merge through
+# ONE word-bucketed exchange (vocab-bounded, the unigram_logprob
+# assumption) carrying per-pair token counts, so types and tokens
+# fold from the same stream; ratio rounded identically both engines.
+# --------------------------------------------------------------------------
+
+
+def q_ttr_by_lang(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z]+"
+        ).combine_chunks()
+        offs = np.asarray(toks.offsets)
+        vals = toks.values.to_numpy(zero_copy_only=False)
+        vals = vals[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        lang = np.repeat(
+            b.column("lang").to_numpy(zero_copy_only=False), offs[1:] - offs[:-1]
+        )
+        m = vals != ""
+        g = (
+            pd.DataFrame({"lang": lang[m], "w": vals[m]})
+            .groupby(["lang", "w"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "w": pa.array(g["w"], pa.string()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "w"], sort=False, as_index=False)["c"].sum()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "w": pa.array(g["w"], pa.string()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    lw = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "w",
+        per_bucket,
+        input_schema=pa.schema(
+            [("lang", pa.string()), ("w", pa.string()), ("c", pa.int64())]
+        ),
+    ).to_pandas()
+    if lw.empty:
+        return pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_types", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("ttr", pa.float64()),
+            ]
+        ).empty_table()
+    g = lw.groupby("lang", sort=True).agg(
+        n_types=("w", "size"), n_tokens=("c", "sum")
+    )
+    return pa.table(
+        {
+            "lang": pa.array(g.index.to_numpy(), pa.string()),
+            "n_types": pa.array(g["n_types"].to_numpy().astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(
+                g["n_tokens"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "ttr": pa.array(
+                np.round(
+                    g["n_types"].to_numpy().astype(np.float64)
+                    / g["n_tokens"].to_numpy().astype(np.float64),
+                    6,
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_TTR_BY_LANG = """
+WITH t AS (SELECT lang,
+                  unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+           FROM documents),
+     lw AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+            FROM t WHERE w <> '' GROUP BY 1, 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+FROM lw GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Boilerplate shared-prefix detector — web-scale corpora are full of
 # template headers; groups of documents sharing their first 16 chars
 # are the cheap first-pass signal.  Per-batch Arrow group_by partial
@@ -10753,6 +10948,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "gini_by_lang": q_gini_by_lang,
+    "ks_sources": q_ks_sources,
+    "ttr_by_lang": q_ttr_by_lang,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "lang_source_mi": q_lang_source_mi,
     "hhi_concentration": q_hhi_concentration,
@@ -10888,6 +11085,8 @@ ORACLES = {
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "winnow_dup_pairs": SQL_WINNOW_DUP_PAIRS,
     "gini_by_lang": SQL_GINI_BY_LANG,
+    "ks_sources": SQL_KS_SOURCES,
+    "ttr_by_lang": SQL_TTR_BY_LANG,
     "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
     "lang_source_mi": SQL_LANG_SOURCE_MI,
     "hhi_concentration": SQL_HHI_CONCENTRATION,

@@ -193,3 +193,63 @@ def test_gini_edge_values(tmp_path):
     # n=2, values (1, 999): sr = 1*1 + 999*2, t = 1000
     # gini = 2*1999/(2*1000) - 3/2 = 0.499
     assert by["sk"] == round(2.0 * 1999 / 2000 - 1.5, 6)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ks_identical_vs_disjoint(tmp_path):
+    # two sources with identical length multisets → KS = 0; replacing
+    # one with fully-disjoint support → KS = 1 (the two CDF extremes)
+    import duckdb
+    import os
+
+    def lake(lens_b):
+        la = [10, 20, 30, 40]
+        return pa.table(
+            {
+                "doc_id": pa.array(list(range(8)), pa.int64()),
+                "text": pa.array(["x"] * 8, pa.string()),
+                "lang": pa.array(["en"] * 8, pa.string()),
+                "source": pa.array(["a"] * 4 + ["b"] * 4, pa.string()),
+                "n_chars": pa.array(la + lens_b, pa.int64()),
+            }
+        )
+
+    from pdf_extractor_ray.pipelines.queries import ORACLES, QUERIES
+
+    for lens_b, want in (([10, 20, 30, 40], 0.0), ([100, 200, 300, 400], 1.0)):
+        pq.write_table(lake(lens_b), str(tmp_path / "documents.parquet"))
+        got = QUERIES["ks_sources"](str(tmp_path)).to_pandas()
+        assert got["ks"].iloc[0] == want
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+            + os.path.join(str(tmp_path), "documents.parquet")
+            + "')"
+        )
+        exp = con.execute(ORACLES["ks_sources"]).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=True
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ttr_all_unique_vs_one_word(tmp_path):
+    # every token unique → TTR 1; one word repeated → TTR 1/n_tokens
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                ["alpha beta gamma delta", "spam spam spam spam spam"], pa.string()
+            ),
+            "lang": pa.array(["uniq", "mono"], pa.string()),
+            "source": pa.array(["s"] * 2, pa.string()),
+            "n_chars": pa.array([22, 25], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["ttr_by_lang"](str(tmp_path)).to_pandas()
+    by = got.set_index("lang")
+    assert by.loc["uniq", "ttr"] == 1.0 and by.loc["uniq", "n_types"] == 4
+    assert by.loc["mono", "n_types"] == 1 and by.loc["mono", "ttr"] == 0.2
