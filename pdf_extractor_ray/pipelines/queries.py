@@ -10198,7 +10198,10 @@ ORDER BY 1, 2
 _WD_MAX_DF, _WD_MIN_SHARED = 20, 10
 
 
-def q_winnow_dup_pairs(sf_dir: str):
+def _winnow_pairs(sf_dir: str) -> pd.DataFrame:
+    """Qualifying MOSS pairs (doc_a < doc_b, n_shared ≥ threshold) as a
+    driver frame — O(qualifying pairs), shared by q_winnow_dup_pairs
+    and q_winnow_dedup."""
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -10246,9 +10249,9 @@ def q_winnow_dup_pairs(sf_dir: str):
         input_schema=pa.schema([("fp", pa.int64()), ("doc_id", pa.int64())]),
     ).to_pandas()
     if pairs.empty:
-        return pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
-        ).empty_table()
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "n_shared": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "n_shared": np.int64}
+        )
     # a doc pair spans many fp buckets — one final tiny sum, then the
     # threshold (which can only be applied AFTER the cross-bucket sum)
     g = (
@@ -10256,12 +10259,19 @@ def q_winnow_dup_pairs(sf_dir: str):
         .sum()
         .query(f"n >= {_WD_MIN_SHARED}")
         .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .rename(columns={"n": "n_shared"})
     )
+    return g
+
+
+def q_winnow_dup_pairs(sf_dir: str):
+    g = _winnow_pairs(sf_dir)
     return pa.table(
         {
             "doc_a": pa.array(g["doc_a"].to_numpy(), pa.int64()),
             "doc_b": pa.array(g["doc_b"].to_numpy(), pa.int64()),
-            "n_shared": pa.array(g["n"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(g["n_shared"].to_numpy(), pa.int64()),
         }
     )
 
@@ -10278,6 +10288,70 @@ WITH {_WINNOW_CTES},
            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, n_shared FROM p
 WHERE n_shared >= {_WD_MIN_SHARED} ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Full MOSS dedup: winnow → qualifying pairs → distributed connected
+# components (stages/dedup.connected_components — min-label
+# propagation, no driver union-find) → keep each cluster's minimum
+# doc_id.  The oracle closes the same pipeline in SQL: the dup-pair
+# CTEs feed a recursive-CTE transitive closure (the graph_components
+# pattern) and survivors are NOT IN (cluster losers).
+# --------------------------------------------------------------------------
+
+
+def q_winnow_dedup(sf_dir: str):
+    pairs = _winnow_pairs(sf_dir)
+    docs = _read_pq(_t(sf_dir, "documents"), columns=["doc_id"])
+    if pairs.empty:
+        out = _to_table(docs)
+        return out.sort_by("doc_id")
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
+                "id_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
+            }
+        )
+    )
+    labels = dd.connected_components(edges)
+
+    def losers_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("node"), b.column("label")))
+
+    loser_tbl = _to_table(labels.map_batches(losers_only, batch_format="pyarrow"))
+    lref = ray.put(loser_tbl.column("node").combine_chunks())
+
+    def drop(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.invert(pc.is_in(b.column("doc_id"), value_set=ray.get(lref)))
+        )
+
+    return _to_table(docs.map_batches(drop, batch_format="pyarrow")).sort_by("doc_id")
+
+
+SQL_WINNOW_DEDUP = f"""
+WITH RECURSIVE {_WINNOW_CTES},
+     fp AS (SELECT DISTINCT gh.h AS fp, sel.doc_id AS doc_id
+            FROM sel JOIN gh ON gh.doc_id = sel.doc_id AND gh.i = sel.pos),
+     ok AS (SELECT fp FROM fp GROUP BY fp
+            HAVING count(*) BETWEEN 2 AND {_WD_MAX_DF}),
+     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+           FROM fp a JOIN fp b USING (fp) JOIN ok USING (fp)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+     e AS (SELECT doc_a AS a, doc_b AS b FROM p
+           WHERE n_shared >= {_WD_MIN_SHARED}),
+     u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+     nn AS (SELECT DISTINCT a AS node FROM u),
+     reach(node, r) AS (
+       SELECT node, node FROM nn
+       UNION
+       SELECT rr.node, u.b FROM reach rr JOIN u ON u.a = rr.r),
+     lbl AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM lbl WHERE node <> label)
+ORDER BY doc_id
 """
 
 
@@ -10950,6 +11024,7 @@ QUERIES = {
     "gini_by_lang": q_gini_by_lang,
     "ks_sources": q_ks_sources,
     "ttr_by_lang": q_ttr_by_lang,
+    "winnow_dedup": q_winnow_dedup,
     "boilerplate_prefixes": q_boilerplate_prefixes,
     "lang_source_mi": q_lang_source_mi,
     "hhi_concentration": q_hhi_concentration,
@@ -11087,6 +11162,7 @@ ORACLES = {
     "gini_by_lang": SQL_GINI_BY_LANG,
     "ks_sources": SQL_KS_SOURCES,
     "ttr_by_lang": SQL_TTR_BY_LANG,
+    "winnow_dedup": SQL_WINNOW_DEDUP,
     "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
     "lang_source_mi": SQL_LANG_SOURCE_MI,
     "hhi_concentration": SQL_HHI_CONCENTRATION,

@@ -253,3 +253,34 @@ def test_ttr_all_unique_vs_one_word(tmp_path):
     by = got.set_index("lang")
     assert by.loc["uniq", "ttr"] == 1.0 and by.loc["uniq", "n_types"] == 4
     assert by.loc["mono", "n_types"] == 1 and by.loc["mono", "ttr"] == 0.2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_dedup_transitive_cluster(tmp_path):
+    # A~B and B~C via different shared blocks (A and C share nothing)
+    # must still collapse to ONE survivor — the minimum doc_id
+    blk1 = "the quick brown fox jumps over the lazy dog " * 5
+    blk2 = "never gonna give you up never gonna let you down " * 5
+    texts = [
+        blk1 + " tail-a",
+        blk1 + blk2,
+        blk2 + " tail-c",
+        "zzzz yyyy xxxx wwww " * 12,  # unrelated → survives
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    pairs = QUERIES["winnow_dup_pairs"](str(tmp_path)).to_pandas()
+    pset = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (10, 11) in pset and (11, 12) in pset
+    got = QUERIES["winnow_dedup"](str(tmp_path)).to_pandas()
+    assert got["doc_id"].tolist() == [10, 13]
