@@ -62,7 +62,7 @@ def evaluate_against_golden(
         )
         got = pa.concat_tables(
             list(
-                extracted.select_columns(cols).iter_batches(batch_format="pyarrow")
+                extracted.select_columns(cols).iter_batches(batch_format="pyarrow", batch_size=None)
             ),
             promote_options="permissive",
         )
@@ -328,7 +328,7 @@ def resolution_report(ds: ray.data.Dataset) -> tuple[dict, pa.Table]:
         )
 
     detail_tbl = pa.concat_tables(
-        list(ds.map_batches(details, batch_format="pyarrow").iter_batches(batch_format="pyarrow")),
+        list(ds.map_batches(details, batch_format="pyarrow").iter_batches(batch_format="pyarrow", batch_size=None)),
         promote_options="permissive",
     )
     rollup = flag_rollup(ds)
@@ -362,7 +362,7 @@ def figure_counts(ds: ray.data.Dataset) -> pa.Table:
         .aggregate(Sum("n_figures", alias_name="n_figures"))
     )
     return pa.concat_tables(
-        list(out.iter_batches(batch_format="pyarrow")), promote_options="permissive"
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)), promote_options="permissive"
     )
 
 

@@ -56,7 +56,11 @@ def _read_pq(path: str, **kwargs) -> ray.data.Dataset:
 
 
 def _to_table(ds: ray.data.Dataset) -> pa.Table:
-    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    # batch_size=None yields entire blocks — the default (256 rows)
+    # re-slices every block and measured 464 s of pure driver overhead
+    # collecting a 167M-row sorted result (654k tiny batches); whole
+    # blocks collect the same result in seconds
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
         # preserve the schema even for empty results
         schema = ds.schema()
@@ -385,7 +389,7 @@ def q_tpch_q3(sf_dir: str):
         filter=pads.field("c_mktsegment") == "BUILDING",
     )
     keys = ray.put(
-        pa.concat_tables(cust.iter_batches(batch_format="pyarrow"))
+        pa.concat_tables(cust.iter_batches(batch_format="pyarrow", batch_size=None))
         .column("c_custkey")
         .combine_chunks()
     )
@@ -2009,7 +2013,7 @@ def q_approx_distinct(sf_dir: str):
 
     merged = hll_new()
     for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         for s in b.column("sketch").to_pylist():
             merged = hll_merge(merged, np.frombuffer(s, dtype=np.uint8))
@@ -2651,7 +2655,7 @@ def q_bloom_semi_join(sf_dir: str):
     bloom = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
     exact_parts = []
     for b in build.map_batches(build_partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_format="pyarrow", batch_size=None
     ):
         for row_bits, row_keys in zip(
             b.column("bits").to_pylist(), b.column("keys").to_pylist()
@@ -10143,12 +10147,14 @@ def _winnow_batch(batch: pa.Table) -> pa.Table:
 
 
 def q_winnow_fingerprints(sf_dir: str):
+    # output ~0.4 rows per input char, so the ordering is a DISTRIBUTED
+    # sort (Ray's range-partitioned exchange, spillable) — a driver-side
+    # pandas sort here measured >9 min on a 1M-doc lake (167M rows)
+    # while the whole map stage streamed in 11.6 s; _to_table then
+    # concatenates the globally-sorted blocks in order
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    df = _to_table(
-        ds.map_batches(_winnow_batch, batch_format="pyarrow", zero_copy_batch=True)
-    ).to_pandas()
-    df = df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    fps = ds.map_batches(_winnow_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(fps.sort(["doc_id", "pos"]))
 
 
 def _gram_hash_sql() -> str:

@@ -124,7 +124,7 @@ def write_latex(ds, out_dir: str) -> list[str]:
         .map_groups(render_group, batch_format="pandas")
     )
     paths = []
-    for batch in rendered.iter_batches(batch_format="pyarrow"):
+    for batch in rendered.iter_batches(batch_format="pyarrow", batch_size=None):
         for conv_id, tex in zip(
             batch.column("conv_id").to_pylist(), batch.column("tex").to_pylist()
         ):

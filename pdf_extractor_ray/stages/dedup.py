@@ -92,7 +92,7 @@ def _pairs_df(a, b, extra: str, vals, dtype: str = "float64") -> pa.Table:
 def _collect(ds) -> pa.Table:
     """Driver-side collect of a SMALL dataset (candidate ids / labels
     only — never document text)."""
-    tables = list(ds.iter_batches(batch_format="pyarrow"))
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")

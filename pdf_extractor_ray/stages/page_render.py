@@ -359,7 +359,7 @@ def write_page_images(ds, out_dir: str) -> pa.Table:
         )
 
     manifest = ds.map_batches(write_batch, batch_format="pyarrow", batch_size=32)
-    batches = list(manifest.iter_batches(batch_format="pyarrow"))
+    batches = list(manifest.iter_batches(batch_format="pyarrow", batch_size=None))
     if not batches:  # no PDF payloads in the lake → empty manifest, not a crash
         # same columns as the non-empty manifest (incl. turn_idx) so a
         # PDF-free lake doesn't hand callers a divergent schema

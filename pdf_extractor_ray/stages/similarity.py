@@ -300,7 +300,7 @@ def kmeans_fit(
         )
         if driver_reduce:
             pdf = pd.concat(
-                [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow")]
+                [b.to_pandas() for b in partials.iter_batches(batch_format="pyarrow", batch_size=None)]
             )
             g = pdf.groupby("cluster", sort=False).sum()
             rows = {
