@@ -71,6 +71,46 @@ def _to_table(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="permissive")
 
 
+def _money_i4(price, disc=None) -> pa.Array:
+    """Exact int64 ten-thousandths of ``price × (1 − disc)``.
+
+    A 2-decimal price times a 2-decimal (1−discount) has EXACTLY 4
+    decimals, so ×10⁴ round-to-int is the true rational value — every
+    partial sum is then summation-order-proof (int64), where the
+    float64 version flips a cent whenever the exchange regroups the
+    partials (observed on tpch_q9 at sf0.001).  Oracles apply the
+    matching ``CAST(round(expr * 10000) AS BIGINT)``.
+    """
+    v = price if disc is None else pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+    return pa.array(
+        np.rint(v.to_numpy(zero_copy_only=False) * 1e4).astype(np.int64), pa.int64()
+    )
+
+
+# the matching oracle-side expression (DuckDB), parameterized on the
+# qualified column names so aliased queries can reuse it
+def _sql_rev_i4(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return f"CAST(round({price} * (1 - {disc}) * 10000) AS BIGINT)"
+
+
+def _i4_to_money(v) -> np.ndarray:
+    """×10⁴ int money units → 2-decimal float64, half AWAY from zero.
+
+    numpy/Python round() are half-to-even while SQL round() is
+    half-away — with exact integer sums a x.xx5 total would disagree
+    deterministically (observed: 326565.745 → 326565.74 vs .75).
+    Integer arithmetic on both engines (`_sql_i4_money` is the oracle
+    twin) removes the float round entirely."""
+    v = np.asarray(v, dtype=np.int64)
+    cents = np.sign(v) * ((np.abs(v) + 50) // 100)
+    return cents.astype(np.float64) / 100.0
+
+
+def _sql_i4_money(sum_expr: str) -> str:
+    """Oracle twin of ``_i4_to_money`` for a NON-NEGATIVE i4 sum."""
+    return f"(({sum_expr} + 50) // 100) / 100.0"
+
+
 # --------------------------------------------------------------------------
 # flagship: transcript extraction (rows-only check; goldens cover equality)
 # --------------------------------------------------------------------------
@@ -434,12 +474,15 @@ def q_tpch_q3(sf_dir: str):
 
         def li_bcast(b: pa.Table) -> pa.Table:
             f = b.filter(pc.is_in(b.column("l_orderkey"), value_set=ray.get(okref)))
-            rev = pc.multiply(
-                f.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
-            )
             part = (
-                pa.table({"l_orderkey": f.column("l_orderkey"), "rev": rev})
+                pa.table(
+                    {
+                        "l_orderkey": f.column("l_orderkey"),
+                        "rev": _money_i4(
+                            f.column("l_extendedprice"), f.column("l_discount")
+                        ),
+                    }
+                )
                 .group_by("l_orderkey")
                 .aggregate([("rev", "sum")])
             )
@@ -448,7 +491,7 @@ def q_tpch_q3(sf_dir: str):
         def bucket_top10(df: pd.DataFrame) -> pa.Table:
             g = df.groupby("l_orderkey", sort=False, as_index=False)["rev"].sum()
             om = ray.get(omref).loc[g["l_orderkey"].to_numpy()]
-            g["revenue"] = np.round(g["rev"].to_numpy(), 2)
+            g["revenue"] = _i4_to_money(g["rev"].to_numpy())
             g["o_date_us"] = om["o_date_us"].to_numpy()
             g["o_orderpriority"] = om["o_orderpriority"].to_numpy()
             # top-10 is bucket-combinable: partial-sum buckets hold ALL
@@ -472,7 +515,7 @@ def q_tpch_q3(sf_dir: str):
             ),
             "l_orderkey",
             bucket_top10,
-            input_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.float64())]),
+            input_schema=pa.schema([("l_orderkey", pa.int64()), ("rev", pa.int64())]),
         )
         fin = (
             merged.to_pandas()
@@ -494,15 +537,14 @@ def q_tpch_q3(sf_dir: str):
         )
 
     def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
         # per-batch combiner (see q_join_hash): partial-sum rev by
         # orderkey before the join exchange — safe because the final
         # grouping key includes l_orderkey
         part = (
-            batch.append_column("rev", rev)
+            batch.append_column(
+                "rev",
+                _money_i4(batch.column("l_extendedprice"), batch.column("l_discount")),
+            )
             .group_by("l_orderkey")
             .aggregate([("rev", "sum")])
         )
@@ -521,7 +563,12 @@ def q_tpch_q3(sf_dir: str):
         return batch.set_column(
             batch.schema.get_field_index("revenue"),
             "revenue",
-            pc.round(batch.column("revenue"), ndigits=2),
+            pa.array(
+                _i4_to_money(
+                    batch.column("revenue").to_numpy(zero_copy_only=False)
+                ),
+                pa.float64(),
+            ),
         )
 
     out = (
@@ -538,7 +585,8 @@ def q_tpch_q3(sf_dir: str):
 
 SQL_TPCH_Q3 = f"""
 SELECT l.l_orderkey, epoch_us(o.o_orderdate) AS o_date_us, o.o_orderpriority,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_sql_i4_money(f"sum({_sql_rev_i4('l.l_extendedprice', 'l.l_discount')})")}
+         AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -642,10 +690,11 @@ def q_tpch_q5(sf_dir: str):
         sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False)
         sn = lut[sk]
         keep = np.isin(sn, asia_keys)
-        rev = (
+        rev = np.rint(
             batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
             * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
-        )
+            * 1e4
+        ).astype(np.int64)
         return pa.table(
             {
                 "l_orderkey": pa.array(
@@ -653,7 +702,7 @@ def q_tpch_q5(sf_dir: str):
                     pa.int64(),
                 ),
                 "s_nat": pa.array(sn[keep], pa.int64()),
-                "rev": pa.array(rev[keep], pa.float64()),
+                "rev": pa.array(rev[keep], pa.int64()),
             }
         )
 
@@ -682,15 +731,19 @@ def q_tpch_q5(sf_dir: str):
     t = pa.table(
         {
             "nation": names,
-            "revenue": pc.round(t.column("revenue"), ndigits=2),
+            "revenue": pa.array(
+                _i4_to_money(t.column("revenue").to_numpy(zero_copy_only=False)),
+                pa.float64(),
+            ),
         }
     )
     return t.sort_by([("revenue", "descending")])
 
 
-SQL_TPCH_Q5 = """
+SQL_TPCH_Q5 = f"""
 SELECT n.n_name AS nation,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_sql_i4_money(f"sum({_sql_rev_i4('l.l_extendedprice', 'l.l_discount')})")}
+         AS revenue
 FROM customer c, orders o, lineitem l, supplier s, nation n, region r
 WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
   AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
@@ -1190,37 +1243,83 @@ def q_tpch_q1(sf_dir: str):
             pa.scalar(datetime.datetime(1998, 9, 2)),
         )
         batch = batch.filter(keep)
-        disc = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        # money columns as exact scaled int64 (see _money_i4): cents
+        # for 2dp columns, ten-thousandths for price×(1−disc) — sums
+        # become summation-order-proof; quantities are integer-valued
+        # doubles whose float sum is already exact below 2^53
+        base_i2 = pa.array(
+            np.rint(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+            pa.int64(),
         )
-        return batch.append_column("disc_price", disc)
+        disc_i2 = pa.array(
+            np.rint(
+                batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        return (
+            batch.append_column(
+                "disc_price_i4",
+                _money_i4(batch.column("l_extendedprice"), batch.column("l_discount")),
+            )
+            .append_column("base_i2", base_i2)
+            .append_column("disc_i2", disc_i2)
+        )
 
     out = (
         ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("base_i2", alias_name="sum_base_i2"),
+            Sum("disc_price_i4", alias_name="sum_disc_i4"),
+            Sum("disc_i2", alias_name="sum_disc_pct_i2"),
             Count(alias_name="count_order"),
         )
     )
     t = _to_table(out)
-    for col in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_disc"):
-        t = t.set_column(
-            t.schema.get_field_index(col), col, pc.round(t.column(col), ndigits=2)
-        )
+    n = t.column("count_order").to_numpy(zero_copy_only=False).astype(np.float64)
+    t = pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": pc.round(t.column("sum_qty"), ndigits=2),
+            "sum_base_price": pa.array(
+                np.round(
+                    t.column("sum_base_i2").to_numpy(zero_copy_only=False) / 100.0, 2
+                ),
+                pa.float64(),
+            ),
+            "sum_disc_price": pa.array(
+                _i4_to_money(t.column("sum_disc_i4").to_numpy(zero_copy_only=False)),
+                pa.float64(),
+            ),
+            "avg_disc": pa.array(
+                np.round(
+                    t.column("sum_disc_pct_i2").to_numpy(zero_copy_only=False)
+                    / 100.0
+                    / n,
+                    2,
+                ),
+                pa.float64(),
+            ),
+            "count_order": t.column("count_order"),
+        }
+    )
     return t
 
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_discount), 2) AS avg_disc,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_base_price,
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50)
+        // 100) / 100.0 AS sum_disc_price,
+       round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 2)
+         AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1633,11 +1732,10 @@ def _merge_partials(partials, key: str, per_bucket, input_schema: pa.Schema | No
     set_ops 15.2 s → 5.3 s through the bucket shape), and the bucket
     hash runs over combiner OUTPUT (O(groups) rows/batch), never over
     the data."""
-    import zlib
-
     mat = partials.materialize()
-    if mat.count() <= _DRIVER_MERGE_MAX_ROWS:
-        if mat.count() == 0 and input_schema is not None:
+    n_rows = mat.count()
+    if n_rows <= _DRIVER_MERGE_MAX_ROWS:
+        if n_rows == 0 and input_schema is not None:
             # an all-empty partial stream can surface as zero blocks —
             # to_pandas() then loses the columns and per_bucket KeyErrors
             df = input_schema.empty_table().to_pandas()
@@ -1645,14 +1743,27 @@ def _merge_partials(partials, key: str, per_bucket, input_schema: pa.Schema | No
             df = mat.to_pandas()
         return per_bucket(df)
 
+    # bucket count scales with the partial stream (~2M rows/bucket
+    # target) so a 167M-row exchange doesn't serialize into 32 pandas
+    # tasks; only run-internal determinism is needed of the hash
+    n_buckets = max(_STAT_BUCKETS, min(1024, n_rows // 2_000_000))
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch.column(key).to_pylist()
-        b = [zlib.crc32(str(v).encode()) % _STAT_BUCKETS for v in k]
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            from ..functions.sketches import _splitmix64
+
+            h = _splitmix64(col.to_numpy(zero_copy_only=False).astype(np.uint64))
+        else:
+            # vectorized cython path (per-value zlib.crc32 measured as
+            # the dominant cost of the 167M-row winnow exchange)
+            h = pd.util.hash_array(np.asarray(col.to_pylist(), dtype=object))
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("_bucket", pa.array(b, pa.int32()))
 
     return _to_table(
         mat.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .groupby("_bucket", num_partitions=n_buckets)
         .map_groups(per_bucket, batch_format="pandas")
     )
 
@@ -2685,12 +2796,15 @@ def q_bloom_semi_join(sf_dir: str):
             value_set=pa.array(ray.get(exact_ref), pa.int64()),
         )
         hit = cand.filter(ok)
-        rev = pc.multiply(
-            hit.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), hit.column("l_discount")),
-        )
         return (
-            pa.table({"l_returnflag": hit.column("l_returnflag"), "revenue": rev})
+            pa.table(
+                {
+                    "l_returnflag": hit.column("l_returnflag"),
+                    "revenue": _money_i4(
+                        hit.column("l_extendedprice"), hit.column("l_discount")
+                    ),
+                }
+            )
             .group_by("l_returnflag")
             .aggregate([("revenue", "count"), ("revenue", "sum")])
         )
@@ -2707,13 +2821,16 @@ def q_bloom_semi_join(sf_dir: str):
     return t.set_column(
         t.schema.get_field_index("revenue"),
         "revenue",
-        pc.round(t.column("revenue"), ndigits=2),
+        pa.array(
+            _i4_to_money(t.column("revenue").to_numpy(zero_copy_only=False)),
+            pa.float64(),
+        ),
     )
 
 
-SQL_BLOOM_SEMI_JOIN = """
+SQL_BLOOM_SEMI_JOIN = f"""
 SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS revenue
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
 GROUP BY l_returnflag
@@ -4533,22 +4650,25 @@ def q_tpch_q6(sf_dir: str):
             ),
         )
         batch = batch.filter(keep)
-        return pa.table(
-            {
-                "rev": pc.multiply(
-                    batch.column("l_extendedprice"), batch.column("l_discount")
-                )
-            }
-        )
+        # price (2dp) × discount (2dp) = exact 4dp → ×10⁴ int64 sum
+        rev_i4 = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 1e4
+        ).astype(np.int64)
+        return pa.table({"rev": pa.array(rev_i4, pa.int64())})
 
     agg = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True).sum(
         "rev"
     )
-    return pa.table({"revenue": pa.array([round(float(agg), 2)], pa.float64())})
+    return pa.table(
+        {"revenue": pa.array([float(_i4_to_money(int(agg)))], pa.float64())}
+    )
 
 
-SQL_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SQL_TPCH_Q6 = f"""
+SELECT {_sql_i4_money('sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))')}
+  AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -6057,37 +6177,36 @@ def q_tpch_q14(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
+        rev = _money_i4(b.column("l_extendedprice"), b.column("l_discount"))
         is_promo = pc.is_in(b.column("l_partkey"), value_set=ray.get(kref))
-        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0.0))).as_py() or 0.0
-        total = pc.sum(rev).as_py() or 0.0
+        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0, pa.int64()))).as_py() or 0
+        total = pc.sum(rev).as_py() or 0
         return pa.table(
             {
-                "promo_rev": pa.array([promo], pa.float64()),
-                "total_rev": pa.array([total], pa.float64()),
+                "promo_rev": pa.array([promo], pa.int64()),
+                "total_rev": pa.array([total], pa.int64()),
             }
         )
 
     t = _to_table(li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
     if t.num_rows == 0:
-        promo = total = 0.0
+        promo = total = 0
     else:
-        promo = pc.sum(t.column("promo_rev")).as_py() or 0.0
-        total = pc.sum(t.column("total_rev")).as_py() or 0.0
+        promo = pc.sum(t.column("promo_rev")).as_py() or 0
+        total = pc.sum(t.column("total_rev")).as_py() or 0
     # a global aggregate always returns one row; NULL ratio on an
-    # empty/zero-revenue month — exactly the oracle's division-by-zero
-    pct = round(100.0 * promo / total, 4) if total else None
+    # empty/zero-revenue month — exactly the oracle's division-by-zero.
+    # numerator/denominator are exact int64 (×10⁴ money units), so the
+    # single float division matches the oracle's bit for bit.
+    pct = round(100.0 * float(promo) / float(total), 4) if total else None
     return pa.table({"promo_pct": pa.array([pct], pa.float64())})
 
 
-SQL_TPCH_Q14 = """
+SQL_TPCH_Q14 = f"""
 SELECT round(
-  100.0 * sum(CASE WHEN p_type = 'PROMO'
-                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN {_sql_rev_i4()} ELSE 0 END) AS DOUBLE)
+        / CAST(sum({_sql_rev_i4()}) AS DOUBLE), 4) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """
@@ -7459,12 +7578,17 @@ def q_tpch_q17(sf_dir: str):
             ray.get(tref)
         )
         keep = b.column("l_quantity").to_numpy(zero_copy_only=False) < t.to_numpy()
-        rev = float(
-            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep].sum()
+        # exact int64 cents (2dp prices) — order-proof partial sums
+        rev = int(
+            np.rint(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep] * 100
+            )
+            .astype(np.int64)
+            .sum()
         )
         return pa.table(
             {
-                "rev": pa.array([rev], pa.float64()),
+                "rev": pa.array([rev], pa.int64()),
                 "n": pa.array([int(keep.sum())], pa.int64()),
             }
         )
@@ -7476,12 +7600,13 @@ def q_tpch_q17(sf_dir: str):
     if n_kept == 0:
         # SQL sum() over zero rows is NULL — keep the oracle's semantics
         return pa.table({"avg_yearly": pa.array([None], pa.float64())})
-    total = float(pc.sum(t.column("rev")).as_py() or 0.0)
+    total = float(pc.sum(t.column("rev")).as_py() or 0) / 100.0
     return pa.table({"avg_yearly": pa.array([round(total / 7.0, 2)], pa.float64())})
 
 
 SQL_TPCH_Q17 = f"""
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0, 2)
+  AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = '{_Q17_BRAND}'
   AND l_quantity < (SELECT round(0.2 * avg(l2.l_quantity), 6)
@@ -7522,7 +7647,7 @@ def q_tpch_q10(sf_dir: str):
             {
                 "k": b.column("o_orderkey"),
                 "cust": b.column("o_custkey"),
-                "rev": pa.array(np.zeros(b.num_rows), pa.float64()),
+                "rev": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
             }
         )
 
@@ -7533,12 +7658,15 @@ def q_tpch_q10(sf_dir: str):
     )
 
     def li_partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
         g = (
-            pa.table({"k": b.column("l_orderkey"), "rev": rev})
+            pa.table(
+                {
+                    "k": b.column("l_orderkey"),
+                    "rev": _money_i4(
+                        b.column("l_extendedprice"), b.column("l_discount")
+                    ),
+                }
+            )
             .group_by("k")
             .aggregate([("rev", "sum")])
         )
@@ -7562,7 +7690,7 @@ def q_tpch_q10(sf_dir: str):
         return pa.table(
             {
                 "custkey": pa.array(g["cust"].to_numpy(), pa.int64()),
-                "revenue": pa.array(g["orev"].to_numpy(), pa.float64()),
+                "revenue": pa.array(g["orev"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -7570,7 +7698,7 @@ def q_tpch_q10(sf_dir: str):
 
     def top_bucket(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("custkey", sort=False, as_index=False)["revenue"].sum()
-        g["revenue"] = np.round(g["revenue"].to_numpy(), 2)
+        g["revenue"] = _i4_to_money(g["revenue"].to_numpy())
         g = g.sort_values(["revenue", "custkey"], ascending=[False, True]).head(
             _Q10_TOPN
         )
@@ -7585,7 +7713,7 @@ def q_tpch_q10(sf_dir: str):
         partials,
         "custkey",
         top_bucket,
-        input_schema=pa.schema([("custkey", pa.int64()), ("revenue", pa.float64())]),
+        input_schema=pa.schema([("custkey", pa.int64()), ("revenue", pa.int64())]),
     ).to_pandas()
     top = merged.sort_values(["revenue", "custkey"], ascending=[False, True]).head(
         _Q10_TOPN
@@ -7627,7 +7755,7 @@ def q_tpch_q10(sf_dir: str):
 
 SQL_TPCH_Q10 = f"""
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS revenue,
        c_acctbal, n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -7806,16 +7934,14 @@ def q_tpch_q9(sf_dir: str):
 
     def li_partial(b: pa.Table) -> pa.Table:
         f = b.filter(pc.is_in(b.column("l_partkey"), value_set=ray.get(kref)))
-        profit = pc.multiply(
-            f.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
-        )
         g = (
             pa.table(
                 {
                     "k": f.column("l_suppkey"),
                     "year": pc.year(f.column("l_shipdate")),
-                    "profit": profit,
+                    "profit": _money_i4(
+                        f.column("l_extendedprice"), f.column("l_discount")
+                    ),
                 }
             )
             .group_by(["k", "year"])
@@ -7837,7 +7963,7 @@ def q_tpch_q9(sf_dir: str):
             {
                 "k": b.column("s_suppkey"),
                 "year": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
-                "profit": pa.array(np.zeros(b.num_rows), pa.float64()),
+                "profit": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
                 "nk": b.column("s_nationkey"),
             }
         )
@@ -7855,7 +7981,7 @@ def q_tpch_q9(sf_dir: str):
             {
                 "nationkey": pa.array(g["nk_y"].to_numpy().astype(np.int32), pa.int32()),
                 "o_year": pa.array(g["year"].to_numpy(), pa.int64()),
-                "profit": pa.array(g["profit"].to_numpy(), pa.float64()),
+                "profit": pa.array(g["profit"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -7869,7 +7995,7 @@ def q_tpch_q9(sf_dir: str):
             {
                 "nationkey": pa.array(g["nationkey"].to_numpy(), pa.int32()),
                 "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
-                "profit": pa.array(g["profit"].to_numpy(), pa.float64()),
+                "profit": pa.array(g["profit"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -7878,7 +8004,7 @@ def q_tpch_q9(sf_dir: str):
         "nationkey",
         merge_fn,
         input_schema=pa.schema(
-            [("nationkey", pa.int32()), ("o_year", pa.int64()), ("profit", pa.float64())]
+            [("nationkey", pa.int32()), ("o_year", pa.int64()), ("profit", pa.int64())]
         ),
     ).to_pandas()
     nation = pa.parquet.read_table(
@@ -7891,7 +8017,7 @@ def q_tpch_q9(sf_dir: str):
             "n_name": pa.array(out["n_name"], pa.string()),
             "o_year": pa.array(out["o_year"].to_numpy(), pa.int64()),
             "sum_profit": pa.array(
-                np.round(out["profit"].to_numpy(), 2), pa.float64()
+                _i4_to_money(out["profit"].to_numpy()), pa.float64()
             ),
         }
     )
@@ -7899,7 +8025,7 @@ def q_tpch_q9(sf_dir: str):
 
 SQL_TPCH_Q9 = f"""
 SELECT n_name, year(l_shipdate) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+       {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS sum_profit
 FROM lineitem
 JOIN part     ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -8342,7 +8468,7 @@ _Q7_PARTIAL_SCHEMA = pa.schema(
         ("supp_nation", pa.string()),
         ("cust_nation", pa.string()),
         ("l_year", pa.int64()),
-        ("revenue", pa.float64()),
+        ("revenue", pa.int64()),  # exact ×10⁴ money units (see _money_i4)
     ]
 )
 
@@ -8356,7 +8482,7 @@ def _q7_merge_fn(df: pd.DataFrame) -> pa.Table:
             "supp_nation": pa.array(g["supp_nation"], pa.string()),
             "cust_nation": pa.array(g["cust_nation"], pa.string()),
             "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
-            "revenue": pa.array(np.round(g["revenue"].to_numpy(), 2), pa.float64()),
+            "revenue": pa.array(_i4_to_money(g["revenue"].to_numpy()), pa.float64()),
         }
     )
 
@@ -8439,10 +8565,10 @@ def q_tpch_q7(sf_dir: str):
             s_nat = sn[keep].to_numpy()[ok]
             m = s_nat != c_nat[ok].to_numpy()
             f2 = f.filter(pa.array(ok))
-            rev = pc.multiply(
-                f2.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), f2.column("l_discount")),
-            ).to_numpy(zero_copy_only=False)[m]
+            rev = (
+                _money_i4(f2.column("l_extendedprice"), f2.column("l_discount"))
+                .to_numpy(zero_copy_only=False)[m]
+            )
             g = (
                 pd.DataFrame(
                     {
@@ -8465,7 +8591,9 @@ def q_tpch_q7(sf_dir: str):
                     "supp_nation": pa.array(g["supp_nation"], pa.string()),
                     "cust_nation": pa.array(g["cust_nation"], pa.string()),
                     "l_year": pa.array(g["l_year"].to_numpy(), pa.int64()),
-                    "revenue": pa.array(g["revenue"].to_numpy(), pa.float64()),
+                    "revenue": pa.array(
+                        g["revenue"].to_numpy().astype(np.int64), pa.int64()
+                    ),
                 }
             )
 
@@ -8489,17 +8617,15 @@ def q_tpch_q7(sf_dir: str):
         )
         keep = sn.notna().to_numpy()
         f = b.filter(pa.array(keep))
-        rev = pc.multiply(
-            f.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), f.column("l_discount")),
-        )
         g = (
             pa.table(
                 {
                     "k": f.column("l_orderkey"),
                     "s_nat": pa.array(sn[keep].to_numpy(), pa.string()),
                     "year": pc.year(f.column("l_shipdate")),
-                    "rev": rev,
+                    "rev": _money_i4(
+                        f.column("l_extendedprice"), f.column("l_discount")
+                    ),
                 }
             )
             .group_by(["k", "s_nat", "year"])
@@ -8520,7 +8646,7 @@ def q_tpch_q7(sf_dir: str):
                 "k": b.column("o_orderkey"),
                 "s_nat": pa.array([""] * b.num_rows, pa.string()),
                 "year": b.column("o_custkey"),  # custkey rides the year slot
-                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
+                "rev": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
             }
         )
 
@@ -8540,7 +8666,7 @@ def q_tpch_q7(sf_dir: str):
                 "custkey": pa.array(g["custkey"].to_numpy(), pa.int64()),
                 "s_nat": pa.array(g["s_nat"], pa.string()),
                 "year": pa.array(g["year"].to_numpy(), pa.int64()),
-                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
+                "rev": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -8553,7 +8679,7 @@ def q_tpch_q7(sf_dir: str):
                 "custkey": b.column("c_custkey"),
                 "s_nat": pa.array([""] * b.num_rows, pa.string()),
                 "year": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
+                "rev": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
                 "c_nat": pa.array(cn.to_numpy(), pa.string()),
             }
         )
@@ -8578,7 +8704,7 @@ def q_tpch_q7(sf_dir: str):
                 "supp_nation": pa.array(g["s_nat"], pa.string()),
                 "cust_nation": pa.array(g["c_nat_y"], pa.string()),
                 "l_year": pa.array(g["year"].to_numpy(), pa.int64()),
-                "revenue": pa.array(g["rev"].to_numpy(), pa.float64()),
+                "revenue": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -8598,7 +8724,7 @@ def q_tpch_q7(sf_dir: str):
 SQL_TPCH_Q7 = f"""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS revenue
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -8980,14 +9106,20 @@ FROM r WHERE rn = 1 ORDER BY p_partkey
 _Q8_REGION = "EUROPE"
 
 _Q8_PARTIAL_SCHEMA = pa.schema(
-    [("o_year", pa.int64()), ("rev", pa.float64()), ("rev_t", pa.float64())]
+    # exact ×10⁴ money units (see _money_i4) — the share ratio is then
+    # ONE float division of two exact ints on both engines
+    [("o_year", pa.int64()), ("rev", pa.int64()), ("rev_t", pa.int64())]
 )
 
 
 def _q8_merge_fn(df: pd.DataFrame) -> pa.Table:
     g = df.groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]].sum()
     g = g.sort_values("o_year")
-    share = np.round(g["rev_t"].to_numpy() / g["rev"].to_numpy(), 6)
+    share = np.round(
+        g["rev_t"].to_numpy().astype(np.float64)
+        / g["rev"].to_numpy().astype(np.float64),
+        6,
+    )
     return pa.table(
         {
             "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
@@ -9062,9 +9194,8 @@ def q_tpch_q8(sf_dir: str):
             ).map(ray.get(yref))
             keep = yr.notna().to_numpy()
             f = b.filter(pa.array(keep))
-            rev = pc.multiply(
-                f.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+            rev = _money_i4(
+                f.column("l_extendedprice"), f.column("l_discount")
             ).to_numpy(zero_copy_only=False)
             is_t = pc.is_in(
                 f.column("l_suppkey"), value_set=ray.get(tref)
@@ -9074,7 +9205,7 @@ def q_tpch_q8(sf_dir: str):
                     {
                         "o_year": yr[keep].to_numpy().astype(np.int64),
                         "rev": rev,
-                        "rev_t": np.where(is_t, rev, 0.0),
+                        "rev_t": np.where(is_t, rev, 0),
                     }
                 )
                 .groupby("o_year", sort=False, as_index=False)[["rev", "rev_t"]]
@@ -9083,8 +9214,10 @@ def q_tpch_q8(sf_dir: str):
             return pa.table(
                 {
                     "o_year": pa.array(g["o_year"].to_numpy(), pa.int64()),
-                    "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
-                    "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+                    "rev": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
+                    "rev_t": pa.array(
+                        g["rev_t"].to_numpy().astype(np.int64), pa.int64()
+                    ),
                 }
             )
 
@@ -9097,12 +9230,9 @@ def q_tpch_q8(sf_dir: str):
         return out.sort_by("o_year")
 
     def li_partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
+        rev = _money_i4(b.column("l_extendedprice"), b.column("l_discount"))
         is_t = pc.is_in(b.column("l_suppkey"), value_set=ray.get(tref))
-        rev_t = pc.if_else(is_t, rev, pa.scalar(0.0))
+        rev_t = pc.if_else(is_t, rev, pa.scalar(0, pa.int64()))
         g = (
             pa.table({"k": b.column("l_orderkey"), "rev": rev, "rev_t": rev_t})
             .group_by("k")
@@ -9124,8 +9254,8 @@ def q_tpch_q8(sf_dir: str):
                 "k": b.column("o_orderkey"),
                 "cust": b.column("o_custkey"),
                 "year": pc.year(b.column("o_orderdate")),
-                "rev": pa.array(np.full(b.num_rows, -1.0), pa.float64()),
-                "rev_t": pa.array(np.zeros(b.num_rows), pa.float64()),
+                "rev": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "rev_t": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
             }
         )
 
@@ -9144,8 +9274,8 @@ def q_tpch_q8(sf_dir: str):
             {
                 "custkey": pa.array(g["cust_y"].to_numpy(), pa.int64()),
                 "year": pa.array(g["year_y"].to_numpy(), pa.int64()),
-                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
-                "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+                "rev": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
+                "rev_t": pa.array(g["rev_t"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -9157,8 +9287,8 @@ def q_tpch_q8(sf_dir: str):
             {
                 "custkey": b.column("c_custkey"),
                 "year": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                "rev": pa.array(np.full(n, -1.0), pa.float64()),
-                "rev_t": pa.array(np.zeros(n), pa.float64()),
+                "rev": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "rev_t": pa.array(np.zeros(n, np.int64), pa.int64()),
             }
         )
 
@@ -9175,8 +9305,8 @@ def q_tpch_q8(sf_dir: str):
         return pa.table(
             {
                 "o_year": pa.array(g["year"].to_numpy(), pa.int64()),
-                "rev": pa.array(g["rev"].to_numpy(), pa.float64()),
-                "rev_t": pa.array(g["rev_t"].to_numpy(), pa.float64()),
+                "rev": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
+                "rev_t": pa.array(g["rev_t"].to_numpy().astype(np.int64), pa.int64()),
             }
         )
 
@@ -9197,9 +9327,9 @@ WITH tn AS (SELECT min(n_nationkey) AS nk FROM nation
             JOIN region ON r_regionkey = n_regionkey
             WHERE r_name = '{_Q8_REGION}')
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN s_nationkey = (SELECT nk FROM tn)
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN s_nationkey = (SELECT nk FROM tn)
+                      THEN {_sql_rev_i4()} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_sql_rev_i4()}) AS DOUBLE), 6) AS mkt_share
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -9241,12 +9371,15 @@ def q_tpch_q15(sf_dir: str):
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
         g = (
-            pa.table({"k": b.column("l_suppkey"), "rev": rev})
+            pa.table(
+                {
+                    "k": b.column("l_suppkey"),
+                    "rev": _money_i4(
+                        b.column("l_extendedprice"), b.column("l_discount")
+                    ),
+                }
+            )
             .group_by("k")
             .aggregate([("rev", "sum")])
         )
@@ -9254,7 +9387,7 @@ def q_tpch_q15(sf_dir: str):
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
         g = df.groupby("k", sort=False, as_index=False)["rev"].sum()
-        g["rev"] = np.round(g["rev"].to_numpy(), 2)
+        g["rev"] = _i4_to_money(g["rev"].to_numpy())
         mx = g["rev"].max()
         g = g[g["rev"] == mx]
         return pa.table(
@@ -9268,7 +9401,7 @@ def q_tpch_q15(sf_dir: str):
         li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
         "k",
         per_bucket,
-        input_schema=pa.schema([("k", pa.int64()), ("rev", pa.float64())]),
+        input_schema=pa.schema([("k", pa.int64()), ("rev", pa.int64())]),
     ).to_pandas()
     out_schema = pa.schema(
         [("s_suppkey", pa.int64()), ("s_name", pa.string()), ("total_rev", pa.float64())]
@@ -9292,9 +9425,9 @@ def q_tpch_q15(sf_dir: str):
     )
 
 
-SQL_TPCH_Q15 = """
+SQL_TPCH_Q15 = f"""
 WITH r AS (SELECT l_suppkey AS k,
-                  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+                  {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS rev
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -9353,15 +9486,12 @@ def q_tpch_q19(sf_dir: str):
                 ),
             )
             keep = pc.or_(keep, m)
-        rev = pc.multiply(
-            b.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
-        )
-        total = pc.sum(pc.if_else(keep, rev, pa.scalar(0.0))).as_py() or 0.0
+        rev = _money_i4(b.column("l_extendedprice"), b.column("l_discount"))
+        total = pc.sum(pc.if_else(keep, rev, pa.scalar(0, pa.int64()))).as_py() or 0
         n = int(pc.sum(keep.cast(pa.int64())).as_py() or 0)
         return pa.table(
             {
-                "rev": pa.array([total], pa.float64()),
+                "rev": pa.array([total], pa.int64()),
                 "n": pa.array([n], pa.int64()),
             }
         )
@@ -9370,8 +9500,10 @@ def q_tpch_q19(sf_dir: str):
     n = int(pc.sum(t.column("n")).as_py() or 0) if t.num_rows else 0
     if n == 0:
         return pa.table({"revenue": pa.array([None], pa.float64())})
-    total = float(pc.sum(t.column("rev")).as_py() or 0.0)
-    return pa.table({"revenue": pa.array([round(total, 2)], pa.float64())})
+    total = int(pc.sum(t.column("rev")).as_py() or 0)
+    return pa.table(
+        {"revenue": pa.array([float(_i4_to_money(total))], pa.float64())}
+    )
 
 
 def _q19_sql() -> str:
@@ -9382,7 +9514,7 @@ def _q19_sql() -> str:
             f" AND l_quantity BETWEEN {qlo} AND {qhi})"
         )
     return f"""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT {_sql_i4_money(f'sum({_sql_rev_i4()})')} AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE {" OR ".join(branches)}
 """
@@ -10885,6 +11017,369 @@ def q_embed_pca(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Column profiler — the data-quality operator every ingest pipeline
+# runs first: per column count / nulls / exact distinct / min / max,
+# values canonicalized to strings so one schema covers all types.
+# count/min/max are trivial per-batch combiners (4 rows per batch);
+# the exact distinct count is the distinct_per_group shape — each
+# batch dedups its (col, val) pairs vectorized, the one exchange moves
+# near-distinct pairs, and each value-bucket counts its pairs exactly
+# (a value lands in exactly one bucket).  At 100 TB the shuffle volume
+# is O(distinct values), never O(rows).
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source")
+
+
+def q_profile_columns(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=list(_PROFILE_COLS))
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        rows = {"col": [], "n": [], "n_null": [], "min_val": [], "max_val": []}
+        for name in _PROFILE_COLS:
+            col = b.column(name)
+            valid = len(col) - col.null_count
+            mm = pc.min_max(col)
+            rows["col"].append(name)
+            rows["n"].append(valid)
+            rows["n_null"].append(col.null_count)
+            # canonical string form == DuckDB CAST(x AS VARCHAR) for
+            # int64 and varchar columns
+            rows["min_val"].append(
+                None if valid == 0 else str(mm["min"].as_py())
+            )
+            rows["max_val"].append(
+                None if valid == 0 else str(mm["max"].as_py())
+            )
+        return pa.table(
+            {
+                "col": pa.array(rows["col"], pa.string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "n_null": pa.array(rows["n_null"], pa.int64()),
+                "min_val": pa.array(rows["min_val"], pa.string()),
+                "max_val": pa.array(rows["max_val"], pa.string()),
+            }
+        )
+
+    sdf = _to_table(ds.map_batches(stats_partial, batch_format="pyarrow")).to_pandas()
+    rows = []
+    for name in _PROFILE_COLS:
+        sub = sdf[sdf["col"] == name]
+        mn, mx = sub["min_val"].dropna(), sub["max_val"].dropna()
+        numeric = name in ("doc_id", "n_chars")
+        # per-batch minima were stringified for the unified schema —
+        # numeric columns must reduce numerically, not lexicographically
+        rows.append(
+            (
+                name,
+                int(sub["n"].sum()),
+                int(sub["n_null"].sum()),
+                (str(min(int(v) for v in mn)) if numeric else min(mn))
+                if len(mn)
+                else None,
+                (str(max(int(v) for v in mx)) if numeric else max(mx))
+                if len(mx)
+                else None,
+            )
+        )
+    stats = pd.DataFrame(rows, columns=["col", "n", "n_null", "min_val", "max_val"])
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for name in _PROFILE_COLS:
+            u = pc.unique(pc.cast(b.column(name).drop_null(), pa.string()))
+            cols.extend([name] * len(u))
+            vals.append(u)
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "val": pa.concat_arrays(vals),
+            }
+        )
+
+    def count_bucket(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.drop_duplicates(subset=["col", "val"])
+            .groupby("col", sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "col": pa.array(g["col"], pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    nd = (
+        _merge_partials(
+            _read_pq(_t(sf_dir, "documents"), columns=list(_PROFILE_COLS)).map_batches(
+                distinct_partial, batch_format="pyarrow"
+            ),
+            key="val",
+            per_bucket=count_bucket,
+            input_schema=pa.schema([("col", pa.string()), ("val", pa.string())]),
+        )
+        .to_pandas()
+        .groupby("col", as_index=False)["cnt"]
+        .sum()
+    )
+    out = stats.merge(nd, on="col").sort_values("col")
+    return pa.table(
+        {
+            "col": pa.array(out["col"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            "n_null": pa.array(out["n_null"].to_numpy(), pa.int64()),
+            "n_distinct": pa.array(out["cnt"].to_numpy(), pa.int64()),
+            "min_val": pa.array(out["min_val"], pa.string()),
+            "max_val": pa.array(out["max_val"], pa.string()),
+        }
+    )
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col, count({c}) AS n,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+SQL_PROFILE_COLUMNS = _profile_sql()
+
+
+# --------------------------------------------------------------------------
+# Pearson chi-squared independence test between lang and source — the
+# categorical drift detector (is the language mix the same across
+# sources?).  One mergeable (lang, source, count) exchange of
+# O(langs × sources) rows; the statistic folds on the driver with the
+# integer numerator (o·n − rt·ct)² so every per-cell term is the same
+# float64 on both engines (zero cells included via the cross join).
+# --------------------------------------------------------------------------
+
+
+def q_chi2_lang_source(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["lang", "source"], sort=False).size().reset_index(name="c")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "source": pa.array(g["source"], pa.string()),
+                "c": pa.array(g["c"].to_numpy(), pa.int64()),
+            }
+        )
+
+    counts = _sum_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        keys=["lang", "source"],
+        sum_cols=["c"],
+        schema=pa.schema(
+            [("lang", pa.string()), ("source", pa.string()), ("c", pa.int64())]
+        ),
+    ).to_pandas()
+    if counts.empty:
+        return pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "dof": pa.array([0], pa.int64()),
+                "chi2": pa.array([None], pa.float64()),
+            }
+        )
+    obs = counts.pivot_table(
+        index="lang", columns="source", values="c", aggfunc="sum", fill_value=0
+    )
+    o = obs.to_numpy().astype(object)  # python ints — exact products
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    n = int(o.sum())
+    # per-cell: ((o·n − rt·ct)² / (rt·ct)) / n with the SAME float ops
+    # as the oracle; numerators are exact python ints (no int64
+    # overflow at any scale)
+    num = (o * n - rt * ct) ** 2
+    terms = np.array(
+        [
+            float(num[i, j]) / float(rt[i, 0] * ct[0, j]) / n
+            for i in range(o.shape[0])
+            for j in range(o.shape[1])
+        ]
+    )
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([round(float(terms.sum()), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_CHI2_LANG_SOURCE = """
+WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+     r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+     s AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1),
+     t AS (SELECT sum(o) AS n FROM c),
+     g AS (SELECT r.lang, s.source, r.rt, s.ct, t.n,
+                  coalesce(cc.o, 0) AS o
+           FROM r CROSS JOIN s CROSS JOIN t
+           LEFT JOIN c cc ON cc.lang = r.lang AND cc.source = s.source)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+       round(sum(CAST((o*n - rt*ct) * (o*n - rt*ct) AS DOUBLE)
+                 / CAST(rt*ct AS DOUBLE) / n), 6) AS chi2
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit profile of the event amounts — the classic
+# anomaly screen for invented numbers.  Amounts become exact integer
+# cents per batch (2-decimal doubles), the leading digit is one
+# vectorized Arrow cast + slice, and a 9-row mergeable count exchange
+# finishes; the share is integer round-half-up ppm so both engines
+# agree on exact halves.
+# --------------------------------------------------------------------------
+
+
+def q_benford_digits(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        cents = cents[cents >= 1]
+        digit = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(pa.array(cents, pa.int64()), pa.string()), 0, 1
+            ),
+            pa.int64(),
+        )
+        vc = digit.value_counts()
+        return pa.table(
+            {
+                "digit": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["digit"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("digit", pa.int64()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("digit")
+    )
+    n = int(counts["cnt"].sum())
+    c = counts["cnt"].to_numpy()
+    ppm = (2 * c * 1_000_000 + n) // (2 * n) if n else c * 0
+    return pa.table(
+        {
+            "digit": pa.array(counts["digit"].to_numpy(), pa.int64()),
+            "cnt": pa.array(c, pa.int64()),
+            "ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+           WHERE CAST(round(value * 100) AS BIGINT) >= 1),
+     d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM c),
+     t AS (SELECT count(*) AS n FROM d)
+SELECT digit, count(*) AS cnt,
+       (2 * count(*) * 1000000 + max(t.n)) // (2 * max(t.n)) AS ppm
+FROM d CROSS JOIN t GROUP BY digit ORDER BY digit
+"""
+
+
+# --------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily event volume — the seasonality /
+# burstiness diagnostic for a time-partitioned lake.  Days reduce
+# through one mergeable (day, count) exchange (O(days) rows — the only
+# data that ever reaches the driver); the correlation folds from SIX
+# exact integer sums so the single float evaluation matches the
+# oracle's lag-window formulation bit for bit.
+# --------------------------------------------------------------------------
+
+
+def q_autocorr_daily(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // (
+            86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u, pa.int64()),
+                "c": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    days = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["day"],
+            sum_cols=["c"],
+            schema=pa.schema([("day", pa.int64()), ("c", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("day")
+    )
+    if len(days) < 2:
+        return pa.table({"n_pairs": pa.array([0], pa.int64()), "acf1": pa.array([None], pa.float64())})
+    x = [int(v) for v in days["c"].to_numpy()[1:]]  # current
+    y = [int(v) for v in days["c"].to_numpy()[:-1]]  # lagged
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    syy = sum(b * b for b in y)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return pa.table({"n_pairs": pa.array([n], pa.int64()), "acf1": pa.array([None], pa.float64())})
+    import math
+
+    acf = float(n * sxy - sx * sy) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "acf1": pa.array([round(acf, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_AUTOCORR_DAILY = """
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  count(*) AS c
+           FROM events GROUP BY 1),
+     p AS (SELECT c AS x, lag(c) OVER (ORDER BY day) AS y FROM d),
+     q AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+     s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+           FROM q)
+SELECT n AS n_pairs,
+       CASE WHEN n < 1 OR n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+       END AS acf1
+FROM s
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -11035,6 +11530,10 @@ QUERIES = {
     "lang_source_mi": q_lang_source_mi,
     "hhi_concentration": q_hhi_concentration,
     "embed_pca": q_embed_pca,
+    "profile_columns": q_profile_columns,
+    "chi2_lang_source": q_chi2_lang_source,
+    "benford_digits": q_benford_digits,
+    "autocorr_daily": q_autocorr_daily,
 }
 
 ORACLES = {
@@ -11172,4 +11671,8 @@ ORACLES = {
     "boilerplate_prefixes": SQL_BOILERPLATE_PREFIXES,
     "lang_source_mi": SQL_LANG_SOURCE_MI,
     "hhi_concentration": SQL_HHI_CONCENTRATION,
+    "profile_columns": SQL_PROFILE_COLUMNS,
+    "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
+    "benford_digits": SQL_BENFORD_DIGITS,
+    "autocorr_daily": SQL_AUTOCORR_DAILY,
 }
