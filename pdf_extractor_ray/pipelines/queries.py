@@ -11380,6 +11380,151 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style quality-rule filter (Rae et al. 2021's repetition/
+# length heuristics family): word count, mean word length, and
+# alphabetic-ratio gates, reported as per-reason reject counts with
+# first-failing-rule precedence.  Every predicate is INTEGER
+# arithmetic (ns < 2·wc instead of ns/wc < 2.0), so the engine and the
+# oracle agree exactly on boundary documents.  Map-only per-batch
+# kernel (4 Arrow string ops) + one O(4)-row count exchange.
+# --------------------------------------------------------------------------
+
+_GOPHER_WC_MIN, _GOPHER_WC_MAX = 5, 5000
+_GOPHER_MWL_MIN, _GOPHER_MWL_MAX = 2, 12  # mean word length bounds
+
+
+def q_gopher_filter(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        wc = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy(
+            zero_copy_only=False
+        )
+        ns = pc.utf8_length(pc.replace_substring(text, " ", "")).to_numpy(
+            zero_copy_only=False
+        )
+        al = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^a-zA-Z]", "")
+        ).to_numpy(zero_copy_only=False)
+        tot = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        reason = np.select(
+            [
+                (wc < _GOPHER_WC_MIN) | (wc > _GOPHER_WC_MAX),
+                (ns < _GOPHER_MWL_MIN * wc) | (ns > _GOPHER_MWL_MAX * wc),
+                5 * al < 3 * tot,
+            ],
+            ["wc", "mwl", "alpha"],
+            default="kept",
+        )
+        u, c = np.unique(reason, return_counts=True)
+        return pa.table(
+            {
+                "reason": pa.array(u, pa.string()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["reason"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("reason", pa.string()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("reason")
+    )
+    return pa.table(
+        {
+            "reason": pa.array(out["reason"], pa.string()),
+            "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_GOPHER_FILTER = f"""
+WITH f AS (SELECT len(string_split(text, ' ')) AS wc,
+                  length(replace(text, ' ', '')) AS ns,
+                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS al,
+                  length(text) AS tot
+           FROM documents),
+     r AS (SELECT CASE
+                    WHEN wc < {_GOPHER_WC_MIN} OR wc > {_GOPHER_WC_MAX} THEN 'wc'
+                    WHEN ns < {_GOPHER_MWL_MIN}*wc OR ns > {_GOPHER_MWL_MAX}*wc
+                      THEN 'mwl'
+                    WHEN 5*al < 3*tot THEN 'alpha'
+                    ELSE 'kept' END AS reason
+           FROM f)
+SELECT reason, count(*) AS cnt FROM r GROUP BY reason ORDER BY reason
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user exponential moving average (α = 1/2) of event amounts in
+# time order — the genuinely SEQUENTIAL per-key fold (each step needs
+# the previous state, unlike the frame windows above).  One
+# user-bucketed exchange; inside a bucket pandas ewm() runs the exact
+# recursion y_t = ½x_t + ½y_{t-1} vectorized per user.  α = ½ makes
+# every step two exact halvings, so the fold is bit-identical to the
+# oracle's recursive CTE regardless of formula arrangement.  A user's
+# history must fit one task — the M3/M4 carried-context bound
+# (reference src/pipeline.py) applies.
+# --------------------------------------------------------------------------
+
+
+def q_ewma_user(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        ew = (
+            df.groupby("user_id", sort=False)["value"]
+            .apply(lambda s: s.ewm(alpha=0.5, adjust=False).mean().iloc[-1])
+            .reset_index(name="ewma")
+        )
+        n = df.groupby("user_id", sort=False).size().reset_index(name="n_events")
+        m = ew.merge(n, on="user_id")
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+                "n_events": pa.array(m["n_events"].to_numpy(), pa.int64()),
+                "ewma": pa.array(np.round(m["ewma"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    return _merge_partials(
+        ds,
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+SQL_EWMA_USER = """
+WITH RECURSIVE e AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+rec AS (
+  SELECT user_id, rn, n, value AS ewma FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.n, 0.5 * e.value + 0.5 * rec.ewma
+  FROM e JOIN rec ON e.user_id = rec.user_id AND e.rn = rec.rn + 1)
+SELECT user_id, CAST(n AS BIGINT) AS n_events, round(ewma, 6) AS ewma
+FROM rec WHERE rn = n ORDER BY user_id
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -11534,6 +11679,8 @@ QUERIES = {
     "chi2_lang_source": q_chi2_lang_source,
     "benford_digits": q_benford_digits,
     "autocorr_daily": q_autocorr_daily,
+    "gopher_filter": q_gopher_filter,
+    "ewma_user": q_ewma_user,
 }
 
 ORACLES = {
@@ -11675,4 +11822,6 @@ ORACLES = {
     "chi2_lang_source": SQL_CHI2_LANG_SOURCE,
     "benford_digits": SQL_BENFORD_DIGITS,
     "autocorr_daily": SQL_AUTOCORR_DAILY,
+    "gopher_filter": SQL_GOPHER_FILTER,
+    "ewma_user": SQL_EWMA_USER,
 }
