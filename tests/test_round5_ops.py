@@ -1,0 +1,190 @@
+"""Pins for the profiling/diagnostics batch: exact money rounding,
+per-column profiling across batch boundaries, Gopher-rule boundary
+documents, EWMA against a hand-rolled fold, autocorrelation edge
+cases, Benford digit extraction, chi-squared independence."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractor_ray.pipelines.queries import _i4_to_money, _money_i4
+
+
+def test_money_i4_exact_and_half_away():
+    # 0.03 × (1 − 0.07) = 0.0279 exactly → 279 ten-thousandths
+    got = _money_i4(
+        pa.chunked_array([pa.array([0.03], pa.float64())]),
+        pa.chunked_array([pa.array([0.07], pa.float64())]),
+    )
+    assert got.to_pylist() == [279]
+    # exact half-cents round AWAY from zero (SQL semantics), both signs
+    assert _i4_to_money(np.array([3265657450])).tolist() == [326565.75]
+    assert _i4_to_money(np.array([150, -150, 149, -149])).tolist() == [
+        0.02,
+        -0.02,
+        0.01,
+        -0.01,
+    ]
+
+
+def _write_docs(tmp_path, tables):
+    """Write each table as its own parquet file so the profiler's
+    per-batch partials cross a real block boundary."""
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    for i, t in enumerate(tables):
+        pq.write_table(t, str(d / f"part-{i}.parquet"))
+
+
+def _doc_table(ids, n_chars, lang="en", source="s", text="x"):
+    n = len(ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([text] * n, pa.string()),
+            "lang": pa.array([lang] * n, pa.string()),
+            "source": pa.array([source] * n, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_profile_numeric_min_reduces_numerically(tmp_path):
+    # regression: per-batch minima are stringified for the unified
+    # schema; "100" < "20" lexicographically, so a string reduce
+    # across batches would report min 100.  Two files force two
+    # batches with exactly that trap.
+    _write_docs(
+        tmp_path,
+        [_doc_table([100], [100]), _doc_table([20, 999], [20, 999])],
+    )
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["profile_columns"](str(tmp_path)).to_pandas().set_index("col")
+    assert got.loc["n_chars", "min_val"] == "20"
+    assert got.loc["n_chars", "max_val"] == "999"
+    assert got.loc["doc_id", "n_distinct"] == 3
+    assert got.loc["lang", "n_distinct"] == 1
+    assert int(got.loc["doc_id", "n"]) == 3 and int(got.loc["doc_id", "n_null"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_rule_boundaries(tmp_path):
+    texts = [
+        "one two three four",  # wc=4 < 5 → 'wc'
+        "aa bb cc dd ee",  # wc=5, ns=10=2·wc (NOT <), al=10, tot=14: 50<42 false → kept
+        "a1 b2 c3 d4 e5",  # mwl passes, al=5: 25 < 42 → 'alpha'
+        "a b c d e",  # ns=5 < 2·5 → 'mwl' (first failing after wc)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["gopher_filter"](str(tmp_path)).to_pandas()
+    by = dict(zip(got["reason"], got["cnt"]))
+    assert by == {"wc": 1, "kept": 1, "alpha": 1, "mwl": 1}
+
+
+def _events(rows):
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ewma_matches_manual_fold(tmp_path):
+    t0 = dt.datetime(2026, 1, 1)
+    vals = [4.0, 2.0, 8.0, 1.0]
+    rows = [(i, t0 + dt.timedelta(minutes=i), 7, v) for i, v in enumerate(vals)]
+    pq.write_table(_events(rows), str(tmp_path / "events.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["ewma_user"](str(tmp_path)).to_pandas()
+    exp = vals[0]
+    for v in vals[1:]:
+        exp = 0.5 * v + 0.5 * exp
+    assert got["user_id"].tolist() == [7]
+    assert got["n_events"].tolist() == [4]
+    assert got["ewma"].tolist() == [round(exp, 6)]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_autocorr_edges(tmp_path):
+    t0 = dt.datetime(2026, 1, 1)
+    # constant daily counts → zero variance → NULL
+    rows = [(i, t0 + dt.timedelta(days=i), 1, 1.0) for i in range(4)]
+    pq.write_table(_events(rows), str(tmp_path / "events.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["autocorr_daily"](str(tmp_path)).to_pandas()
+    assert got["n_pairs"].iloc[0] == 3 and np.isnan(got["acf1"].iloc[0])
+
+    # perfectly alternating 1,3,1,3,1,3 day-counts → acf1 == −1
+    rows = []
+    eid = 0
+    for i in range(6):
+        for _ in range(1 if i % 2 == 0 else 3):
+            rows.append((eid, t0 + dt.timedelta(days=i), 1, 1.0))
+            eid += 1
+    p2 = tmp_path / "alt"
+    p2.mkdir()
+    pq.write_table(_events(rows), str(p2 / "events.parquet"))
+    got = QUERIES["autocorr_daily"](str(p2)).to_pandas()
+    assert got["acf1"].iloc[0] == -1.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_benford_digits_and_ppm(tmp_path):
+    t0 = dt.datetime(2026, 1, 1)
+    vals = [0.01, 1.23, 95.0, 0.07, 0.0]  # 0.0 excluded; digits 1,1,9,7
+    rows = [(i, t0, 1, v) for i, v in enumerate(vals)]
+    pq.write_table(_events(rows), str(tmp_path / "events.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["benford_digits"](str(tmp_path)).to_pandas()
+    by = {int(d): (int(c), int(p)) for d, c, p in got.itertuples(index=False)}
+    assert by[1] == (2, 500000) and by[9][0] == 1 and by[7][0] == 1
+    assert set(by) == {1, 7, 9}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_chi2_independent_is_zero(tmp_path):
+    langs, sources = ["en", "de"], ["s0", "s1", "s2"]
+    rows = [(l, s) for l in langs for s in sources for _ in range(4)]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["chi2_lang_source"](str(tmp_path)).to_pandas()
+    assert got["n"].iloc[0] == len(rows)
+    assert got["dof"].iloc[0] == 2
+    assert got["chi2"].iloc[0] == 0.0
