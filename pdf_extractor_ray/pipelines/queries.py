@@ -11509,6 +11509,47 @@ def q_ewma_user(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Embedding-compression + diverse-retrieval pair (similarity family;
+# rows-only checks — random projections and greedy re-ranking have no
+# SQL analogue; both are pinned by tests/test_round5_ops.py instead).
+# --------------------------------------------------------------------------
+
+
+def q_jl_projection(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    proj = sim.random_projection(ds, out_dim=16)
+
+    def norms(b: pa.Table) -> pa.Table:
+        col = b.column("proj").combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False)
+        x = flat.reshape(b.num_rows, -1)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "proj_norm": pa.array(
+                    np.round(np.sqrt((x * x).sum(axis=1)), 6), pa.float64()
+                ),
+            }
+        )
+
+    return _to_table(proj.map_batches(norms, batch_format="pyarrow")).sort_by(
+        "vec_id"
+    )
+
+
+def q_mmr_diverse(sf_dir: str):
+    emb = pa.parquet.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    )
+    first = pc.min(emb.column("vec_id")).as_py()
+    qv = emb.filter(pc.equal(emb.column("vec_id"), first)).column("embedding")[
+        0
+    ].as_py()
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return sim.mmr_topk(ds, qv, k=10, lam=0.5, fetch=128)
+
+
 SQL_EWMA_USER = """
 WITH RECURSIVE e AS (
   SELECT user_id, value,
@@ -11681,6 +11722,8 @@ QUERIES = {
     "autocorr_daily": q_autocorr_daily,
     "gopher_filter": q_gopher_filter,
     "ewma_user": q_ewma_user,
+    "jl_projection": q_jl_projection,
+    "mmr_diverse": q_mmr_diverse,
 }
 
 ORACLES = {

@@ -436,3 +436,106 @@ def semantic_dedup(
 
     flagged = assigned.groupby("cluster").map_groups(prune, batch_format="pandas")
     return flagged
+
+
+# --------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (embedding compression)
+# --------------------------------------------------------------------------
+
+
+def random_projection(ds, out_dim: int = 16, vec_col: str = "embedding",
+                      id_col: str = "vec_id", seed: int = 7):
+    """Project every embedding to ``out_dim`` dims with a Gaussian
+    matrix scaled 1/√out_dim (the JL construction: expected pairwise
+    L2 distances are preserved, distortion ~1/√out_dim).
+
+    Map-only — ONE matmul per batch, no exchange at any scale.  The
+    d×out_dim matrix is regenerated per batch from a fixed seed
+    instead of broadcast: it is a few KB and deterministic, so
+    regeneration is cheaper than shipping a ref and keeps the stage
+    stateless (resume-safe).  Output: id + list<float64> ``proj``.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = vecs_to_numpy(batch.column(vec_col))
+        rng = np.random.RandomState(seed)
+        r = rng.normal(size=(x.shape[1], out_dim)) / np.sqrt(out_dim)
+        y = x.astype(np.float64) @ r
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "proj": pa.array(list(y), pa.list_(pa.float64())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# MMR diverse top-k (maximal marginal relevance re-ranking)
+# --------------------------------------------------------------------------
+
+
+def mmr_topk(ds, query_vector, k: int = 10, lam: float = 0.5,
+             fetch: int = 100, vec_col: str = "embedding",
+             id_col: str = "vec_id"):
+    """Diverse top-k: fetch the ``fetch`` nearest candidates by cosine
+    (distributed brute-force stage — the scale-bearing part), then run
+    the greedy MMR re-rank on the driver over the fetch×d candidate
+    matrix: each step picks argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+    deterministic id tie-break.  The driver never holds more than
+    ``fetch`` vectors; at 100 TB swap the brute-force stage for
+    ivf_topk and the re-rank is unchanged.  Returns (rank, vec_id,
+    cosine) — rows-only check (greedy re-ranking has no SQL analogue).
+    """
+    qv = _normalize(np.asarray([query_vector], dtype=np.float64))[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        vecs = _normalize(vecs_to_numpy(batch.column(vec_col)))
+        cos = vecs @ qv
+        # per-batch combiner: only this batch's own top-`fetch` rows
+        # (with their vectors) survive — the exchange moves O(fetch)
+        # rows per batch, never the corpus
+        order = np.lexsort((ids, -cos))[:fetch]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "cosine": pa.array(cos[order], pa.float64()),
+                "vec": pa.array(list(vecs[order]), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    tables = list(parts.iter_batches(batch_format="pyarrow", batch_size=None))
+    cand = pa.concat_tables(tables) if tables else None
+    out_schema = pa.schema(
+        [("rank", pa.int32()), (id_col, pa.int64()), ("cosine", pa.float64())]
+    )
+    if cand is None or cand.num_rows == 0:
+        return out_schema.empty_table()
+    ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+    cos = cand.column("cosine").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -cos))[:fetch]
+    ids, cos = ids[order], cos[order]
+    vecs = np.asarray(
+        [np.asarray(v) for v in cand.column("vec").take(pa.array(order)).to_pylist()]
+    )
+    picked: list[int] = []
+    max_sim = np.full(len(ids), -np.inf)
+    for _ in range(min(k, len(ids))):
+        mmr = lam * cos - (1.0 - lam) * np.where(
+            np.isinf(max_sim), 0.0, max_sim
+        ) * (len(picked) > 0)
+        mmr[picked] = -np.inf
+        # deterministic: best score, then smallest id
+        best = np.lexsort((ids, -mmr))[0]
+        picked.append(int(best))
+        max_sim = np.maximum(max_sim, vecs @ vecs[best])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(picked) + 1, dtype=np.int32), pa.int32()),
+            id_col: pa.array(ids[picked], pa.int64()),
+            "cosine": pa.array(cos[picked], pa.float64()),
+        }
+    )

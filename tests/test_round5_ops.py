@@ -188,3 +188,76 @@ def test_chi2_independent_is_zero(tmp_path):
     assert got["n"].iloc[0] == len(rows)
     assert got["dof"].iloc[0] == 2
     assert got["chi2"].iloc[0] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jl_projection_preserves_distances():
+    import ray.data
+
+    from pdf_extractor_ray.stages.similarity import random_projection
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(200, 64))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        random_projection(ds, out_dim=16).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).to_pandas()
+    out = out.sort_values("vec_id")
+    y = np.asarray([np.asarray(v) for v in out["proj"]])
+    # JL: E‖y_a − y_b‖ ≈ ‖x_a − x_b‖, distortion ~1/√16 — mean relative
+    # error over 500 random pairs must be well inside that envelope
+    pairs = rng.randint(0, 200, size=(500, 2))
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    dx = np.linalg.norm(x[pairs[:, 0]] - x[pairs[:, 1]], axis=1)
+    dy = np.linalg.norm(y[pairs[:, 0]] - y[pairs[:, 1]], axis=1)
+    rel = np.abs(dy - dx) / dx
+    assert rel.mean() < 0.35
+    # deterministic: a second run reproduces bit-identically
+    out2 = pa.concat_tables(
+        random_projection(ds, out_dim=16).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).to_pandas().sort_values("vec_id")
+    y2 = np.asarray([np.asarray(v) for v in out2["proj"]])
+    assert np.array_equal(y, y2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mmr_diversifies_across_clusters():
+    import ray.data
+
+    from pdf_extractor_ray.stages.similarity import mmr_topk
+
+    # two tight clusters, both relevant to the query; plain top-3 is
+    # all cluster A (marginally closer), MMR must mix in cluster B
+    a = np.array([1.0, 0.02, 0.0])
+    b = np.array([1.0, -0.02, 0.0])
+    vecs, ids = [], []
+    for i in range(5):
+        vecs.append(a + np.array([0.0, 0.0001 * i, 0.0]))
+        ids.append(i)
+    for i in range(5):
+        vecs.append(b + np.array([0.0, -0.0001 * i, 0.0]))
+        ids.append(100 + i)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+            }
+        )
+    )
+    query = [1.0, 0.01, 0.0]  # nearer cluster A
+    got = mmr_topk(ds, query, k=3, lam=0.5, fetch=10).to_pandas()
+    assert got["rank"].tolist() == [1, 2, 3]
+    picked = set(got["vec_id"])
+    assert any(v < 100 for v in picked) and any(v >= 100 for v in picked)
