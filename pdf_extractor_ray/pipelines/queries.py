@@ -11510,6 +11510,126 @@ def q_ewma_user(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# End-to-end pretraining-data preparation — the composition every
+# LLM-data user actually runs: Gopher-rule filter → exact dedup (keep
+# min doc_id, carrying THAT row's lang) → per-language document/token
+# budget.  One pass computes the filter mask, the 64-bit content
+# fingerprint, and the token count per batch; ONE fp-bucketed exchange
+# resolves dedup winners (argmin is per-batch combinable, fp groups
+# complete within a bucket) and collapses to per-lang sums in-bucket —
+# the driver sees O(langs × buckets) rows, never documents.
+# --------------------------------------------------------------------------
+
+
+def q_pretrain_prep(sf_dir: str):
+    from ..functions.textstats import fingerprint_exact
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        wc = pc.list_value_length(pc.split_pattern(text, " ")).to_numpy(
+            zero_copy_only=False
+        )
+        ns = pc.utf8_length(pc.replace_substring(text, " ", "")).to_numpy(
+            zero_copy_only=False
+        )
+        al = pc.utf8_length(
+            pc.replace_substring_regex(text, "[^a-zA-Z]", "")
+        ).to_numpy(zero_copy_only=False)
+        tot = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        keep = (
+            (wc >= _GOPHER_WC_MIN)
+            & (wc <= _GOPHER_WC_MAX)
+            & (ns >= _GOPHER_MWL_MIN * wc)
+            & (ns <= _GOPHER_MWL_MAX * wc)
+            & (5 * al >= 3 * tot)
+        )
+        f = b.filter(pa.array(keep))
+        fps = [fingerprint_exact(t or "") for t in f.column("text").to_pylist()]
+        df = pd.DataFrame(
+            {
+                "fp64": np.asarray(fps, dtype=np.int64),
+                "doc_id": f.column("doc_id").to_numpy(zero_copy_only=False),
+                "lang": f.column("lang").to_numpy(zero_copy_only=False),
+                "tokens": wc[keep],
+            }
+        )
+        # per-batch argmin combiner: one candidate row per fingerprint
+        w = df.sort_values("doc_id").drop_duplicates("fp64")
+        return pa.table(
+            {
+                "fp64": pa.array(w["fp64"].to_numpy(), pa.int64()),
+                "doc_id": pa.array(w["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array(w["lang"], pa.string()),
+                "tokens": pa.array(w["tokens"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        w = df.sort_values("doc_id").drop_duplicates("fp64")
+        g = w.groupby("lang", sort=False).agg(
+            n_docs=("doc_id", "size"), n_tokens=("tokens", "sum")
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(
+                    g["n_tokens"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="fp64",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [
+                ("fp64", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("lang", pa.string()),
+                ("tokens", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    out = (
+        merged.groupby("lang", as_index=False)[["n_docs", "n_tokens"]]
+        .sum()
+        .sort_values("lang")
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(
+                out["n_tokens"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_PRETRAIN_PREP = f"""
+WITH f AS (SELECT doc_id, text, lang,
+                  len(string_split(text, ' ')) AS wc,
+                  length(replace(text, ' ', '')) AS ns,
+                  length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS al,
+                  length(text) AS tot
+           FROM documents),
+     kept AS (SELECT doc_id, text, lang, wc FROM f
+              WHERE wc >= {_GOPHER_WC_MIN} AND wc <= {_GOPHER_WC_MAX}
+                AND ns >= {_GOPHER_MWL_MIN}*wc AND ns <= {_GOPHER_MWL_MAX}*wc
+                AND 5*al >= 3*tot),
+     w AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+     d AS (SELECT k.lang, k.wc FROM kept k JOIN w ON k.doc_id = w.doc_id)
+SELECT lang, count(*) AS n_docs, CAST(sum(wc) AS BIGINT) AS n_tokens
+FROM d GROUP BY lang ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-compression + diverse-retrieval pair (similarity family;
 # rows-only checks — random projections and greedy re-ranking have no
 # SQL analogue; both are pinned by tests/test_round5_ops.py instead).
@@ -11724,6 +11844,7 @@ QUERIES = {
     "ewma_user": q_ewma_user,
     "jl_projection": q_jl_projection,
     "mmr_diverse": q_mmr_diverse,
+    "pretrain_prep": q_pretrain_prep,
 }
 
 ORACLES = {
@@ -11867,4 +11988,5 @@ ORACLES = {
     "autocorr_daily": SQL_AUTOCORR_DAILY,
     "gopher_filter": SQL_GOPHER_FILTER,
     "ewma_user": SQL_EWMA_USER,
+    "pretrain_prep": SQL_PRETRAIN_PREP,
 }
