@@ -11611,6 +11611,83 @@ def q_pretrain_prep(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Poisson-bootstrap 95% CI of mean document length — the DISTRIBUTED
+# bootstrap (resampling-with-replacement can't shuffle at scale, but
+# per-row Poisson(1) replicate weights are exchangeable with it and
+# embarrassingly mergeable).  Weights derive from splitmix64(doc_id, r)
+# via the inverse Poisson CDF — fully deterministic, no RNG state.
+# Per batch: R exact integer (Σw, Σw·x) pairs; ONE R-row sum exchange;
+# the driver takes percentiles over R replicate means.  Rows-only
+# check (a 200-replicate hash bootstrap has no SQL analogue); CI
+# coverage and width-shrink pinned by tests.
+# --------------------------------------------------------------------------
+
+_BOOT_R = 200
+
+
+def _pois1_cdf() -> np.ndarray:
+    """Poisson(1) inverse-CDF breakpoints P(K ≤ k), k = 0..7."""
+    import math
+
+    return np.cumsum([math.exp(-1.0) / math.factorial(k) for k in range(8)])
+
+
+_POIS1 = _pois1_cdf()
+
+
+def q_bootstrap_ci(sf_dir: str):
+    from ..functions.sketches import _splitmix64
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        sw = np.zeros(_BOOT_R, np.int64)
+        swx = np.zeros(_BOOT_R, np.int64)
+        # one vectorized draw per replicate: u = h(doc_id, r)/2⁶⁴ →
+        # inverse Poisson CDF; weights are small ints so both sums
+        # stay exact int64 at any scale
+        for r in range(_BOOT_R):
+            h = _splitmix64(ids * np.uint64(_BOOT_R) + np.uint64(r))
+            u = h.astype(np.float64) / 18446744073709551616.0
+            w = np.searchsorted(_POIS1, u).astype(np.int64)
+            sw[r] = w.sum()
+            swx[r] = (w * x).sum()
+        return pa.table(
+            {
+                "r": pa.array(np.arange(_BOOT_R, dtype=np.int64), pa.int64()),
+                "sw": pa.array(sw, pa.int64()),
+                "swx": pa.array(swx, pa.int64()),
+            }
+        )
+
+    sums = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["r"],
+            sum_cols=["sw", "swx"],
+            schema=pa.schema(
+                [("r", pa.int64()), ("sw", pa.int64()), ("swx", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values("r")
+    )
+    ok = sums["sw"].to_numpy() > 0
+    means = sums["swx"].to_numpy()[ok] / sums["sw"].to_numpy()[ok]
+    lo, hi = np.percentile(means, [2.5, 97.5])
+    return pa.table(
+        {
+            "n_replicates": pa.array([int(ok.sum())], pa.int64()),
+            "boot_mean": pa.array([round(float(means.mean()), 6)], pa.float64()),
+            "ci_lo": pa.array([round(float(lo), 6)], pa.float64()),
+            "ci_hi": pa.array([round(float(hi), 6)], pa.float64()),
+        }
+    )
+
+
 SQL_PRETRAIN_PREP = f"""
 WITH f AS (SELECT doc_id, text, lang,
                   len(string_split(text, ' ')) AS wc,
@@ -11845,6 +11922,7 @@ QUERIES = {
     "jl_projection": q_jl_projection,
     "mmr_diverse": q_mmr_diverse,
     "pretrain_prep": q_pretrain_prep,
+    "bootstrap_ci": q_bootstrap_ci,
 }
 
 ORACLES = {

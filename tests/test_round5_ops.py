@@ -261,3 +261,28 @@ def test_mmr_diversifies_across_clusters():
     assert got["rank"].tolist() == [1, 2, 3]
     picked = set(got["vec_id"])
     assert any(v < 100 for v in picked) and any(v >= 100 for v in picked)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bootstrap_ci_covers_mean_and_shrinks():
+    import duckdb
+
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    small = QUERIES["bootstrap_ci"]("/root/testdata/sf0.001").to_pandas()
+    # sf0.001 and sf0.01 both hold 500 documents — sf0.1 (5000) is the
+    # 10×-rows comparison point for the width-shrink law
+    big = QUERIES["bootstrap_ci"]("/root/testdata/sf0.1").to_pandas()
+    for sf, got in (("sf0.001", small), ("sf0.1", big)):
+        true = duckdb.sql(
+            f"SELECT avg(n_chars) FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchone()[0]
+        assert got["ci_lo"].iloc[0] <= true <= got["ci_hi"].iloc[0]
+        assert got["n_replicates"].iloc[0] == 200
+    w_small = small["ci_hi"].iloc[0] - small["ci_lo"].iloc[0]
+    w_big = big["ci_hi"].iloc[0] - big["ci_lo"].iloc[0]
+    # 10× the rows → CI roughly 1/√10 as wide; assert a loose 2× shrink
+    assert w_big < w_small / 2
+    # deterministic: identical on a second run (hash-seeded weights)
+    again = QUERIES["bootstrap_ci"]("/root/testdata/sf0.001").to_pandas()
+    assert again.equals(small)
