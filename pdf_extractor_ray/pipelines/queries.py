@@ -2254,6 +2254,65 @@ SELECT doc_id,
 FROM h
 """
 
+# label × prediction cross-tab; the langid replica runs as a subquery
+# (keeps the %-placeholders, formatted once in ORACLES)
+SQL_LANG_CONFUSION = (
+    "SELECT d.lang AS label, p.pred_lang AS pred, CAST(count(*) AS BIGINT) AS n\n"
+    "FROM documents d JOIN (" + SQL_LANGID + ") p USING (doc_id)\n"
+    "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix — the labeler-vs-metadata QA check:
+# cross-tabulate the stored `lang` column against detect_language's
+# prediction.  Per-batch (label, pred, n) count partials → one
+# O(langs²) sum exchange; the oracle reuses the full SQL_LANGID
+# replica as a subquery so both sides run the SAME classifier.
+# --------------------------------------------------------------------------
+
+
+def q_lang_confusion(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pred = [detect_language(t or "") for t in b.column("text").to_pylist()]
+        g = (
+            pd.DataFrame(
+                {"label": b.column("lang").to_numpy(zero_copy_only=False), "pred": pred}
+            )
+            .groupby(["label", "pred"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "label": pa.array(g["label"], pa.string()),
+                "pred": pa.array(g["pred"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            keys=["label", "pred"],
+            sum_cols=["n"],
+            schema=pa.schema(
+                [("label", pa.string()), ("pred", pa.string()), ("n", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["label", "pred"])
+    )
+    return pa.table(
+        {
+            "label": pa.array(out["label"], pa.string()),
+            "pred": pa.array(out["pred"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        }
+    )
+
 
 def q_quality(sf_dir: str):
     ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -11612,6 +11671,80 @@ def q_pretrain_prep(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Top event-type trigrams — sequential-pattern mining one step past
+# `transitions` (bigrams): per-user time-ordered 3-grams.  One
+# user-bucketed exchange (a user's history lands whole in one bucket,
+# so the in-bucket shift is exact); per-bucket (e1,e2,e3,n) count
+# partials → tiny keyed sum → global top-10 with deterministic
+# tie-break.
+# --------------------------------------------------------------------------
+
+
+def q_event_trigrams(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)["event_type"]
+        t = pd.DataFrame(
+            {
+                "e1": df["event_type"].to_numpy(),
+                "e2": g.shift(-1).to_numpy(),
+                "e3": g.shift(-2).to_numpy(),
+            }
+        ).dropna()
+        c = t.groupby(["e1", "e2", "e3"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "e1": pa.array(c["e1"], pa.string()),
+                "e2": pa.array(c["e2"], pa.string()),
+                "e3": pa.array(c["e3"], pa.string()),
+                "n": pa.array(c["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = _merge_partials(
+        ds,
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ),
+    ).to_pandas()
+    out = (
+        partials.groupby(["e1", "e2", "e3"], as_index=False)["n"]
+        .sum()
+        .sort_values(["n", "e1", "e2", "e3"], ascending=[False, True, True, True])
+        .head(10)
+    )
+    return pa.table(
+        {
+            "e1": pa.array(out["e1"], pa.string()),
+            "e2": pa.array(out["e2"], pa.string()),
+            "e3": pa.array(out["e3"], pa.string()),
+            "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH s AS (SELECT user_id, event_type AS e1,
+                  lead(event_type, 1) OVER w AS e2,
+                  lead(event_type, 2) OVER w AS e3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+     t AS (SELECT e1, e2, e3 FROM s WHERE e3 IS NOT NULL AND e2 IS NOT NULL)
+SELECT e1, e2, e3, count(*) AS n FROM t GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3 LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Poisson-bootstrap 95% CI of mean document length — the DISTRIBUTED
 # bootstrap (resampling-with-replacement can't shuffle at scale, but
 # per-row Poisson(1) replicate weights are exchangeable with it and
@@ -11923,6 +12056,8 @@ QUERIES = {
     "mmr_diverse": q_mmr_diverse,
     "pretrain_prep": q_pretrain_prep,
     "bootstrap_ci": q_bootstrap_ci,
+    "lang_confusion": q_lang_confusion,
+    "event_trigrams": q_event_trigrams,
 }
 
 ORACLES = {
@@ -12067,4 +12202,7 @@ ORACLES = {
     "gopher_filter": SQL_GOPHER_FILTER,
     "ewma_user": SQL_EWMA_USER,
     "pretrain_prep": SQL_PRETRAIN_PREP,
+    "lang_confusion": SQL_LANG_CONFUSION
+    % {lang: _sw_sql(lang) for lang in ("de", "en", "es", "fr", "zh")},
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
 }
