@@ -11671,6 +11671,89 @@ def q_pretrain_prep(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Fingerprint-level cross-split decontamination — the Dolma/RedPajama
+# practice one level up from q_decontaminate's substring match: flag
+# train-split docs sharing ≥3 distinct winnow fingerprints with the
+# held-out split (doc_id % 20 == 0 plays the eval set).  Fully
+# reduce-side: (doc_id, fp, is_eval) rows union-tag into ONE
+# fp-bucketed exchange; a fingerprint's eval/train membership is
+# resolved inside its bucket, so only truly-contaminated (doc, fp)
+# pairs ever reach the driver — no eval-set broadcast (the eval side
+# scales with the lake here, unlike q_decontaminate's capped snippet
+# set).
+# --------------------------------------------------------------------------
+
+_DECON_SPLIT_MOD = 20
+_DECON_MIN_SHARED = 3
+
+
+def q_winnow_decontaminate(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = _winnow_batch(b)
+        df = pd.DataFrame(
+            {
+                "doc_id": w.column("doc_id").to_numpy(zero_copy_only=False),
+                "fp": w.column("fp").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "fp": pa.array(df["fp"].to_numpy(), pa.int64()),
+                "is_eval": pa.array(
+                    (df["doc_id"].to_numpy() % _DECON_SPLIT_MOD == 0), pa.bool_()
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        ev = df.loc[df["is_eval"], "fp"].unique()
+        hit = df[~df["is_eval"] & df["fp"].isin(ev)][["doc_id", "fp"]].drop_duplicates()
+        return pa.table(
+            {
+                "doc_id": pa.array(hit["doc_id"].to_numpy(), pa.int64()),
+                "fp": pa.array(hit["fp"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="fp",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [("doc_id", pa.int64()), ("fp", pa.int64()), ("is_eval", pa.bool_())]
+        ),
+    ).to_pandas()
+    out = (
+        pairs.groupby("doc_id", as_index=False)["fp"]
+        .nunique()
+        .rename(columns={"fp": "n_shared"})
+    )
+    out = out[out["n_shared"] >= _DECON_MIN_SHARED].sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(out["n_shared"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_WINNOW_DECONTAMINATE = f"""
+WITH {_WINNOW_CTES},
+     fp AS (SELECT DISTINCT sel.doc_id, gh.h AS fp
+            FROM sel JOIN gh ON gh.doc_id = sel.doc_id AND gh.i = sel.pos),
+     ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id % {_DECON_SPLIT_MOD} = 0),
+     tr AS (SELECT doc_id, fp FROM fp WHERE doc_id % {_DECON_SPLIT_MOD} <> 0)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.fp) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (fp)
+GROUP BY tr.doc_id HAVING count(DISTINCT tr.fp) >= {_DECON_MIN_SHARED}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Top event-type trigrams — sequential-pattern mining one step past
 # `transitions` (bigrams): per-user time-ordered 3-grams.  One
 # user-bucketed exchange (a user's history lands whole in one bucket,
@@ -12058,6 +12141,7 @@ QUERIES = {
     "bootstrap_ci": q_bootstrap_ci,
     "lang_confusion": q_lang_confusion,
     "event_trigrams": q_event_trigrams,
+    "winnow_decontaminate": q_winnow_decontaminate,
 }
 
 ORACLES = {
@@ -12205,4 +12289,5 @@ ORACLES = {
     "lang_confusion": SQL_LANG_CONFUSION
     % {lang: _sw_sql(lang) for lang in ("de", "en", "es", "fr", "zh")},
     "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "winnow_decontaminate": SQL_WINNOW_DECONTAMINATE,
 }

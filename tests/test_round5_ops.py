@@ -286,3 +286,32 @@ def test_bootstrap_ci_covers_mean_and_shrinks():
     # deterministic: identical on a second run (hash-seeded weights)
     again = QUERIES["bootstrap_ci"]("/root/testdata/sf0.001").to_pandas()
     assert again.equals(small)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_decontaminate_flags_planted_copy(tmp_path):
+    # doc 20 is the eval doc (20 % 20 == 0); doc 21 copies it exactly
+    # (contaminated); docs 22/23 are unrelated texts sharing no long
+    # character n-grams with the eval doc
+    eval_text = "the quick brown fox jumps over the lazy dog again and again tonight"
+    texts = {
+        20: eval_text,
+        21: eval_text,
+        22: "zebras wander across violet canyons while thunder rumbles far away",
+        23: "quantum ledgers hum beneath frozen observatories during polar dusk",
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(texts), pa.int64()),
+            "text": pa.array(list(texts.values()), pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts.values()], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    from pdf_extractor_ray.pipelines.queries import QUERIES
+
+    got = QUERIES["winnow_decontaminate"](str(tmp_path)).to_pandas()
+    assert got["doc_id"].tolist() == [21]
+    assert got["n_shared"].iloc[0] >= 3
