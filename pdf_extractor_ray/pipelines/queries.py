@@ -11671,6 +11671,66 @@ def q_pretrain_prep(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# Cumulative-distinct-user growth curve — the adoption metric SQL
+# window functions can't express directly (no DISTINCT in windows):
+# reduce each user to their FIRST-seen day (per-batch min combiner →
+# one Min exchange of O(users) slim rows), then the per-day new-user
+# counts cumsum on the driver over O(days) rows.
+# --------------------------------------------------------------------------
+
+
+def q_user_growth(sf_dir: str):
+    from ray.data.aggregate import Min
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // (
+            86_400_000_000
+        )
+        g = (
+            pd.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False), "day": day}
+            )
+            .groupby("user_id", sort=False)["day"]
+            .min()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    first = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+    days = _to_table(first).column("day").to_numpy(zero_copy_only=False)
+    u, c = np.unique(days, return_counts=True)
+    return pa.table(
+        {
+            "day": pa.array(u, pa.int64()),
+            "new_users": pa.array(c.astype(np.int64), pa.int64()),
+            "total_users": pa.array(np.cumsum(c).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_USER_GROWTH = """
+WITH f AS (SELECT user_id,
+                  min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+           FROM events GROUP BY user_id),
+     d AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+FROM d ORDER BY day
+"""
+
+
+# --------------------------------------------------------------------------
 # Fingerprint-level cross-split decontamination — the Dolma/RedPajama
 # practice one level up from q_decontaminate's substring match: flag
 # train-split docs sharing ≥3 distinct winnow fingerprints with the
@@ -12142,6 +12202,7 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "event_trigrams": q_event_trigrams,
     "winnow_decontaminate": q_winnow_decontaminate,
+    "user_growth": q_user_growth,
 }
 
 ORACLES = {
@@ -12290,4 +12351,5 @@ ORACLES = {
     % {lang: _sw_sql(lang) for lang in ("de", "en", "es", "fr", "zh")},
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "winnow_decontaminate": SQL_WINNOW_DECONTAMINATE,
+    "user_growth": SQL_USER_GROWTH,
 }
