@@ -315,3 +315,22 @@ def test_winnow_decontaminate_flags_planted_copy(tmp_path):
     got = QUERIES["winnow_decontaminate"](str(tmp_path)).to_pandas()
     assert got["doc_id"].tolist() == [21]
     assert got["n_shared"].iloc[0] >= 3
+
+
+def test_i4_money_matches_duckdb_semantics():
+    import duckdb
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate(
+        [
+            rng.randint(0, 10**13, size=500),
+            np.arange(0, 400),  # dense small values incl. every half-cent
+            np.array([50, 150, 250, 10**13 + 50]),
+        ]
+    ).astype(np.int64)
+    got = _i4_to_money(vals)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?)", [(int(v),) for v in vals])
+    exp = con.execute("SELECT ((x + 50) // 100) / 100.0 FROM v").df().iloc[:, 0].to_numpy()
+    assert np.array_equal(got, exp)
