@@ -62,8 +62,15 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 ignore_reinit_error=True)
+        # RAY_GRAFT_CPUS lets the check run at DIFFERENT parallelism
+        # levels — different block/batch groupings expose any remaining
+        # summation-order sensitivity (the tpch_q9 half-cent class)
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __ray_entry__ as entrymod
 
