@@ -12039,6 +12039,229 @@ FROM rec WHERE rn = n ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q4-shaped order-priority check: orders in a 3-month window that
+# have at least one LATE line (EXISTS semi-join), counted by priority.
+# Adapted to this lake's schema the same way tpch_q21 was: no
+# l_commitdate/l_receiptdate columns exist, so "late" means
+# l_shipdate > o_orderdate + 45 days.  Scale shape: the EXISTS side
+# collapses map-side (per-batch (orderkey, max ship) combiner — the
+# read is ALREADY pruned to l_shipdate > window_lo + 45d, the earliest
+# shipdate any qualifying line can have), then ONE bucketed exchange on
+# orderkey merges it with the date-pruned orders; only
+# (priority, count) partials leave the buckets.  Completes the 22/22
+# TPC-H suite (reference analogue: SURVEY §2 join/agg families).
+# --------------------------------------------------------------------------
+
+_Q4_LATE_US = 45 * 24 * 3600 * 1_000_000
+
+
+def q_tpch_q4(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = _dt.datetime(1996, 3, 1), _dt.datetime(1996, 6, 1)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate"],
+        filter=pads.field("l_shipdate") > lo + _dt.timedelta(days=45),
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "k": b.column("l_orderkey"),
+                    "ship_us": b.column("l_shipdate").cast(pa.int64()),
+                }
+            )
+            .group_by("k")
+            .aggregate([("ship_us", "max")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "ship_us": g.column("ship_us_max"),
+                "od_us": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "prio": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    orders = _read_pq(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "ship_us": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "od_us": b.column("o_orderdate").cast(pa.int64()),
+                "prio": b.column("o_orderpriority"),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def exists_bucket(b: pd.DataFrame) -> pa.Table:
+        is_order = b["od_us"].to_numpy() >= 0
+        o = b[is_order]
+        # cross-batch (k, max ship) partials: keep the true max
+        ship = b[~is_order].groupby("k", sort=False)["ship_us"].max()
+        od = o["od_us"].to_numpy()
+        ms = o["k"].map(ship).fillna(-1).to_numpy(dtype=np.int64)
+        late = ms > od + _Q4_LATE_US
+        cnt = o.loc[late].groupby("prio", sort=False).size()
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(cnt.index.to_numpy(), pa.string()),
+                "order_count": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        _bucketed(both, "k", exists_bucket),
+        ["o_orderpriority"],
+        ["order_count"],
+        pa.schema([("o_orderpriority", pa.string()), ("order_count", pa.int64())]),
+    )
+    return out.sort_by("o_orderpriority")
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+  AND o_orderdate <  TIMESTAMP '1996-06-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12-shaped shipping-priority split: lines shipped in one year,
+# counted per lineitem class with the order's priority bucketed
+# high (1-URGENT/2-HIGH) vs low.  Adapted: this lake has no l_shipmode,
+# so l_returnflag is the grouping column.  Scale shape (the q9 reduce-
+# side join): lineitem is date-pruned AT THE READ and collapses per
+# batch to (orderkey, flag, count) partials; orders contributes only
+# (orderkey, is_high int8); ONE bucketed exchange on orderkey joins
+# them and per-flag (high, low) count partials are all that leave.
+# --------------------------------------------------------------------------
+
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(sf_dir: str):
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"k": b.column("l_orderkey"), "flag": b.column("l_returnflag")}
+            )
+            .group_by(["k", "flag"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "flag": g.column("flag"),
+                "n": g.column("count_all").cast(pa.int64()),
+                "is_high": pa.array(np.full(g.num_rows, -1, np.int8), pa.int8()),
+            }
+        )
+
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        hi_mask = pc.is_in(
+            b.column("o_orderpriority"), value_set=pa.array(_Q12_HIGH)
+        )
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "flag": pa.array([""] * n, pa.string()),
+                "n": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "is_high": hi_mask.cast(pa.int8()),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def split_bucket(b: pd.DataFrame) -> pa.Table:
+        is_order = b["n"].to_numpy() < 0
+        hi_by_k = b[is_order].set_index("k")["is_high"]
+        li_rows = b[~is_order]
+        # cross-batch (k, flag) partials: sum the counts
+        li_rows = li_rows.groupby(["k", "flag"], sort=False, as_index=False)["n"].sum()
+        li_rows["hi"] = li_rows["k"].map(hi_by_k)
+        li_rows = li_rows[li_rows["hi"].notna()]
+        hi_n = li_rows["hi"].to_numpy(dtype=np.int8)
+        li_rows = li_rows.assign(
+            high=np.where(hi_n == 1, li_rows["n"], 0),
+            low=np.where(hi_n == 0, li_rows["n"], 0),
+        )
+        g = li_rows.groupby("flag", sort=False, as_index=False)[["high", "low"]].sum()
+        return pa.table(
+            {
+                "l_returnflag": pa.array(g["flag"], pa.string()),
+                "high_line_count": pa.array(g["high"].to_numpy(), pa.int64()),
+                "low_line_count": pa.array(g["low"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        _bucketed(both, "k", split_bucket),
+        ["l_returnflag"],
+        ["high_line_count", "low_line_count"],
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("high_line_count", pa.int64()),
+                ("low_line_count", pa.int64()),
+            ]
+        ),
+    )
+    return out.sort_by("l_returnflag")
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -12060,7 +12283,9 @@ QUERIES = {
     "rollup_multi": q_rollup_multi,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q12": q_tpch_q12,
     "distinct_sources": q_distinct_sources,
     "distinct_per_group": q_distinct_per_group,
     "topk_per_group": q_topk_per_group,
@@ -12223,7 +12448,9 @@ ORACLES = {
     "rollup_multi": SQL_ROLLUP_MULTI,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q4": SQL_TPCH_Q4,
     "tpch_q5": SQL_TPCH_Q5,
+    "tpch_q12": SQL_TPCH_Q12,
     "distinct_sources": SQL_DISTINCT_SOURCES,
     "distinct_per_group": SQL_DISTINCT_PER_GROUP,
     "topk_per_group": SQL_TOPK_PER_GROUP,
