@@ -12262,6 +12262,304 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+# Co-supply graph family: triangle counting (the Suri–Vassilvitskii /
+# Cohen MapReduce construction) and degree distribution over the
+# supplier co-supply graph (two suppliers are adjacent iff they supply
+# the same part, restricted to low-quantity lines so the graph stays
+# sparse).  Every stage is a bucketed O(edges)-row exchange:
+#   pairs-per-part → global edge dedup → degrees → two reduce-side
+#   degree joins → DEGREE-ORDERED orientation (each triangle then has
+#   exactly ONE source node with out-edges to both others, and
+#   out-degree is bounded by O(√m) — the published fix for the
+#   "curse of the last reducer" wedge explosion at hub nodes) →
+#   wedge/edge match → per-node count partials.
+# Assumption documented for 100 TB: suppliers-per-part is bounded (a
+# catalog invariant); the per-part pair fan-out is quadratic in THAT
+# bound, never in the corpus.
+# --------------------------------------------------------------------------
+
+_TRI_QTY_MAX = 2.0
+
+
+def _cosupply_edges(sf_dir: str) -> ray.data.Dataset:
+    """Globally-distinct undirected co-supply edges ``(u, v)``, u < v."""
+    import pyarrow.dataset as pads
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=pads.field("l_quantity") <= _TRI_QTY_MAX,
+    )
+
+    def ps_partial(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "p": b.column("l_partkey").to_numpy(zero_copy_only=False),
+                "s": b.column("l_suppkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "p": pa.array(f["p"].to_numpy(), pa.int64()),
+                "s": pa.array(f["s"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs = li.map_batches(ps_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part_pairs(df: pd.DataFrame) -> pa.Table:
+        f = df[["p", "s"]].drop_duplicates()
+        # vectorized within-part pair generation: self-merge on the part
+        # key; bounded by (suppliers-per-part)² per part by assumption
+        m = f.merge(f, on="p")
+        m = m[m["s_x"] < m["s_y"]][["s_x", "s_y"]].drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(m["s_x"].to_numpy(), pa.int64()),
+                "v": pa.array(m["s_y"].to_numpy(), pa.int64()),
+            }
+        )
+
+    raw = _bucketed(pairs, "p", per_part_pairs)
+
+    # the same (u, v) arises from every shared part: exact global dedup
+    def dedup_uv(df: pd.DataFrame) -> pa.Table:
+        f = df[["u", "v"]].drop_duplicates()
+        return pa.table(
+            {
+                "u": pa.array(f["u"].to_numpy(), pa.int64()),
+                "v": pa.array(f["v"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _bucketed(raw, "u", dedup_uv)
+
+
+_COSUPPLY_SQL_E = f"""
+e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity <= {_TRI_QTY_MAX} AND b.l_quantity <= {_TRI_QTY_MAX})
+"""
+
+
+def _node_degrees(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(node, deg) from a distinct edge list — per-batch count partials,
+    one bucketed sum exchange; O(nodes) output rows."""
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate(
+            [
+                b.column("u").to_numpy(zero_copy_only=False),
+                b.column("v").to_numpy(zero_copy_only=False),
+            ]
+        )
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "deg": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = edges.map_batches(deg_partial, batch_format="pyarrow")
+
+    def sum_deg(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("node", sort=False, as_index=False)["deg"].sum()
+        return pa.table(
+            {
+                "node": pa.array(g["node"].to_numpy(), pa.int64()),
+                "deg": pa.array(g["deg"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _bucketed(partials, "node", sum_deg)
+
+
+def q_degree_dist(sf_dir: str):
+    degs = _node_degrees(_cosupply_edges(sf_dir))
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        d, n = np.unique(b.column("deg").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "degree": pa.array(d, pa.int64()),
+                "n_nodes": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        degs.map_batches(hist_partial, batch_format="pyarrow"),
+        ["degree"],
+        ["n_nodes"],
+        pa.schema([("degree", pa.int64()), ("n_nodes", pa.int64())]),
+    )
+    return out.sort_by("degree")
+
+
+SQL_DEGREE_DIST = f"""
+WITH {_COSUPPLY_SQL_E},
+d AS (SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+SELECT CAST(deg AS BIGINT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY deg ORDER BY degree
+"""
+
+
+def _attach_deg(tagged: ray.data.Dataset, key: str, out_col: str) -> ray.data.Dataset:
+    """Reduce-side degree join: ``tagged`` unions edge rows (deg < 0
+    sentinel in ``out_col``) with degree rows, which carry -1 in the
+    OTHER endpoint column — that is the discriminator; one bucketed
+    exchange on ``key`` fills ``out_col``."""
+    other = "u" if key == "v" else "v"
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        is_deg = df[other].to_numpy() < 0
+        dmap = df[is_deg].set_index(key)[out_col]
+        e = df[~is_deg].copy()
+        e[out_col] = e[key].map(dmap).fillna(0).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(e["u"].to_numpy(), pa.int64()),
+                "v": pa.array(e["v"].to_numpy(), pa.int64()),
+                "du": pa.array(e["du"].to_numpy(dtype=np.int64), pa.int64()),
+                "dv": pa.array(e["dv"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return _bucketed(tagged, key, per_bucket)
+
+
+def q_triangle_count(sf_dir: str):
+    edges = _cosupply_edges(sf_dir).materialize()
+    degs = _node_degrees(edges).materialize()
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        neg = pa.array(np.full(n, -1, np.int64), pa.int64())
+        return pa.table({"u": b.column("u"), "v": b.column("v"), "du": neg, "dv": neg})
+
+    def deg_as(slot_key: str, slot_val: str):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            neg = pa.array(np.full(n, -1, np.int64), pa.int64())
+            cols = {"u": neg, "v": neg, "du": neg, "dv": neg}
+            cols[slot_key] = b.column("node")
+            cols[slot_val] = b.column("deg").cast(pa.int64())
+            return pa.table(
+                {k: cols[k] for k in ("u", "v", "du", "dv")}
+            )
+
+        return f
+
+    # deg rows keep u = -1 as the "I am a degree row" sentinel for the v
+    # join, so the u-side join tags them via the v slot first
+    with_dv = _attach_deg(
+        edges.map_batches(edge_rows, batch_format="pyarrow").union(
+            degs.map_batches(deg_as("v", "dv"), batch_format="pyarrow")
+        ),
+        "v",
+        "dv",
+    )
+    with_both = _attach_deg(
+        with_dv.union(degs.map_batches(deg_as("u", "du"), batch_format="pyarrow")),
+        "u",
+        "du",
+    )
+
+    # degree-ordered orientation: src = smaller (deg, id); strict total
+    # order (ids are distinct), so the oriented graph is a DAG and every
+    # triangle has exactly one 2-out-edge source node
+    def orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        du = b.column("du").to_numpy(zero_copy_only=False)
+        dv = b.column("dv").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        return pa.table(
+            {
+                "a": pa.array(np.where(u_first, u, v), pa.int64()),
+                "b": pa.array(np.where(u_first, v, u), pa.int64()),
+                "db": pa.array(np.where(u_first, dv, du), pa.int64()),
+            }
+        )
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges at each source a: pairs of out-neighbors ordered by the
+    # SAME (deg, id) total order, so the closing edge — if it exists —
+    # is oriented exactly (x → y); out-degree ≤ O(√m) bounds the
+    # self-merge
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="a")
+        keep = (m["db_x"] < m["db_y"]) | (
+            (m["db_x"] == m["db_y"]) & (m["b_x"] < m["b_y"])
+        )
+        m = m[keep]
+        return pa.table(
+            {
+                "x": pa.array(m["b_x"].to_numpy(), pa.int64()),
+                "y": pa.array(m["b_y"].to_numpy(), pa.int64()),
+                "z": pa.array(m["a"].to_numpy(), pa.int64()),
+            }
+        )
+
+    wedge_rows = _bucketed(oriented, "a", wedges)
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "x": b.column("a"),
+                "y": b.column("b"),
+                "z": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            }
+        )
+
+    both = wedge_rows.union(oriented.map_batches(edge_keys, batch_format="pyarrow"))
+
+    # match wedges against edges on (x, y); each match is one triangle
+    # {x, y, z} — emit +1 per corner, pre-summed per bucket
+    def match(df: pd.DataFrame) -> pa.Table:
+        is_edge = df["z"].to_numpy() < 0
+        e = df[is_edge][["x", "y"]]
+        w = df[~is_edge]
+        tri = w.merge(e, on=["x", "y"])
+        corners = np.concatenate(
+            [tri["x"].to_numpy(), tri["y"].to_numpy(), tri["z"].to_numpy()]
+        )
+        nodes, counts = np.unique(corners, return_counts=True)
+        return pa.table(
+            {
+                "supp_node": pa.array(nodes, pa.int64()),
+                "n_triangles": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        _bucketed(both, "x", match),
+        ["supp_node"],
+        ["n_triangles"],
+        pa.schema([("supp_node", pa.int64()), ("n_triangles", pa.int64())]),
+    )
+    return out.sort_by([("n_triangles", "descending"), ("supp_node", "ascending")])
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_COSUPPLY_SQL_E},
+tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node AS supp_node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY n_triangles DESC, supp_node
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -12367,6 +12665,8 @@ QUERIES = {
     "dedup_keep_longest": q_dedup_keep_longest,
     "dod_change": q_dod_change,
     "graph_components": q_graph_components,
+    "triangle_count": q_triangle_count,
+    "degree_dist": q_degree_dist,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -12521,6 +12821,8 @@ ORACLES = {
     "dedup_keep_longest": SQL_DEDUP_KEEP_LONGEST,
     "dod_change": SQL_DOD_CHANGE,
     "graph_components": SQL_GRAPH_COMPONENTS,
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "degree_dist": SQL_DEGREE_DIST,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,

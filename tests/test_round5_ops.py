@@ -334,3 +334,60 @@ def test_i4_money_matches_duckdb_semantics():
     con.executemany("INSERT INTO v VALUES (?)", [(int(v),) for v in vals])
     exp = con.execute("SELECT ((x + 50) // 100) / 100.0 FROM v").df().iloc[:, 0].to_numpy()
     assert np.array_equal(got, exp)
+
+
+def _write_lineitem_graph(tmp_path, part_supps, excluded=()):
+    """lineitem lake whose co-supply graph is exactly the given
+    {part: [suppliers]} map; ``excluded`` rows get quantity above the
+    _TRI_QTY_MAX gate and must not contribute edges."""
+    rows_p, rows_s, rows_q = [], [], []
+    for p, supps in part_supps.items():
+        for s in supps:
+            rows_p.append(p)
+            rows_s.append(s)
+            rows_q.append(1.0)
+    for p, s in excluded:
+        rows_p.append(p)
+        rows_s.append(s)
+        rows_q.append(50.0)
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array(rows_p, pa.int64()),
+                "l_suppkey": pa.array(rows_s, pa.int64()),
+                "l_quantity": pa.array(rows_q, pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_triangle_count_planted_graph(tmp_path):
+    """K4 on {1,2,3,4} (built from ONE 3-supplier part plus pair parts,
+    so cross-part edge dedup is exercised) + a star hub 0→{5,6,7,8}
+    (wedge-rich, triangle-free — the degree-ordered orientation must
+    not explode or miscount at the hub) + one quantity-excluded row."""
+    from pdf_extractor_ray.pipelines.queries import q_degree_dist, q_triangle_count
+
+    part_supps = {
+        100: [1, 2, 3],          # clique part → edges 12, 13, 23
+        101: [1, 2],             # duplicate edge 12 via a second part
+        102: [1, 4],
+        103: [2, 4],
+        104: [3, 4],
+        105: [0, 5],
+        106: [0, 6],
+        107: [0, 7],
+        108: [0, 8],
+    }
+    _write_lineitem_graph(tmp_path, part_supps, excluded=[(109, 0), (109, 1)])
+
+    tri = q_triangle_count(str(tmp_path)).to_pydict()
+    # K4 has 4 triangles; every clique node sits in exactly 3; the
+    # star contributes none
+    assert tri == {"supp_node": [1, 2, 3, 4], "n_triangles": [3, 3, 3, 3]}
+
+    deg = q_degree_dist(str(tmp_path)).to_pydict()
+    # leaves 5-8 have degree 1, clique nodes degree 3, hub degree 4
+    assert deg == {"degree": [1, 3, 4], "n_nodes": [4, 4, 1]}
