@@ -12560,6 +12560,77 @@ FROM corners GROUP BY node ORDER BY n_triangles DESC, supp_node
 """
 
 
+# --------------------------------------------------------------------------
+# Market-basket frequent pairs (the A-Priori pair pass): parts
+# co-ordered in the same order, support-counted, thresholded.  Scale
+# shape: per-batch distinct (order, part) partials → ONE bucketed
+# exchange on orderkey where the per-order pair fan-out is quadratic
+# only in lines-per-order (a schema invariant, ≤ a dozen — the same
+# bounded-basket assumption every A-Priori implementation documents)
+# and pairs are PRE-COUNTED per bucket → a (p1, p2, support) partial
+# sum whose exchange carries O(distinct pairs) rows; the support
+# threshold prunes before the final sort.
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+
+def q_copurchase_pairs(sf_dir: str):
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "o": b.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "p": b.column("l_partkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "o": pa.array(f["o"].to_numpy(), pa.int64()),
+                "p": pa.array(f["p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    pairs_in = li.map_batches(op_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_order_pairs(df: pd.DataFrame) -> pa.Table:
+        f = df[["o", "p"]].drop_duplicates()
+        m = f.merge(f, on="o")
+        m = m[m["p_x"] < m["p_y"]]
+        g = m.groupby(["p_x", "p_y"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "p1": pa.array(g["p_x"].to_numpy(), pa.int64()),
+                "p2": pa.array(g["p_y"].to_numpy(), pa.int64()),
+                "support": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    counted = _sum_partials(
+        _bucketed(pairs_in, "o", per_order_pairs),
+        ["p1", "p2"],
+        ["support"],
+        pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64())]),
+    )
+    out = counted.filter(
+        pc.greater_equal(counted.column("support"), _BASKET_MIN_SUPPORT)
+    )
+    return out.sort_by(
+        [("support", "descending"), ("p1", "ascending"), ("p2", "ascending")]
+    )
+
+
+SQL_COPURCHASE_PAIRS = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT a.p AS p1, c.p AS p2 FROM b a JOIN b c ON a.o = c.o AND a.p < c.p)
+SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+FROM pr GROUP BY p1, p2
+HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+ORDER BY support DESC, p1, p2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -12667,6 +12738,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "triangle_count": q_triangle_count,
     "degree_dist": q_degree_dist,
+    "copurchase_pairs": q_copurchase_pairs,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -12823,6 +12895,7 @@ ORACLES = {
     "graph_components": SQL_GRAPH_COMPONENTS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "degree_dist": SQL_DEGREE_DIST,
+    "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
