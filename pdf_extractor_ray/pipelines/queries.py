@@ -12631,6 +12631,225 @@ ORDER BY support DESC, p1, p2
 """
 
 
+# --------------------------------------------------------------------------
+# Reconciliation audit (data-quality family): the 20 orders whose
+# header total diverges most from the sum of their lines' charged
+# amount (price × (1−disc) × (1+tax)).  A 2dp × 2dp × 2dp product has
+# EXACTLY 6 decimals, so ×10⁶ int64 "micro-money" makes every partial
+# sum and the final diff summation-order-proof (the _money_i4 lesson,
+# one decimal wider).  Scale shape: lineitem collapses per batch to
+# (orderkey, Σ micro) partials, ONE bucketed exchange joins the order
+# headers (left — headerless lines and line-less headers both audit),
+# each bucket emits only its local top-20, and the driver merges
+# 20 × buckets rows.
+# --------------------------------------------------------------------------
+
+_RECON_TOPK = 20
+
+
+def _micro_i6(price, disc, tax) -> pa.Array:
+    v = (
+        price.to_numpy(zero_copy_only=False)
+        * (1.0 - disc.to_numpy(zero_copy_only=False))
+        * (1.0 + tax.to_numpy(zero_copy_only=False))
+    )
+    return pa.array(np.rint(v * 1e6).astype(np.int64), pa.int64())
+
+
+def q_order_reconcile(sf_dir: str):
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "k": b.column("l_orderkey"),
+                    "m": _micro_i6(
+                        b.column("l_extendedprice"),
+                        b.column("l_discount"),
+                        b.column("l_tax"),
+                    ),
+                }
+            )
+            .group_by("k")
+            .aggregate([("m", "sum")])
+        )
+        return pa.table(
+            {
+                "k": g.column("k"),
+                "m": g.column("m_sum"),
+                "total": pa.array(np.full(g.num_rows, -1, np.int64), pa.int64()),
+            }
+        )
+
+    orders = _read_pq(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        t = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "k": b.column("o_orderkey"),
+                "m": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "total": pa.array(t, pa.int64()),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).union(
+        orders.map_batches(order_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def recon_bucket(b: pd.DataFrame) -> pa.Table:
+        is_order = b["total"].to_numpy() >= 0
+        o = b[is_order]
+        lines = b[~is_order].groupby("k", sort=False)["m"].sum()
+        lm = o["k"].map(lines).fillna(0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderkey": o["k"].to_numpy(),
+                "total_micro": o["total"].to_numpy(),
+                "lines_micro": lm.to_numpy(),
+            }
+        )
+        df["diff_micro"] = df["lines_micro"] - df["total_micro"]
+        df["_a"] = df["diff_micro"].abs()
+        df = df.sort_values(["_a", "o_orderkey"], ascending=[False, True], kind="mergesort").head(
+            _RECON_TOPK
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+                "total_micro": pa.array(df["total_micro"].to_numpy(), pa.int64()),
+                "lines_micro": pa.array(df["lines_micro"].to_numpy(), pa.int64()),
+                "diff_micro": pa.array(df["diff_micro"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partials = _to_table(_bucketed(both, "k", recon_bucket)).to_pandas()
+    partials["_a"] = partials["diff_micro"].abs()
+    out = partials.sort_values(
+        ["_a", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).head(_RECON_TOPK)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(), pa.int64()),
+            "total_micro": pa.array(out["total_micro"].to_numpy(), pa.int64()),
+            "lines_micro": pa.array(out["lines_micro"].to_numpy(), pa.int64()),
+            "diff_micro": pa.array(out["diff_micro"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_ORDER_RECONCILE = f"""
+WITH ls AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 1000000) AS BIGINT)) AS BIGINT) AS lines_micro
+  FROM lineitem GROUP BY 1)
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 1000000) AS BIGINT) AS total_micro,
+       COALESCE(lines_micro, 0) AS lines_micro,
+       COALESCE(lines_micro, 0)
+         - CAST(round(o_totalprice * 1000000) AS BIGINT) AS diff_micro
+FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey
+ORDER BY abs(COALESCE(lines_micro, 0)
+         - CAST(round(o_totalprice * 1000000) AS BIGINT)) DESC, o_orderkey
+LIMIT {_RECON_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Daily resample with calendar gap-fill (time-series family): per
+# (user, day) event count + value sum, with every missing day between
+# a user's first and last day emitted as an explicit zero row — the
+# densification step every downstream window/autocorr consumer needs.
+# Scale shape: per-batch (user, day, n, Σv) combiner partials → ONE
+# bucketed exchange on user_id; the calendar expansion inside the
+# bucket is fully vectorized (repeat/cumsum arange — no per-user
+# Python loop) and output is O(users × span-days), the fill's
+# irreducible size.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_resample_daily(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "day": day,
+                    "v": b.column("value").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["user_id", "day"], sort=False)
+            .agg(n=("v", "size"), v=("v", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fill_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "day"], sort=False, as_index=False).agg(
+            n=("n", "sum"), v=("v", "sum")
+        )
+        span = g.groupby("user_id", sort=False).agg(mind=("day", "min"), maxd=("day", "max"))
+        lens = (span["maxd"] - span["mind"] + 1).to_numpy()
+        total = int(lens.sum())
+        users = np.repeat(span.index.to_numpy(), lens)
+        offs = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        days = offs + np.repeat(span["mind"].to_numpy(), lens)
+        cal = pd.DataFrame({"user_id": users, "day": days})
+        m = cal.merge(g, on=["user_id", "day"], how="left")
+        return pa.table(
+            {
+                "user_id": pa.array(m["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(m["day"].to_numpy(), pa.int64()),
+                "n_events": pa.array(
+                    m["n"].fillna(0).to_numpy(dtype=np.int64), pa.int64()
+                ),
+                "day_value": pa.array(
+                    np.round(m["v"].fillna(0.0).to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    out = _to_table(_bucketed(partials, "user_id", fill_bucket))
+    return out.sort_by([("user_id", "ascending"), ("day", "ascending")])
+
+
+SQL_RESAMPLE_DAILY = """
+WITH d AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  count(*) AS n, sum(value) AS v
+           FROM events GROUP BY 1, 2),
+span AS (SELECT user_id, min(day) AS mind, max(day) AS maxd FROM d GROUP BY 1),
+cal AS (SELECT user_id, unnest(generate_series(mind, maxd)) AS day FROM span)
+SELECT cal.user_id, cal.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+       round(COALESCE(d.v, 0.0), 6) AS day_value
+FROM cal LEFT JOIN d USING (user_id, day)
+ORDER BY user_id, day
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -12739,6 +12958,8 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "degree_dist": q_degree_dist,
     "copurchase_pairs": q_copurchase_pairs,
+    "order_reconcile": q_order_reconcile,
+    "resample_daily": q_resample_daily,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -12896,6 +13117,8 @@ ORACLES = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "degree_dist": SQL_DEGREE_DIST,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
+    "order_reconcile": SQL_ORDER_RECONCILE,
+    "resample_daily": SQL_RESAMPLE_DAILY,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
