@@ -12432,8 +12432,58 @@ def _attach_deg(tagged: ray.data.Dataset, key: str, out_col: str) -> ray.data.Da
     return _bucketed(tagged, key, per_bucket)
 
 
+# local-path gate (the q_pagerank pattern): the DEDUPED co-supply edge
+# list is O(parts × supplier-pairs-per-part) — tiny relative to
+# lineitem — so below this byte size the orientation/wedge/match run
+# as one in-process numpy pass instead of six bucketed exchanges
+# (measured: 22.5 s → local at sf0.1); the distributed path below is
+# the 100-TB shape and is pinned by its own forced-path test.
+_TRI_LOCAL_MAX_BYTES = 64 << 20
+
+
+def _triangles_local(t: pa.Table) -> pa.Table:
+    df = t.to_pandas()
+    deg = pd.concat([df["u"], df["v"]]).value_counts()
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    du = df["u"].map(deg).to_numpy()
+    dv = df["v"].map(deg).to_numpy()
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    oe = pd.DataFrame(
+        {
+            "a": np.where(u_first, u, v),
+            "b": np.where(u_first, v, u),
+            "db": np.where(u_first, dv, du),
+        }
+    )
+    m = oe.merge(oe, on="a")
+    keep = (m["db_x"] < m["db_y"]) | ((m["db_x"] == m["db_y"]) & (m["b_x"] < m["b_y"]))
+    w = m[keep]
+    tri = w.merge(
+        oe[["a", "b"]].rename(columns={"a": "b_x", "b": "b_y"}), on=["b_x", "b_y"]
+    )
+    corners = np.concatenate(
+        [tri["b_x"].to_numpy(), tri["b_y"].to_numpy(), tri["a"].to_numpy()]
+    )
+    nodes, counts = np.unique(corners, return_counts=True)
+    return pa.table(
+        {
+            "supp_node": pa.array(nodes.astype(np.int64), pa.int64()),
+            "n_triangles": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_triangle_count(sf_dir: str):
     edges = _cosupply_edges(sf_dir).materialize()
+    if (edges.size_bytes() or 0) <= _TRI_LOCAL_MAX_BYTES:
+        out = _triangles_local(dd._collect(edges))
+    else:
+        out = _triangles_distributed(edges)
+    return out.sort_by([("n_triangles", "descending"), ("supp_node", "ascending")])
+
+
+def _triangles_distributed(edges) -> pa.Table:
     degs = _node_degrees(edges).materialize()
 
     def edge_rows(b: pa.Table) -> pa.Table:
@@ -12538,13 +12588,12 @@ def q_triangle_count(sf_dir: str):
             }
         )
 
-    out = _sum_partials(
+    return _sum_partials(
         _bucketed(both, "x", match),
         ["supp_node"],
         ["n_triangles"],
         pa.schema([("supp_node", pa.int64()), ("n_triangles", pa.int64())]),
     )
-    return out.sort_by([("n_triangles", "descending"), ("supp_node", "ascending")])
 
 
 SQL_TRIANGLE_COUNT = f"""

@@ -388,6 +388,21 @@ def test_triangle_count_planted_graph(tmp_path):
     # star contributes none
     assert tri == {"supp_node": [1, 2, 3, 4], "n_triangles": [3, 3, 3, 3]}
 
+    # the planted graph is far below the local-path gate, so force the
+    # DISTRIBUTED wedge/match pipeline (the 100-TB shape) and require
+    # the identical result
+    from pdf_extractor_ray.pipelines.queries import (
+        _cosupply_edges,
+        _triangles_distributed,
+    )
+
+    dist = (
+        _triangles_distributed(_cosupply_edges(str(tmp_path)).materialize())
+        .sort_by([("n_triangles", "descending"), ("supp_node", "ascending")])
+        .to_pydict()
+    )
+    assert dist == tri
+
     deg = q_degree_dist(str(tmp_path)).to_pydict()
     # leaves 5-8 have degree 1, clique nodes degree 3, hub degree 4
     assert deg == {"degree": [1, 3, 4], "n_nodes": [4, 4, 1]}
