@@ -211,7 +211,10 @@ def scaling() -> None:
     # clusters.  4/16 (not 8/32): the sandbox's 32 advertised vCPUs
     # deliver only ~17.6× aggregate (hardware ceiling 0.67 for 8→32 —
     # unreachable for ANY pipeline), while 4→16 has ceiling ~0.83.
-    lo, hi = 4, 16
+    # GRAFT_SCALING_CPUS="2,8" measures a second independent N/4N pair.
+    lo, hi = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(
