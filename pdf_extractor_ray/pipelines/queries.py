@@ -12899,6 +12899,38 @@ ORDER BY user_id, day
 """
 
 
+# --------------------------------------------------------------------------
+# Grid-bucketed DBSCAN (density clustering — rows-only: no SQL
+# analogue).  See stages/similarity.py::dbscan_2d for the construction;
+# the summary here is a mergeable (cluster, count) combiner so the
+# O(points) assignment table never reaches the driver.
+# --------------------------------------------------------------------------
+
+
+def q_dbscan(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    assign = sim.dbscan_2d(ds, min_pts=8)
+
+    def size_partial(b: pa.Table) -> pa.Table:
+        c, n = np.unique(
+            b.column("cluster").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(c, pa.int64()),
+                "n_points": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        assign.map_batches(size_partial, batch_format="pyarrow"),
+        ["cluster"],
+        ["n_points"],
+        pa.schema([("cluster", pa.int64()), ("n_points", pa.int64())]),
+    )
+    return out.sort_by([("n_points", "descending"), ("cluster", "ascending")])
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13009,6 +13041,7 @@ QUERIES = {
     "copurchase_pairs": q_copurchase_pairs,
     "order_reconcile": q_order_reconcile,
     "resample_daily": q_resample_daily,
+    "dbscan": q_dbscan,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,

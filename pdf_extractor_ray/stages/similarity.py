@@ -539,3 +539,367 @@ def mmr_topk(ds, query_vector, k: int = 10, lam: float = 0.5,
             "cosine": pa.array(cos[picked], pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-bucketed DBSCAN over the 2-D PCA projection
+# --------------------------------------------------------------------------
+
+_DBSCAN_BUCKETS = 32
+_DBSCAN_CHUNK = 1024  # owner-side slice of the per-cell distance matmul
+
+
+def pca_project_2d(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """(id, x, y) projection onto the top-2 principal components plus
+    the full eigenvalue spectrum.  One O(d²)-per-batch moment pass
+    ((n, Σx, Σxxᵀ) rows — never O(vectors) — the q_embed_pca shape),
+    driver eigensolve, then a map-side matmul with the (mean, W)
+    broadcast once via ray.put.  Eigenvector signs are canonicalized
+    (largest-|component| positive) so the projection is reproducible."""
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = vecs_to_numpy(b.column(vec_col))
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "g": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    mats = list(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    t = pa.concat_tables(mats)
+    n = sum(v.as_py() for v in t.column("n"))
+    s = np.sum([np.asarray(v) for v in t.column("s").to_pylist()], axis=0)
+    g = np.sum([np.asarray(v) for v in t.column("g").to_pylist()], axis=0)
+    d = len(s)
+    mean = s / n
+    cov = g.reshape(d, d) / n - np.outer(mean, mean)
+    ev, w = np.linalg.eigh(cov)
+    w2 = w[:, [-1, -2]].copy()
+    for j in range(2):  # canonical sign
+        k = int(np.argmax(np.abs(w2[:, j])))
+        if w2[k, j] < 0:
+            w2[:, j] = -w2[:, j]
+    ref = ray.put((mean, w2))
+
+    def project(b: pa.Table) -> pa.Table:
+        m, ww = ray.get(ref)
+        p = (vecs_to_numpy(b.column(vec_col)) - m) @ ww
+        return pa.table(
+            {
+                id_col: b.column(id_col).cast(pa.int64()),
+                "x": pa.array(p[:, 0], pa.float64()),
+                "y": pa.array(p[:, 1], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True),
+        ev[::-1],
+    )
+
+
+def _cell_key(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    # bit-packed (cx, cy) — 2^20 cells per axis around the origin
+    off = np.int64(1 << 20)
+    return ((cx + off) << np.int64(21)) | (cy + off)
+
+
+def _cell_bucketed(ds, fn):
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b.column("cell").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((k % _DBSCAN_BUCKETS).astype("int32"))
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_DBSCAN_BUCKETS)
+        .map_groups(fn, batch_format="pandas")
+    )
+
+
+def _replicate_cells(ds, eps: float, extra_cols: tuple = ()):
+    """Each point lands in its own cell plus the 8 neighbors (cell side
+    = eps, so every ε-neighbor pair shares at least one replica cell);
+    ``own`` marks the single replica the point is counted/owned at."""
+
+    def rep(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        cx = np.floor(x / eps).astype(np.int64)
+        cy = np.floor(y / eps).astype(np.int64)
+        n = len(x)
+        cols = {c: b.column(c).to_numpy(zero_copy_only=False) for c in b.column_names}
+        out_cell, out_own = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                out_cell.append(_cell_key(cx + dx, cy + dy))
+                out_own.append(
+                    np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8)
+                )
+        rep_n = 9
+        data = {
+            "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+            "own": pa.array(np.concatenate(out_own), pa.int8()),
+            "x": pa.array(np.tile(cols["x"], rep_n), pa.float64()),
+            "y": pa.array(np.tile(cols["y"], rep_n), pa.float64()),
+        }
+        for c in extra_cols:
+            data[c] = pa.array(np.tile(cols[c], rep_n))
+        return pa.table(data)
+
+    return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pairwise_within(ax, ay, bx, by, eps2):
+    """Boolean (len(a) × len(b)) ε-ball mask, owner-chunked so the
+    matmul is memory-bounded regardless of cell population (the
+    verify_cap lesson: bound the quadratic COMPUTE, exactness free)."""
+    d2 = (ax[:, None] - bx[None, :]) ** 2 + (ay[:, None] - by[None, :]) ** 2
+    return d2 <= eps2
+
+
+def dbscan_2d(
+    ds,
+    eps: float | None = None,
+    min_pts: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed DBSCAN over the top-2-PC projection.
+
+    Grid construction (cell side = eps, 9-cell replication) keeps every
+    exchange O(9 × points): (1) per-cell exact ε-neighbor counts →
+    core flags, (2) second replication carrying the flag → core-core
+    ε-edges + each border's MINIMUM core neighbor id (deterministic —
+    classic DBSCAN's border assignment is scan-order-dependent; min-id
+    is a fixed choice of the same valid assignments), (3) connected
+    components over core edges (the dedup machinery — size-gated local
+    below its byte gate), (4) one bucketed join labels the borders.
+    Noise → cluster −1.  Returns (vec_id, cluster) with cluster = the
+    component's min core id.
+
+    eps defaults to 0.25·√(λ₁+λ₂) — a fixed fraction of the projected
+    spread, deterministic from the same moment pass.
+    """
+    proj, ev = pca_project_2d(ds, vec_col=vec_col, id_col=id_col)
+    proj = proj.materialize()
+    if eps is None:
+        eps = 0.25 * float(np.sqrt(ev[0] + ev[1]))
+    eps2 = eps * eps
+
+    rep1 = _replicate_cells(proj, eps, extra_cols=(id_col,))
+
+    def count_cell(df: pd.DataFrame) -> pa.Table:
+        out_ids, out_n, out_x, out_y = [], [], [], []
+        for _, g in df.groupby("cell", sort=False):
+            own = g[g["own"] == 1]
+            if own.empty:
+                continue
+            ax, ay = own["x"].to_numpy(), own["y"].to_numpy()
+            bx, by = g["x"].to_numpy(), g["y"].to_numpy()
+            for i in range(0, len(own), _DBSCAN_CHUNK):
+                sl = slice(i, i + _DBSCAN_CHUNK)
+                m = _pairwise_within(ax[sl], ay[sl], bx, by, eps2)
+                out_n.append(m.sum(axis=1).astype(np.int64))
+            out_ids.append(own[id_col].to_numpy())
+            out_x.append(ax)
+            out_y.append(ay)
+        if not out_ids:
+            return pa.schema(
+                [(id_col, pa.int64()), ("n_nbrs", pa.int64()),
+                 ("x", pa.float64()), ("y", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                "n_nbrs": pa.array(np.concatenate(out_n), pa.int64()),
+                "x": pa.array(np.concatenate(out_x), pa.float64()),
+                "y": pa.array(np.concatenate(out_y), pa.float64()),
+            }
+        )
+
+    flagged = _cell_bucketed(rep1, count_cell)
+
+    def add_core(b: pa.Table) -> pa.Table:
+        core = (b.column("n_nbrs").to_numpy(zero_copy_only=False) >= min_pts)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "x": b.column("x"),
+                "y": b.column("y"),
+                "core": pa.array(core.astype(np.int8), pa.int8()),
+            }
+        )
+
+    pts = flagged.map_batches(add_core, batch_format="pyarrow").materialize()
+    rep2 = _replicate_cells(pts, eps, extra_cols=(id_col, "core"))
+
+    i64max = np.iinfo(np.int64).max
+
+    # ONE exchange emits both row kinds: core-core ε-edges (kind 0,
+    # deduped by the owner-id < other-id rule — each point owns exactly
+    # one cell, so every edge is emitted exactly once) and border →
+    # MIN-core-neighbor candidates (kind 1)
+    def edges_cell(df: pd.DataFrame) -> pa.Table:
+        kinds, a_out, b_out = [], [], []
+        for _, g in df.groupby("cell", sort=False):
+            own = g[g["own"] == 1]
+            cores = g[g["core"] == 1]
+            if own.empty or cores.empty:
+                continue
+            cx_, cy_ = cores["x"].to_numpy(), cores["y"].to_numpy()
+            cid = cores[id_col].to_numpy()
+            oc = own[own["core"] == 1]
+            for i in range(0, len(oc), _DBSCAN_CHUNK):
+                sl = oc.iloc[i : i + _DBSCAN_CHUNK]
+                m = _pairwise_within(
+                    sl["x"].to_numpy(), sl["y"].to_numpy(), cx_, cy_, eps2
+                )
+                ii, jj = np.nonzero(m)
+                a = sl[id_col].to_numpy()[ii]
+                bb = cid[jj]
+                keep = a < bb
+                a_out.append(a[keep])
+                b_out.append(bb[keep])
+                kinds.append(np.zeros(int(keep.sum()), np.int8))
+            ob = own[own["core"] == 0]
+            for i in range(0, len(ob), _DBSCAN_CHUNK):
+                sl = ob.iloc[i : i + _DBSCAN_CHUNK]
+                m = _pairwise_within(
+                    sl["x"].to_numpy(), sl["y"].to_numpy(), cx_, cy_, eps2
+                )
+                cand = np.where(m, cid[None, :], i64max).min(axis=1)
+                has = cand != i64max
+                a_out.append(sl[id_col].to_numpy()[has])
+                b_out.append(cand[has])
+                kinds.append(np.ones(int(has.sum()), np.int8))
+
+        def cat(lst, dt):
+            return np.concatenate(lst) if lst else np.array([], dt)
+
+        return pa.table(
+            {
+                "kind": pa.array(cat(kinds, np.int8), pa.int8()),
+                "id_a": pa.array(cat(a_out, np.int64), pa.int64()),
+                "id_b": pa.array(cat(b_out, np.int64), pa.int64()),
+            }
+        )
+
+    ew = _cell_bucketed(rep2, edges_cell).materialize()
+    import pyarrow.compute as pc
+
+    from . import dedup as _dd
+
+    def kind_eq(k):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("kind"), k)).select(["id_a", "id_b"])
+
+        return f
+
+    core_edges = ew.map_batches(kind_eq(0), batch_format="pyarrow")
+    labels = _dd.connected_components(core_edges).materialize()
+    borders = ew.map_batches(kind_eq(1), batch_format="pyarrow")
+
+    # exchange 1 (key = candidate core id): resolve each border's
+    # cluster label; an isolated core never enters the CC edge set, so
+    # a missing label means "that core is its own singleton cluster"
+    def key_on(col, kind):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "cell": b.column(col).cast(pa.int64()),
+                    "a": b.column("id_a" if col != "node" else "node").cast(pa.int64()),
+                    "b": (
+                        b.column("label")
+                        if kind == 2
+                        else pa.array(
+                            np.full(b.num_rows, -1, np.int64), pa.int64()
+                        )
+                    ),
+                    "kind": pa.array(np.full(b.num_rows, kind, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    tagged1 = borders.map_batches(key_on("id_b", 1), batch_format="pyarrow").union(
+        labels.map_batches(key_on("node", 2), batch_format="pyarrow")
+    )
+
+    def resolve_border(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["kind"] == 2].set_index("cell")["b"]
+        bor = df[df["kind"] == 1]
+        out = bor["cell"].map(lab).fillna(bor["cell"]).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(bor["a"].to_numpy(), pa.int64()),
+                "blabel": pa.array(out.to_numpy(), pa.int64()),
+            }
+        )
+
+    blab = _cell_bucketed(tagged1, resolve_border)
+
+    # exchange 2 (key = vec_id): assemble every point's cluster
+    def pt_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": b.column(id_col).cast(pa.int64()),
+                "val": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "kind": pa.array(
+                    b.column("core").to_numpy(zero_copy_only=False).astype(np.int8),
+                    pa.int8(),
+                ),  # 0 = non-core point, 1 = core point
+            }
+        )
+
+    def lab_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": b.column("node").cast(pa.int64()),
+                "val": b.column("label").cast(pa.int64()),
+                "kind": pa.array(np.full(b.num_rows, 2, np.int8), pa.int8()),
+            }
+        )
+
+    def blab_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": b.column("vec_id").cast(pa.int64()),
+                "val": b.column("blabel").cast(pa.int64()),
+                "kind": pa.array(np.full(b.num_rows, 3, np.int8), pa.int8()),
+            }
+        )
+
+    tagged2 = (
+        pts.map_batches(pt_rows, batch_format="pyarrow")
+        .union(labels.map_batches(lab_rows, batch_format="pyarrow"))
+        .union(blab.map_batches(blab_rows, batch_format="pyarrow"))
+    )
+
+    def assemble(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["kind"] == 2].set_index("cell")["val"]
+        bl = df[df["kind"] == 3].set_index("cell")["val"]
+        p = df[df["kind"] <= 1]
+        ids = p["cell"].to_numpy()
+        is_core = p["kind"].to_numpy() == 1
+        from_cc = p["cell"].map(lab)
+        from_b = p["cell"].map(bl)
+        cluster = np.where(
+            is_core,
+            from_cc.fillna(pd.Series(ids, index=p.index)).to_numpy(dtype=np.int64),
+            from_b.fillna(-1).to_numpy(dtype=np.int64),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+            }
+        )
+
+    return _cell_bucketed(tagged2, assemble)

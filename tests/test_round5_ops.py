@@ -406,3 +406,70 @@ def test_triangle_count_planted_graph(tmp_path):
     deg = q_degree_dist(str(tmp_path)).to_pydict()
     # leaves 5-8 have degree 1, clique nodes degree 3, hub degree 4
     assert deg == {"degree": [1, 3, 4], "n_nodes": [4, 4, 1]}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dbscan_planted_blobs(tmp_path):
+    """Three well-separated 2-D blobs embedded in 64-d (structure in
+    dims 0-1, tiny noise elsewhere) plus five isolated far points:
+    DBSCAN must recover exactly three clusters with full purity and
+    flag the isolates as noise (cluster −1)."""
+    from pdf_extractor_ray.stages.similarity import dbscan_2d
+
+    rng = np.random.RandomState(11)
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    rows, planted = [], []
+    vid = 0
+    for bi, (cx, cy) in enumerate(centers):
+        for _ in range(60):
+            v = np.zeros(64)
+            v[0] = cx + rng.normal(0, 0.5)
+            v[1] = cy + rng.normal(0, 0.5)
+            v[2:] = rng.normal(0, 0.01, 62)
+            rows.append((vid, v))
+            planted.append(bi)
+            vid += 1
+    for i, (fx, fy) in enumerate([(50, 50), (-60, 40), (70, -30), (-80, -80), (90, 90)]):
+        v = np.zeros(64)
+        v[0], v[1] = fx, fy
+        rows.append((vid, v))
+        planted.append(-1)
+        vid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1].tolist() for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(str(tmp_path / "embeddings.parquet"))
+    got = (
+        pa.concat_tables(
+            dbscan_2d(ds, eps=1.5, min_pts=8).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+    )
+    assert len(got) == len(rows)
+    planted = np.asarray(planted)
+    ids = np.arange(len(rows))
+    # isolates are noise
+    assert (got[ids[planted == -1]] == -1).all()
+    # each blob maps to exactly ONE cluster, and the three differ
+    blob_clusters = set()
+    for bi in range(3):
+        vals = set(got[ids[planted == bi]])
+        assert len(vals) == 1, f"blob {bi} split: {vals}"
+        (c,) = vals
+        assert c >= 0
+        blob_clusters.add(c)
+    assert len(blob_clusters) == 3
