@@ -12441,7 +12441,12 @@ def _attach_deg(tagged: ray.data.Dataset, key: str, out_col: str) -> ray.data.Da
 _TRI_LOCAL_MAX_BYTES = 64 << 20
 
 
+_TRI_SCHEMA = pa.schema([("supp_node", pa.int64()), ("n_triangles", pa.int64())])
+
+
 def _triangles_local(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _TRI_SCHEMA.empty_table()
     df = t.to_pandas()
     deg = pd.concat([df["u"], df["v"]]).value_counts()
     u = df["u"].to_numpy()
@@ -12476,6 +12481,9 @@ def _triangles_local(t: pa.Table) -> pa.Table:
 
 def q_triangle_count(sf_dir: str):
     edges = _cosupply_edges(sf_dir).materialize()
+    if edges.count() == 0:
+        # a zero-block stream collects schema-less — keep the contract
+        return _TRI_SCHEMA.empty_table()
     if (edges.size_bytes() or 0) <= _TRI_LOCAL_MAX_BYTES:
         out = _triangles_local(dd._collect(edges))
     else:

@@ -473,3 +473,51 @@ def test_dbscan_planted_blobs(tmp_path):
         assert c >= 0
         blob_clusters.add(c)
     assert len(blob_clusters) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_graph_ops_empty_graph(tmp_path):
+    """No line passes the quantity gate → zero edges: both graph
+    queries must return empty tables with the right schema instead of
+    crashing on empty exchanges."""
+    from pdf_extractor_ray.pipelines.queries import q_degree_dist, q_triangle_count
+
+    _write_lineitem_graph(tmp_path, {}, excluded=[(1, 1), (1, 2)])
+    tri = q_triangle_count(str(tmp_path))
+    assert tri.num_rows == 0
+    assert tri.column_names == ["supp_node", "n_triangles"]
+    deg = q_degree_dist(str(tmp_path))
+    assert deg.num_rows == 0
+    assert deg.column_names == ["degree", "n_nodes"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_order_reconcile_lineless_order(tmp_path):
+    """An order with no lines must surface with lines_micro = 0 and
+    diff = −total (the LEFT-join semantics), not vanish."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.5], pa.float64()),
+                "l_tax": pa.array([0.0, 0.1], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_totalprice": pa.array([21.0, 99.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    from pdf_extractor_ray.pipelines.queries import q_order_reconcile
+
+    got = q_order_reconcile(str(tmp_path)).to_pandas().set_index("o_orderkey")
+    # order 1: 10.0 + 20·0.5·1.1 = 21.0 exactly → diff 0
+    assert got.loc[1, "lines_micro"] == 21_000_000 and got.loc[1, "diff_micro"] == 0
+    assert got.loc[2, "lines_micro"] == 0 and got.loc[2, "diff_micro"] == -99_000_000
