@@ -664,12 +664,93 @@ def _pairwise_within(ax, ay, bx, by, eps2):
     return d2 <= eps2
 
 
+_DBSCAN_LOCAL_MAX_BYTES = 64 << 20
+
+
+def _dbscan_local_path(proj, eps, min_pts, id_col, count_cell, edges_cell):
+    """Driver-side twin of the distributed grid phases: the SAME cell
+    kernels run over one in-process replicated frame, with the dedup
+    module's vectorized pointer-jumping CC — semantics identical by
+    construction (the planted test compares the two paths)."""
+    import ray.data
+
+    from . import dedup as _dd
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("cluster", pa.int64())])
+    tbls = list(proj.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not tbls:
+        return ray.data.from_arrow(out_schema.empty_table())
+    pdf = pa.concat_tables(tbls).to_pandas()
+
+    def rep_local(df: pd.DataFrame, extra: tuple) -> pd.DataFrame:
+        x = df["x"].to_numpy()
+        y = df["y"].to_numpy()
+        cx = np.floor(x / eps).astype(np.int64)
+        cy = np.floor(y / eps).astype(np.int64)
+        n = len(df)
+        cells, owns = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cells.append(_cell_key(cx + dx, cy + dy))
+                owns.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8))
+        out = pd.DataFrame(
+            {
+                "cell": np.concatenate(cells),
+                "own": np.concatenate(owns),
+                "x": np.tile(x, 9),
+                "y": np.tile(y, 9),
+            }
+        )
+        for c in extra:
+            out[c] = np.tile(df[c].to_numpy(), 9)
+        return out
+
+    counted = count_cell(rep_local(pdf, (id_col,))).to_pandas()
+    counted["core"] = (counted["n_nbrs"] >= min_pts).astype(np.int8)
+    ew = edges_cell(rep_local(counted, (id_col, "core"))).to_pandas()
+    e0 = ew[ew["kind"] == 0]
+    if len(e0):
+        et = pa.table(
+            {
+                "node": pa.array(
+                    np.concatenate([e0["id_a"], e0["id_b"]]), pa.int64()
+                ),
+                "nbr": pa.array(
+                    np.concatenate([e0["id_b"], e0["id_a"]]), pa.int64()
+                ),
+            }
+        )
+        lt = _dd._cc_local(et).to_pandas()
+        lab = lt.set_index("node")["label"]
+    else:
+        lab = pd.Series(dtype=np.int64)
+    e1 = ew[ew["kind"] == 1]
+    bl = e1["id_b"].map(lab).fillna(e1["id_b"]).astype(np.int64)
+    bmap = pd.Series(bl.to_numpy(), index=e1["id_a"].to_numpy())
+    ids = counted[id_col]
+    is_core = counted["core"].to_numpy() == 1
+    cluster = np.where(
+        is_core,
+        ids.map(lab).fillna(ids).to_numpy(dtype=np.int64),
+        ids.map(bmap).fillna(-1).to_numpy(dtype=np.int64),
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array(ids.to_numpy(), pa.int64()),
+                "cluster": pa.array(cluster, pa.int64()),
+            }
+        )
+    )
+
+
 def dbscan_2d(
     ds,
     eps: float | None = None,
     min_pts: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    local_max_bytes: int = _DBSCAN_LOCAL_MAX_BYTES,
 ):
     """Distributed DBSCAN over the top-2-PC projection.
 
@@ -692,8 +773,6 @@ def dbscan_2d(
     if eps is None:
         eps = 0.25 * float(np.sqrt(ev[0] + ev[1]))
     eps2 = eps * eps
-
-    rep1 = _replicate_cells(proj, eps, extra_cols=(id_col,))
 
     def count_cell(df: pd.DataFrame) -> pa.Table:
         out_ids, out_n, out_x, out_y = [], [], [], []
@@ -723,22 +802,6 @@ def dbscan_2d(
                 "y": pa.array(np.concatenate(out_y), pa.float64()),
             }
         )
-
-    flagged = _cell_bucketed(rep1, count_cell)
-
-    def add_core(b: pa.Table) -> pa.Table:
-        core = (b.column("n_nbrs").to_numpy(zero_copy_only=False) >= min_pts)
-        return pa.table(
-            {
-                id_col: b.column(id_col),
-                "x": b.column("x"),
-                "y": b.column("y"),
-                "core": pa.array(core.astype(np.int8), pa.int8()),
-            }
-        )
-
-    pts = flagged.map_batches(add_core, batch_format="pyarrow").materialize()
-    rep2 = _replicate_cells(pts, eps, extra_cols=(id_col, "core"))
 
     i64max = np.iinfo(np.int64).max
 
@@ -790,6 +853,33 @@ def dbscan_2d(
                 "id_b": pa.array(cat(b_out, np.int64), pa.int64()),
             }
         )
+
+    # size gate (the q_pagerank / triangle_count pattern): a projected
+    # point set under the byte gate runs the SAME cell kernels in one
+    # process — tiny inputs shouldn't pay five bucketed exchanges
+    # (measured 7.7 s → sub-second at sf0.1); pass local_max_bytes=0
+    # to force the distributed path (the planted test does)
+    if (proj.size_bytes() or 0) <= local_max_bytes:
+        return _dbscan_local_path(
+            proj, eps, min_pts, id_col, count_cell, edges_cell
+        )
+
+    rep1 = _replicate_cells(proj, eps, extra_cols=(id_col,))
+    flagged = _cell_bucketed(rep1, count_cell)
+
+    def add_core(b: pa.Table) -> pa.Table:
+        core = (b.column("n_nbrs").to_numpy(zero_copy_only=False) >= min_pts)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "x": b.column("x"),
+                "y": b.column("y"),
+                "core": pa.array(core.astype(np.int8), pa.int8()),
+            }
+        )
+
+    pts = flagged.map_batches(add_core, batch_format="pyarrow").materialize()
+    rep2 = _replicate_cells(pts, eps, extra_cols=(id_col, "core"))
 
     ew = _cell_bucketed(rep2, edges_cell).materialize()
     import pyarrow.compute as pc

@@ -474,6 +474,19 @@ def test_dbscan_planted_blobs(tmp_path):
         blob_clusters.add(c)
     assert len(blob_clusters) == 3
 
+    # force the DISTRIBUTED grid/exchange path (local_max_bytes=0) —
+    # identical assignment required
+    dist = (
+        pa.concat_tables(
+            dbscan_2d(ds, eps=1.5, min_pts=8, local_max_bytes=0).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        .to_pandas()
+        .set_index("vec_id")["cluster"]
+    )
+    assert dist.sort_index().equals(got.sort_index())
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_graph_ops_empty_graph(tmp_path):
