@@ -623,26 +623,25 @@ def _cell_bucketed(ds, fn):
     )
 
 
-def _replicate_cells(ds, eps: float, extra_cols: tuple = ()):
-    """Each point lands in its own cell plus the 8 neighbors (cell side
-    = eps, so every ε-neighbor pair shares at least one replica cell);
-    ``own`` marks the single replica the point is counted/owned at."""
+def _replicate_cells(ds, side: float, extra_cols: tuple = (), reach: int = 2):
+    """Each point lands in its own cell plus every neighbor within
+    ``reach`` (the Gunawan grid: side = ε/√2, reach = 2, so one cell is
+    an ε-clique and every ε-neighbor pair shares at least one replica
+    cell); ``own`` marks the single replica the point is owned at."""
+    offs = [(dx, dy) for dx in range(-reach, reach + 1) for dy in range(-reach, reach + 1)]
 
     def rep(b: pa.Table) -> pa.Table:
         x = b.column("x").to_numpy(zero_copy_only=False)
         y = b.column("y").to_numpy(zero_copy_only=False)
-        cx = np.floor(x / eps).astype(np.int64)
-        cy = np.floor(y / eps).astype(np.int64)
+        cx = np.floor(x / side).astype(np.int64)
+        cy = np.floor(y / side).astype(np.int64)
         n = len(x)
         cols = {c: b.column(c).to_numpy(zero_copy_only=False) for c in b.column_names}
         out_cell, out_own = [], []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                out_cell.append(_cell_key(cx + dx, cy + dy))
-                out_own.append(
-                    np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8)
-                )
-        rep_n = 9
+        for dx, dy in offs:
+            out_cell.append(_cell_key(cx + dx, cy + dy))
+            out_own.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8))
+        rep_n = len(offs)
         data = {
             "cell": pa.array(np.concatenate(out_cell), pa.int64()),
             "own": pa.array(np.concatenate(out_own), pa.int8()),
@@ -656,6 +655,29 @@ def _replicate_cells(ds, eps: float, extra_cols: tuple = ()):
     return ds.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _cell_join_idx(own_cells: np.ndarray, ref_cells_sorted: np.ndarray):
+    """Index pairs (o_rep, r_idx) of every (owner, ref) combination
+    sharing a cell key — the numpy equi-join: unique blocks of the
+    SORTED ref side + repeat/arange segment expansion.  O(pairs) flat
+    int arrays, no per-cell loop, no DataFrame intermediates."""
+    uniq, start = np.unique(ref_cells_sorted, return_index=True)
+    block_len = np.append(start[1:], len(ref_cells_sorted)) - start
+    pos = np.searchsorted(uniq, own_cells)
+    pos_c = np.minimum(pos, max(len(uniq) - 1, 0))
+    match = (len(uniq) > 0) & (uniq[pos_c] == own_cells) if len(uniq) else np.zeros(
+        len(own_cells), bool
+    )
+    idx = pos_c[match]
+    reps = block_len[idx]
+    total = int(reps.sum())
+    o_rep = np.repeat(np.nonzero(match)[0], reps)
+    base = np.repeat(start[idx], reps)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(reps) - reps, reps
+    )
+    return o_rep, base + offs
+
+
 def _pairwise_within(ax, ay, bx, by, eps2):
     """Boolean (len(a) × len(b)) ε-ball mask, owner-chunked so the
     matmul is memory-bounded regardless of cell population (the
@@ -664,10 +686,14 @@ def _pairwise_within(ax, ay, bx, by, eps2):
     return d2 <= eps2
 
 
-_DBSCAN_LOCAL_MAX_BYTES = 64 << 20
+# measured crossover: 1M projected points (24 MB) run 71.9 s
+# distributed vs 411 s through the single-process twin — the gate only
+# shields the fixed per-exchange cost, so it sits well below the
+# dedup-CC gates (8 MB ≈ 340k points)
+_DBSCAN_LOCAL_MAX_BYTES = 8 << 20
 
 
-def _dbscan_local_path(proj, eps, min_pts, id_col, count_cell, edges_cell):
+def _dbscan_local_path(proj, side, min_pts, id_col, count_cell, edges_cell):
     """Driver-side twin of the distributed grid phases: the SAME cell
     kernels run over one in-process replicated frame, with the dedup
     module's vectorized pointer-jumping CC — semantics identical by
@@ -682,27 +708,29 @@ def _dbscan_local_path(proj, eps, min_pts, id_col, count_cell, edges_cell):
         return ray.data.from_arrow(out_schema.empty_table())
     pdf = pa.concat_tables(tbls).to_pandas()
 
+    offs = [(dx, dy) for dx in (-2, -1, 0, 1, 2) for dy in (-2, -1, 0, 1, 2)]
+
     def rep_local(df: pd.DataFrame, extra: tuple) -> pd.DataFrame:
         x = df["x"].to_numpy()
         y = df["y"].to_numpy()
-        cx = np.floor(x / eps).astype(np.int64)
-        cy = np.floor(y / eps).astype(np.int64)
+        cx = np.floor(x / side).astype(np.int64)
+        cy = np.floor(y / side).astype(np.int64)
         n = len(df)
         cells, owns = [], []
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                cells.append(_cell_key(cx + dx, cy + dy))
-                owns.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8))
+        for dx, dy in offs:
+            cells.append(_cell_key(cx + dx, cy + dy))
+            owns.append(np.full(n, 1 if (dx == 0 and dy == 0) else 0, np.int8))
+        rep_n = len(offs)
         out = pd.DataFrame(
             {
                 "cell": np.concatenate(cells),
                 "own": np.concatenate(owns),
-                "x": np.tile(x, 9),
-                "y": np.tile(y, 9),
+                "x": np.tile(x, rep_n),
+                "y": np.tile(y, rep_n),
             }
         )
         for c in extra:
-            out[c] = np.tile(df[c].to_numpy(), 9)
+            out[c] = np.tile(df[c].to_numpy(), rep_n)
         return out
 
     counted = count_cell(rep_local(pdf, (id_col,))).to_pandas()
@@ -721,9 +749,13 @@ def _dbscan_local_path(proj, eps, min_pts, id_col, count_cell, edges_cell):
             }
         )
         lt = _dd._cc_local(et).to_pandas()
-        lab = lt.set_index("node")["label"]
+        rep_lab = lt.set_index("node")["label"]
     else:
-        lab = pd.Series(dtype=np.int64)
+        rep_lab = pd.Series(dtype=np.int64)
+    # star-leaf attach: every core's label = its rep's component label
+    e2 = ew[ew["kind"] == 2]
+    core_vals = e2["id_b"].map(rep_lab).fillna(e2["id_b"]).astype(np.int64)
+    lab = pd.Series(core_vals.to_numpy(), index=e2["id_a"].to_numpy())
     e1 = ew[ew["kind"] == 1]
     bl = e1["id_b"].map(lab).fillna(e1["id_b"]).astype(np.int64)
     bmap = pd.Series(bl.to_numpy(), index=e1["id_a"].to_numpy())
@@ -752,54 +784,78 @@ def dbscan_2d(
     id_col: str = "vec_id",
     local_max_bytes: int = _DBSCAN_LOCAL_MAX_BYTES,
 ):
-    """Distributed DBSCAN over the top-2-PC projection.
+    """Distributed DBSCAN over the top-2-PC projection (Gunawan's
+    exact grid construction, SODM'13 / the standard exact 2-D DBSCAN).
 
-    Grid construction (cell side = eps, 9-cell replication) keeps every
-    exchange O(9 × points): (1) per-cell exact ε-neighbor counts →
-    core flags, (2) second replication carrying the flag → core-core
-    ε-edges + each border's MINIMUM core neighbor id (deterministic —
-    classic DBSCAN's border assignment is scan-order-dependent; min-id
-    is a fixed choice of the same valid assignments), (3) connected
-    components over core edges (the dedup machinery — size-gated local
-    below its byte gate), (4) one bucketed join labels the borders.
-    Noise → cluster −1.  Returns (vec_id, cluster) with cluster = the
-    component's min core id.
+    Cell side = ε/√2 with 5×5 replication, so one cell is an ε-CLIQUE
+    and every ε-pair shares a replica cell.  Phases, each one bucketed
+    O(25 × points) exchange: (1) exact per-cell ε-neighbor counts →
+    core flags, (2) cluster edges — intra-cell cores collapse to a
+    STAR on the cell's min core id and ε-close cross-cell core pairs
+    collapse to ONE representative-pair edge per cell pair, so the CC
+    edge set is O(cores + 21·cells), never O(ε-pairs) (a dense blob
+    has ~occupancy² ε-pairs per cell — the naive edge set measured
+    ~100M edges on a 1M-point lake; this one is ~1M) — plus each
+    border's MINIMUM ε-close core id (deterministic where classic
+    DBSCAN's border assignment is scan-order-dependent), (3) connected
+    components over the collapsed edges (the dedup machinery —
+    size-gated local below its byte gate), (4) one bucketed join
+    labels the borders.  Noise → cluster −1.  Returns (vec_id,
+    cluster); cluster ids are component-min CORE ids.
 
     eps defaults to 0.25·√(λ₁+λ₂) — a fixed fraction of the projected
     spread, deterministic from the same moment pass.
     """
     proj, ev = pca_project_2d(ds, vec_col=vec_col, id_col=id_col)
     proj = proj.materialize()
+    # the projection inherits the INPUT's block count (often = file
+    # count); the replicate→shuffle-map stages fuse onto those blocks,
+    # so a 6-file lake would run the whole grid 6-wide — rebalance
+    # before fanning out 25× (measured: the count stage sat at ~20%
+    # CPU utilization on a 6-block 1M-point lake)
+    try:
+        if proj.num_blocks() < 32 and proj.count() > 100_000:
+            proj = proj.repartition(64).materialize()
+    except Exception:
+        pass
     if eps is None:
         eps = 0.25 * float(np.sqrt(ev[0] + ev[1]))
     eps2 = eps * eps
+    side = eps / np.sqrt(2.0)
 
+    # Cell kernels are pure-numpy segmented expansions: the candidate
+    # (owner, same-cell point) pairs come from sorted cell blocks +
+    # repeat/arange index arithmetic — no per-cell Python loop (368 s
+    # at 1M points) and no pandas merge (11 s single-threaded but its
+    # DataFrame intermediates collapsed to ~320 s/task under 31-way
+    # concurrency from memory pressure; the numpy form is ~0.5 s and
+    # allocates only flat index arrays).  Pair volume per bucket is
+    # Σ_cell own·pop ≤ points × 9 × max-ε-ball-occupancy — bounded by
+    # DBSCAN's standard density assumption (pick ε for the density, as
+    # any exact DBSCAN requires).
     def count_cell(df: pd.DataFrame) -> pa.Table:
-        out_ids, out_n, out_x, out_y = [], [], [], []
-        for _, g in df.groupby("cell", sort=False):
-            own = g[g["own"] == 1]
-            if own.empty:
-                continue
-            ax, ay = own["x"].to_numpy(), own["y"].to_numpy()
-            bx, by = g["x"].to_numpy(), g["y"].to_numpy()
-            for i in range(0, len(own), _DBSCAN_CHUNK):
-                sl = slice(i, i + _DBSCAN_CHUNK)
-                m = _pairwise_within(ax[sl], ay[sl], bx, by, eps2)
-                out_n.append(m.sum(axis=1).astype(np.int64))
-            out_ids.append(own[id_col].to_numpy())
-            out_x.append(ax)
-            out_y.append(ay)
-        if not out_ids:
+        own_mask = df["own"].to_numpy() == 1
+        if not own_mask.any():
             return pa.schema(
                 [(id_col, pa.int64()), ("n_nbrs", pa.int64()),
                  ("x", pa.float64()), ("y", pa.float64())]
             ).empty_table()
+        cells = df["cell"].to_numpy()
+        xs = df["x"].to_numpy()
+        ys = df["y"].to_numpy()
+        order = np.argsort(cells, kind="stable")
+        rcell, rx, ry = cells[order], xs[order], ys[order]
+        oc, ox, oy = cells[own_mask], xs[own_mask], ys[own_mask]
+        oid = df[id_col].to_numpy()[own_mask]
+        o_rep, r_idx = _cell_join_idx(oc, rcell)
+        inb = (ox[o_rep] - rx[r_idx]) ** 2 + (oy[o_rep] - ry[r_idx]) ** 2 <= eps2
+        counts = np.bincount(o_rep, weights=inb, minlength=len(oc)).astype(np.int64)
         return pa.table(
             {
-                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
-                "n_nbrs": pa.array(np.concatenate(out_n), pa.int64()),
-                "x": pa.array(np.concatenate(out_x), pa.float64()),
-                "y": pa.array(np.concatenate(out_y), pa.float64()),
+                id_col: pa.array(oid, pa.int64()),
+                "n_nbrs": pa.array(counts, pa.int64()),
+                "x": pa.array(ox, pa.float64()),
+                "y": pa.array(oy, pa.float64()),
             }
         )
 
@@ -811,37 +867,79 @@ def dbscan_2d(
     # MIN-core-neighbor candidates (kind 1)
     def edges_cell(df: pd.DataFrame) -> pa.Table:
         kinds, a_out, b_out = [], [], []
-        for _, g in df.groupby("cell", sort=False):
-            own = g[g["own"] == 1]
-            cores = g[g["core"] == 1]
-            if own.empty or cores.empty:
-                continue
-            cx_, cy_ = cores["x"].to_numpy(), cores["y"].to_numpy()
-            cid = cores[id_col].to_numpy()
-            oc = own[own["core"] == 1]
-            for i in range(0, len(oc), _DBSCAN_CHUNK):
-                sl = oc.iloc[i : i + _DBSCAN_CHUNK]
-                m = _pairwise_within(
-                    sl["x"].to_numpy(), sl["y"].to_numpy(), cx_, cy_, eps2
+        core_all = df["core"].to_numpy() == 1
+        own_all = df["own"].to_numpy() == 1
+        if core_all.any() and own_all.any():
+            cells = df["cell"].to_numpy()
+            xs = df["x"].to_numpy()
+            ys = df["y"].to_numpy()
+            ids = df[id_col].to_numpy()
+            # every point of a neighbor HOME cell is replicated into
+            # this group, so per-home-cell representatives (min core
+            # id) computed here are globally consistent
+            home = _cell_key(
+                np.floor(xs / side).astype(np.int64),
+                np.floor(ys / side).astype(np.int64),
+            )
+            order = np.lexsort((ids[core_all], cells[core_all]))
+            rcell = cells[core_all][order]
+            rx, ry = xs[core_all][order], ys[core_all][order]
+            rid = ids[core_all][order]
+            rhome = home[core_all][order]
+            # rep of a core's home cell: min core id per home value
+            h_sort = np.argsort(rhome, kind="stable")
+            h_vals = rhome[h_sort]
+            h_uniq, h_start = np.unique(h_vals, return_index=True)
+            h_rep = np.minimum.reduceat(rid[h_sort], h_start) if len(h_uniq) else (
+                np.array([], np.int64)
+            )
+
+            def rep_of(home_keys):
+                return h_rep[np.searchsorted(h_uniq, home_keys)]
+
+            def near(mask):
+                o_rep, r_idx = _cell_join_idx(cells[mask], rcell)
+                inb = (
+                    (xs[mask][o_rep] - rx[r_idx]) ** 2
+                    + (ys[mask][o_rep] - ry[r_idx]) ** 2
+                    <= eps2
                 )
-                ii, jj = np.nonzero(m)
-                a = sl[id_col].to_numpy()[ii]
-                bb = cid[jj]
-                keep = a < bb
-                a_out.append(a[keep])
-                b_out.append(bb[keep])
-                kinds.append(np.zeros(int(keep.sum()), np.int8))
-            ob = own[own["core"] == 0]
-            for i in range(0, len(ob), _DBSCAN_CHUNK):
-                sl = ob.iloc[i : i + _DBSCAN_CHUNK]
-                m = _pairwise_within(
-                    sl["x"].to_numpy(), sl["y"].to_numpy(), cx_, cy_, eps2
-                )
-                cand = np.where(m, cid[None, :], i64max).min(axis=1)
-                has = cand != i64max
-                a_out.append(sl[id_col].to_numpy()[has])
-                b_out.append(cand[has])
-                kinds.append(np.ones(int(has.sum()), np.int8))
+                return o_rep[inb], r_idx[inb]
+
+            oc_mask = own_all & core_all
+            # intra-cell star (kind 2): every owner core → its home
+            # cell's rep.  These are NOT CC edges — CC runs on the
+            # O(cells) rep graph only (min-label propagation needs
+            # O(diameter) rounds, and a blob's CELL graph has a large
+            # diameter; the star leaves attach in one join afterward).
+            oc_rep = rep_of(home[oc_mask])
+            oc_id = ids[oc_mask]
+            a_out.append(oc_id)
+            b_out.append(oc_rep)
+            kinds.append(np.full(len(oc_id), 2, np.int8))
+            # cross-cell: one rep-pair edge per ε-connected cell pair
+            o_rep, r_idx = near(oc_mask)
+            cross = home[oc_mask][o_rep] != rhome[r_idx]
+            ra = oc_rep[o_rep][cross]
+            rb = rep_of(rhome[r_idx][cross])
+            lo, hi = np.minimum(ra, rb), np.maximum(ra, rb)
+            keep = lo != hi
+            pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0) if (
+                keep.any()
+            ) else np.empty((0, 2), np.int64)
+            a_out.append(pairs[:, 0])
+            b_out.append(pairs[:, 1])
+            kinds.append(np.zeros(len(pairs), np.int8))
+
+            ob_mask = own_all & ~core_all
+            o_rep, r_idx = near(ob_mask)
+            n_ob = int(ob_mask.sum())
+            cand = np.full(n_ob, i64max, np.int64)
+            np.minimum.at(cand, o_rep, rid[r_idx])
+            has = cand != i64max
+            a_out.append(ids[ob_mask][has])
+            b_out.append(cand[has])
+            kinds.append(np.ones(int(has.sum()), np.int8))
 
         def cat(lst, dt):
             return np.concatenate(lst) if lst else np.array([], dt)
@@ -861,10 +959,10 @@ def dbscan_2d(
     # to force the distributed path (the planted test does)
     if (proj.size_bytes() or 0) <= local_max_bytes:
         return _dbscan_local_path(
-            proj, eps, min_pts, id_col, count_cell, edges_cell
+            proj, side, min_pts, id_col, count_cell, edges_cell
         )
 
-    rep1 = _replicate_cells(proj, eps, extra_cols=(id_col,))
+    rep1 = _replicate_cells(proj, side, extra_cols=(id_col,))
     flagged = _cell_bucketed(rep1, count_cell)
 
     def add_core(b: pa.Table) -> pa.Table:
@@ -879,7 +977,7 @@ def dbscan_2d(
         )
 
     pts = flagged.map_batches(add_core, batch_format="pyarrow").materialize()
-    rep2 = _replicate_cells(pts, eps, extra_cols=(id_col, "core"))
+    rep2 = _replicate_cells(pts, side, extra_cols=(id_col, "core"))
 
     ew = _cell_bucketed(rep2, edges_cell).materialize()
     import pyarrow.compute as pc
@@ -892,8 +990,16 @@ def dbscan_2d(
 
         return f
 
-    core_edges = ew.map_batches(kind_eq(0), batch_format="pyarrow")
-    labels = _dd.connected_components(core_edges).materialize()
+    # CC runs on the O(cells)-node REPRESENTATIVE graph only — the
+    # per-core star leaves would not change connectivity but would
+    # multiply CC's work, and more importantly the rep graph usually
+    # fits CC's local gate where the pointer-jumping solver is
+    # diameter-proof (min-label propagation is O(diameter) rounds, and
+    # a spatial blob's cell graph has diameter ~span/ε — the 1M-point
+    # lake measured 200+ rounds before this split)
+    rep_edges = ew.map_batches(kind_eq(0), batch_format="pyarrow")
+    rep_labels = _dd.connected_components(rep_edges).materialize()
+    stars = ew.map_batches(kind_eq(2), batch_format="pyarrow")
     borders = ew.map_batches(kind_eq(1), batch_format="pyarrow")
 
     # exchange 1 (key = candidate core id): resolve each border's
@@ -918,10 +1024,6 @@ def dbscan_2d(
 
         return f
 
-    tagged1 = borders.map_batches(key_on("id_b", 1), batch_format="pyarrow").union(
-        labels.map_batches(key_on("node", 2), batch_format="pyarrow")
-    )
-
     def resolve_border(df: pd.DataFrame) -> pa.Table:
         lab = df[df["kind"] == 2].set_index("cell")["b"]
         bor = df[df["kind"] == 1]
@@ -932,6 +1034,27 @@ def dbscan_2d(
                 "blabel": pa.array(out.to_numpy(), pa.int64()),
             }
         )
+
+    # star-leaf attach (key = rep id): every core's label = its rep's
+    # component label (rep not in any rep-pair edge → its own label)
+    star_tagged = stars.map_batches(key_on("id_b", 1), batch_format="pyarrow").union(
+        rep_labels.map_batches(key_on("node", 2), batch_format="pyarrow")
+    )
+
+    def to_node_label(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b.column("vec_id"), "label": b.column("blabel")}
+        )
+
+    labels = (
+        _cell_bucketed(star_tagged, resolve_border)
+        .map_batches(to_node_label, batch_format="pyarrow")
+        .materialize()
+    )
+
+    tagged1 = borders.map_batches(key_on("id_b", 1), batch_format="pyarrow").union(
+        labels.map_batches(key_on("node", 2), batch_format="pyarrow")
+    )
 
     blab = _cell_bucketed(tagged1, resolve_border)
 
