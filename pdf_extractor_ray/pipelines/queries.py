@@ -12939,6 +12939,56 @@ def q_dbscan(sf_dir: str):
     return out.sort_by([("n_points", "descending"), ("cluster", "ascending")])
 
 
+# --------------------------------------------------------------------------
+# KLL rank sketch quantiles (Karnin–Lang–Liberty) — the principled
+# mergeable quantile structure next to the fixed-bin histogram of
+# q_approx_percentiles: one small compactor sketch per batch crosses
+# the exchange (O(k·log(n/k)) floats, never O(rows)), the driver
+# merges partials in a SORTED deterministic order, and rank error
+# ≤2% of n is pinned by test.  Rows-only (approximate by design).
+# --------------------------------------------------------------------------
+
+_KLL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_kll_quantiles(sf_dir: str):
+    from ..functions import sketches as sk
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = sk.kll_new()
+        sk.kll_update(s, b.column("n_chars").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "sketch": pa.array(
+                    [sk.kll_serialize(s)], pa.list_(pa.list_(pa.float64()))
+                )
+            }
+        )
+
+    parts = _to_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    payloads = parts.column("sketch").to_pylist() if parts.num_rows else []
+    # block arrival order is nondeterministic — fix the merge order
+    payloads.sort(key=lambda p: (len(p), p[-1], p[0][:8] if p[0] else []))
+    merged = None
+    for p in payloads:
+        s = sk.kll_deserialize(p)
+        merged = s if merged is None else sk.kll_merge(merged, s)
+    if merged is None:
+        est = np.full(len(_KLL_QS), np.nan)
+    else:
+        est = sk.kll_quantiles(merged, _KLL_QS)
+    return pa.table(
+        {
+            "q": pa.array(list(_KLL_QS), pa.float64()),
+            "n_chars_est": pa.array(est, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13050,6 +13100,7 @@ QUERIES = {
     "order_reconcile": q_order_reconcile,
     "resample_daily": q_resample_daily,
     "dbscan": q_dbscan,
+    "kll_quantiles": q_kll_quantiles,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,

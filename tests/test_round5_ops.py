@@ -534,3 +534,67 @@ def test_order_reconcile_lineless_order(tmp_path):
     # order 1: 10.0 + 20·0.5·1.1 = 21.0 exactly → diff 0
     assert got.loc[1, "lines_micro"] == 21_000_000 and got.loc[1, "diff_micro"] == 0
     assert got.loc[2, "lines_micro"] == 0 and got.loc[2, "diff_micro"] == -99_000_000
+
+
+def test_kll_rank_error_and_merge_invariance():
+    """KLL sketch: ≤2% rank error at k=200 on a skewed distribution
+    split over many partials, and merge-order invariance after the
+    deterministic partial sort the query layer applies."""
+    from pdf_extractor_ray.functions import sketches as sk
+
+    rng = np.random.RandomState(7)
+    data = np.concatenate(
+        [rng.lognormal(3, 1.5, 60_000), rng.uniform(0, 10, 40_000)]
+    )
+    chunks = np.array_split(data, 37)
+    partials = []
+    for c in chunks:
+        s = sk.kll_new()
+        sk.kll_update(s, c)
+        partials.append(s)
+
+    def merge_all(ps):
+        m = ps[0]
+        for p in ps[1:]:
+            m = sk.kll_merge(m, p)
+        return m
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = sk.kll_quantiles(merge_all(partials), qs)
+    srt = np.sort(data)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(srt, e, side="right") / len(data)
+        assert abs(rank - q) <= 0.02, (q, e, rank)
+
+    # serialize → deterministic order → identical result
+    payloads = [sk.kll_serialize(p) for p in partials]
+    payloads.sort(key=lambda p: (len(p), p[-1], p[0][:8] if p[0] else []))
+    m1 = merge_all([sk.kll_deserialize(p) for p in payloads])
+    m2 = merge_all([sk.kll_deserialize(p) for p in payloads])
+    assert np.array_equal(sk.kll_quantiles(m1, qs), sk.kll_quantiles(m2, qs))
+    # sketch stays small: total retained items ≈ k · levels
+    assert sum(len(lv) for lv in m1["levels"]) <= 200 * len(m1["levels"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kll_query_runs(tmp_path):
+    from pdf_extractor_ray.pipelines.queries import q_kll_quantiles
+
+    n = 5000
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(np.arange(n), pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = q_kll_quantiles(str(tmp_path)).to_pandas()
+    assert got["q"].tolist() == [0.25, 0.5, 0.75, 0.9, 0.99]
+    # uniform 0..n: estimates within 2% of the true quantile values
+    for q, e in zip(got["q"], got["n_chars_est"]):
+        assert abs(e - q * n) <= 0.02 * n, (q, e)
