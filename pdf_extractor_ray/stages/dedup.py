@@ -563,7 +563,28 @@ def connected_components(
             }
         )
 
-    for _ in range(max_rounds):
+    # pointer-jumping query rows: every non-root label row asks for its
+    # LABEL's label (k = label) through the same send_labels join —
+    # the classic shortcutting step (Kiveris et al., "Connected
+    # Components in MapReduce and Beyond"), which contracts
+    # label-to-root distance geometrically so chain/grid-shaped
+    # components converge in O(log diameter) rounds instead of
+    # O(diameter) (a 255-hop chain: 25-round cap blown without it,
+    # ~10 rounds with it)
+    def labels_query(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.not_equal(batch.column("label"), batch.column("node"))
+        )
+        return pa.table(
+            {
+                "k": t.column("label"),
+                "node": t.column("node"),
+                "label": pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+                "src": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    for round_idx in range(max_rounds):
         keyed = edges.map_batches(edges_keyed, batch_format="pyarrow").union(
             labels.map_batches(labels_keyed, batch_format="pyarrow")
         )
@@ -573,6 +594,19 @@ def connected_components(
             .map_groups(send_labels, batch_format="pyarrow")
         )
         cand = msgs.union(labels.map_batches(with_is_old, batch_format="pyarrow"))
+        if round_idx >= 2:
+            # clique-shaped graphs (the near-dup common case) converge
+            # in ≤2 rounds and never pay this; a third round means the
+            # graph has depth, so add the shortcut exchange
+            jkeyed = labels.map_batches(
+                labels_query, batch_format="pyarrow"
+            ).union(labels.map_batches(labels_keyed, batch_format="pyarrow"))
+            jmsgs = (
+                jkeyed.map_batches(bucket_on("k"), batch_format="pyarrow")
+                .groupby("_bucket", num_partitions=num_buckets)
+                .map_groups(send_labels, batch_format="pyarrow")
+            )
+            cand = cand.union(jmsgs)
         # ONE heavy execution per round (the materialize) + one tiny
         # aggregate over its cached blocks; the `changed` column rides
         # along into the next round's labels (labels_keyed/with_is_old
@@ -585,13 +619,21 @@ def connected_components(
             .materialize()
         )
         n_changed = new_labels.aggregate(Sum("changed", alias_name="n"))["n"] or 0
+        # the union + map_groups lineage DOUBLES the label dataset's
+        # block count every round (measured 1→3→7→15→31…): by round 10
+        # the tiny-block scheduling overhead dwarfs the data (2.0 s →
+        # 220 s/round on a 256-node chain) — rebound it before it
+        # compounds
+        if new_labels.num_blocks() > 4 * num_buckets:
+            new_labels = new_labels.repartition(num_buckets).materialize()
         labels = new_labels
         if n_changed == 0:
             break
     else:
-        # Rounds = O(component diameter); a chain-shaped component
-        # longer than max_rounds would come back under-merged, so make
-        # the cap audible instead of silently keeping duplicates.
+        # Rounds = O(log diameter) with the shortcut exchange; a
+        # component deeper than 2^max_rounds would come back
+        # under-merged, so make the cap audible instead of silently
+        # keeping duplicates.
         import warnings
 
         warnings.warn(

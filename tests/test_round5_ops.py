@@ -598,3 +598,33 @@ def test_kll_query_runs(tmp_path):
     # uniform 0..n: estimates within 2% of the true quantile values
     for q, e in zip(got["q"], got["n_chars_est"]):
         assert abs(e - q * n) <= 0.02 * n, (q, e)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cc_chain_converges_with_pointer_jumping():
+    """A 128-node path graph has diameter 127: plain min-label
+    propagation blows the 25-round cap (it moves the min ONE hop per
+    round), so this pins the shortcut (pointer-jumping) exchange —
+    convergence must happen within the cap, with no RuntimeWarning."""
+    import warnings
+
+    import ray.data
+
+    from pdf_extractor_ray.stages import dedup as dd
+
+    edges = pa.table(
+        {
+            "id_a": pa.array(range(127), pa.int64()),
+            "id_b": pa.array(range(1, 128), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(edges)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = (
+            dd.connected_components(ds, local_max_bytes=0)
+            .to_pandas()
+            .sort_values("node")
+        )
+    assert len(out) == 128
+    assert (out["label"] == 0).all()
