@@ -9,6 +9,7 @@ columns cast to epoch microseconds for engine-neutral hashing).
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -12989,6 +12990,233 @@ def q_kll_quantiles(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# rolling anomaly flags — per-user daily-spend spikes: |x − μ_win| >
+# 2σ_win over the trailing window of the last _RANOM_W OBSERVED days
+# (a ROWS frame, matching the SQL oracle).  The whole test is integer:
+# (n·x − S)² > 4·(n·Q − S²) over exact cent sums, so no float ever
+# crosses an engine boundary.  Shape: per-batch (user, day) cent/cent²
+# partials → ONE bucketed exchange of O(users × days) rows → the
+# rolling window runs vectorized inside each user bucket (cumsum
+# differences, never pandas .rolling — which would silently cast the
+# exact int64 sums to float64).  int64 bound: daily user cents < 4.3e8
+# keeps n·Q ≤ 49·c² inside int64 (SQL side auto-promotes to HUGEINT).
+# --------------------------------------------------------------------------
+
+_RANOM_W, _RANOM_MIN_N = 7, 4
+
+
+def q_rolling_anomaly(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        f = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "day_id": us // _DAY_US,
+                "cents": _event_cents(b),
+            }
+        )
+        g = f.groupby(["user_id", "day_id"], sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day_id": pa.array(g["day_id"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    daily = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id", "day_id"],
+        sum_cols=["cents"],
+        schema=pa.schema(
+            [("user_id", pa.int64()), ("day_id", pa.int64()), ("cents", pa.int64())]
+        ),
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day_id", pa.int64()),
+                ("cents", pa.int64()),
+                ("win_n", pa.int64()),
+                ("win_sum", pa.int64()),
+                ("win_sumsq", pa.int64()),
+            ]
+        )
+        b = b[b.columns.difference(["_bucket"], sort=False)]
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "day_id"])
+        u = b["user_id"].to_numpy()
+        x = b["cents"].to_numpy()
+        xsq = x * x
+        # row index within each user's day-ordered run
+        newgrp = np.r_[True, u[1:] != u[:-1]]
+        start = np.flatnonzero(newgrp)
+        runlen = np.diff(np.r_[start, len(u)])
+        gidx = np.arange(len(u)) - np.repeat(start, runlen)
+        # trailing-window sums as exact cumsum differences: window is
+        # rows j..i with j = i - min(gidx, W-1)
+        cs, csq = np.cumsum(x), np.cumsum(xsq)
+        j = np.arange(len(u)) - np.minimum(gidx, _RANOM_W - 1)
+        S = cs - cs[j] + x[j]
+        Q = csq - csq[j] + xsq[j]
+        n = np.minimum(gidx, _RANOM_W - 1) + 1
+        d = n * x - S
+        flag = (n >= _RANOM_MIN_N) & (d * d > 4 * (n * Q - S * S))
+        return pa.table(
+            {
+                "user_id": pa.array(u[flag], pa.int64()),
+                "day_id": pa.array(b["day_id"].to_numpy()[flag], pa.int64()),
+                "cents": pa.array(x[flag], pa.int64()),
+                "win_n": pa.array(n[flag], pa.int64()),
+                "win_sum": pa.array(S[flag], pa.int64()),
+                "win_sumsq": pa.array(Q[flag], pa.int64()),
+            }
+        )
+
+    out = _bucketed(ray.data.from_arrow(daily), "user_id", per_bucket)
+    return _to_table(out)
+
+
+SQL_ROLLING_ANOMALY = f"""
+WITH m AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id, day_id),
+w AS (
+  SELECT user_id, day_id, cents,
+         count(*) OVER fr AS win_n,
+         sum(cents) OVER fr AS win_sum,
+         sum(cents * cents) OVER fr AS win_sumsq
+  FROM m WINDOW fr AS (PARTITION BY user_id ORDER BY day_id
+                       ROWS BETWEEN {_RANOM_W - 1} PRECEDING AND CURRENT ROW))
+SELECT user_id, day_id, cents,
+       CAST(win_n AS BIGINT) AS win_n,
+       CAST(win_sum AS BIGINT) AS win_sum,
+       CAST(win_sumsq AS BIGINT) AS win_sumsq
+FROM w
+WHERE win_n >= {_RANOM_MIN_N}
+  AND (win_n * cents - win_sum) * (win_n * cents - win_sum)
+      > 4 * (win_n * win_sumsq - win_sum * win_sum)
+"""
+
+
+# --------------------------------------------------------------------------
+# Welch two-sample t — each language's n_chars vs the REST of the
+# corpus, from mergeable integer moment partials (n, Σx, Σx²): the
+# exchange carries O(langs × batches) rows at any corpus size and the
+# t/df floats are derived on both engines from the SAME exact integers
+# through the SAME expression tree (every op IEEE correctly-rounded →
+# identical doubles; round(…, 6) on top).  int64 bound: Σ n_chars²
+# needs n_chars² × rows < 2⁶³ (DuckDB auto-promotes to HUGEINT; the
+# Ray side sums per-batch int64 then Python unbounded ints on merge).
+# --------------------------------------------------------------------------
+
+
+def q_welch_t(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy(zero_copy_only=False)
+        f = pd.DataFrame({"lang": b.column("lang").to_numpy(zero_copy_only=False)})
+        f["n"], f["s"], f["q"] = 1, x, x * x
+        g = f.groupby("lang", sort=False, as_index=False).sum()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(), pa.int64()),
+                "q": pa.array(g["q"].to_numpy(), pa.int64()),
+            }
+        )
+
+    mom = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        sum_cols=["n", "s", "q"],
+        schema=pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n", pa.int64()),
+                ("s", pa.int64()),
+                ("q", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    tn, ts_, tq = (int(mom[c].sum()) for c in ("n", "s", "q"))
+    langs, n_l, n_r, tstat, dof = [], [], [], [], []
+    for _, r in mom.sort_values("lang").iterrows():
+        # float derivation mirrors SQL_WELCH_T term by term
+        n1, s1, q1 = float(r["n"]), float(r["s"]), float(r["q"])
+        n2, s2, q2 = float(tn - r["n"]), float(ts_ - r["s"]), float(tq - r["q"])
+        if n1 < 2 or n2 < 2:
+            continue
+        m1, m2 = s1 / n1, s2 / n2
+        v1 = (q1 - s1 * s1 / n1) / (n1 - 1)
+        v2 = (q2 - s2 * s2 / n2) / (n2 - 1)
+        se2 = v1 / n1 + v2 / n2
+        if not se2 > 0:
+            continue
+        langs.append(r["lang"])
+        n_l.append(int(r["n"]))
+        n_r.append(tn - int(r["n"]))
+        tstat.append(round((m1 - m2) / math.sqrt(se2), 6))
+        dof.append(
+            round(
+                (se2 * se2)
+                / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1)),
+                6,
+            )
+        )
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_lang": pa.array(n_l, pa.int64()),
+            "n_rest": pa.array(n_r, pa.int64()),
+            "t_stat": pa.array(tstat, pa.float64()),
+            "df": pa.array(dof, pa.float64()),
+        }
+    )
+
+
+SQL_WELCH_T = """
+WITH m AS (SELECT lang, count(*) AS n, sum(n_chars) AS s,
+                  sum(n_chars * n_chars) AS q
+           FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS n, sum(s) AS s, sum(q) AS q FROM m),
+p AS (SELECT m.lang, m.n AS n_i,
+             CAST(m.n AS DOUBLE) AS n1, CAST(m.s AS DOUBLE) AS s1,
+             CAST(m.q AS DOUBLE) AS q1,
+             CAST(tot.n - m.n AS DOUBLE) AS n2,
+             CAST(tot.s - m.s AS DOUBLE) AS s2,
+             CAST(tot.q - m.q AS DOUBLE) AS q2,
+             CAST(tot.n AS BIGINT) AS n_tot
+      FROM m, tot),
+v AS (SELECT lang, n_i, n_tot, n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM p WHERE n1 >= 2 AND n2 >= 2)
+SELECT lang, CAST(n_i AS BIGINT) AS n_lang,
+       CAST(n_tot - n_i AS BIGINT) AS n_rest,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+       round(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df
+FROM v WHERE (v1 / n1 + v2 / n2) > 0
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13101,6 +13329,8 @@ QUERIES = {
     "resample_daily": q_resample_daily,
     "dbscan": q_dbscan,
     "kll_quantiles": q_kll_quantiles,
+    "rolling_anomaly": q_rolling_anomaly,
+    "welch_t": q_welch_t,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -13260,6 +13490,8 @@ ORACLES = {
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "order_reconcile": SQL_ORDER_RECONCILE,
     "resample_daily": SQL_RESAMPLE_DAILY,
+    "rolling_anomaly": SQL_ROLLING_ANOMALY,
+    "welch_t": SQL_WELCH_T,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
