@@ -13217,6 +13217,290 @@ FROM v WHERE (v1 / n1 + v2 / n2) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# exact substring-CONTAINMENT dedup — drop documents whose full text
+# occurs verbatim inside another document (the arbitrary-alignment
+# complement of q_dup_spans' stride-aligned window scan; Lee et al.
+# 2021 exact-substring family).  Returns (doc_id, n_containers) for
+# every contained doc, matching position(a.text IN b.text) > 0.
+#
+# Construction (Rabin-Karp, exact):
+#   1. anchor index — one map pass emits per-doc (anchor_h = 64-bit
+#      polynomial hash of the first _CONTAIN_A UTF-8 bytes, byte len,
+#      two independent keyed siphash64s of the FULL text = a 128-bit
+#      identity).  O(docs) rows, ~40 B each, collected once and
+#      broadcast via ray.put.  For lakes where even this index
+#      outgrows the driver, the same construction holds with the
+#      index sharded across an actor set — documented fallback, not
+#      wired (the decontaminate / pair_texts precedent).
+#   2. scan — per batch, the Arrow string column's own value buffer
+#      IS the concatenated UTF-8 bytes (zero-copy); ONE vectorized
+#      uint64 rolling-hash pass scores every byte offset
+#      (S-cumsum × modular-inverse-of-B powers, everything wrapping
+#      mod 2^64), boundary-masked so windows never straddle docs.
+#      Probe = searchsorted into the broadcast anchor array;
+#      equal-anchor runs expand via repeat/cumsum (no row loop).
+#      Transient scan memory ≈ 40 B per text byte per batch.
+#   3. verify — surviving (position, candidate) pairs re-hash the
+#      container's byte slice with both siphash keys and compare to
+#      the candidate's full-text identity: a match is exact equality
+#      up to 2^-128 collision odds (the q_dup_spans exactness
+#      standard).  No text ever crosses an exchange.
+#   Candidates shorter than _CONTAIN_A bytes can't be anchored and go
+#   through a literal match_substring pass (decontaminate shape);
+#   empty texts are contained in every other doc by SQL semantics
+#   (position('' IN x) = 1) and are closed-form: n_containers = N-1.
+#   The broadcast is chunked at _CONTAIN_CHUNK candidates per scan
+#   pass, so anchor-set size bounds memory, never correctness.
+# Final exchange: only (doc_id, n_containers) partials — a container
+# doc lives in exactly one batch, so per-batch distinct-container
+# counts sum to the global count.
+# --------------------------------------------------------------------------
+
+_CONTAIN_A = 16                     # anchor length, UTF-8 bytes
+_CONTAIN_CHUNK = 1 << 16            # candidates broadcast per scan pass
+_CONTAIN_B = np.uint64(1000003)     # odd → invertible mod 2^64
+_CONTAIN_BINV = np.uint64(pow(1000003, -1, 2**64))
+_CONTAIN_K1, _CONTAIN_K2 = "contain-sip-key1", "contain-sip-key2"
+
+
+def _contain_buffers(batch: pa.Table):
+    """(ids, byte_offsets, uint8 data, per-doc byte lengths) of the
+    batch's text column — the value buffer is the zero-copy
+    concatenation of all UTF-8 texts."""
+    arr = pc.cast(
+        pc.cast(batch.column("text"), pa.large_string()), pa.large_binary()
+    ).combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return ids, offs, data, np.diff(offs), arr
+
+
+def q_contained_dedup(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    bpA = np.ones(_CONTAIN_A, dtype=np.uint64)
+    np.multiply.accumulate(
+        np.full(_CONTAIN_A - 1, _CONTAIN_B, dtype=np.uint64), out=bpA[1:]
+    )
+
+    def anchor_partial(batch: pa.Table) -> pa.Table:
+        ids, offs, data, blen, arr = _contain_buffers(batch)
+        obj = arr.to_numpy(zero_copy_only=False)  # object array of bytes
+        fh1 = pd.util.hash_array(obj, hash_key=_CONTAIN_K1).view(np.int64)
+        fh2 = pd.util.hash_array(obj, hash_key=_CONTAIN_K2).view(np.int64)
+        long = blen >= _CONTAIN_A
+        anchor = np.zeros(len(ids), dtype=np.uint64)
+        if long.any():
+            pref = data[
+                offs[:-1][long][:, None] + np.arange(_CONTAIN_A)[None, :]
+            ].astype(np.uint64)
+            with np.errstate(over="ignore"):
+                anchor[long] = (pref * bpA[None, :]).sum(axis=1, dtype=np.uint64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "blen": pa.array(blen, pa.int64()),
+                "anchor": pa.array(anchor.view(np.int64), pa.int64()),
+                "fh1": pa.array(fh1, pa.int64()),
+                "fh2": pa.array(fh2, pa.int64()),
+            }
+        )
+
+    idx_tb = _to_table(
+        ds.map_batches(anchor_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    blen_all = idx_tb.column("blen").to_numpy(zero_copy_only=False)
+    n_total = idx_tb.num_rows
+    # sort the anchor index in UNSIGNED hash space (the scan probes
+    # uint64 views — an int64 sort would break searchsorted)
+    long_tb = idx_tb.filter(pa.array(blen_all >= _CONTAIN_A))
+    la = long_tb.column("anchor").to_numpy(zero_copy_only=False).view(np.uint64)
+    lorder = np.argsort(la, kind="stable")
+    l_anchor = la[lorder]
+    l_id = long_tb.column("doc_id").to_numpy(zero_copy_only=False)[lorder]
+    l_len = long_tb.column("blen").to_numpy(zero_copy_only=False)[lorder]
+    l_f1 = long_tb.column("fh1").to_numpy(zero_copy_only=False)[lorder]
+    l_f2 = long_tb.column("fh2").to_numpy(zero_copy_only=False)[lorder]
+    short_tb = idx_tb.filter(
+        pa.array((blen_all > 0) & (blen_all < _CONTAIN_A))
+    )
+    parts: list[pa.Table] = []
+    pair_schema = pa.schema([("doc_id", pa.int64()), ("n_containers", pa.int64())])
+
+    # empty texts: contained in every other doc, closed form
+    n_empty = int((blen_all == 0).sum())
+    if n_empty:
+        empt = idx_tb.filter(pa.array(blen_all == 0))
+        parts.append(
+            pa.table(
+                {
+                    "doc_id": empt.column("doc_id"),
+                    "n_containers": pa.array(
+                        np.full(n_empty, n_total - 1, dtype=np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def scan_pass(sl: slice, shorts: list[tuple[int, str]]):
+        ref = ray.put(
+            (l_anchor[sl], l_id[sl], l_len[sl], l_f1[sl], l_f2[sl], shorts)
+        )
+
+        def scan(batch: pa.Table) -> pa.Table:
+            a_srt, cid, clen, cf1, cf2, shorts = ray.get(ref)
+            ids, offs, data, blen, _arr = _contain_buffers(batch)
+            pair_c, pair_k = [], []
+            n = len(data)
+            npos = n - _CONTAIN_A + 1
+            if npos > 0 and len(a_srt):
+                with np.errstate(over="ignore"):
+                    x = data.astype(np.uint64)
+                    bpow = np.ones(n, dtype=np.uint64)
+                    np.multiply.accumulate(
+                        np.full(n - 1, _CONTAIN_B, dtype=np.uint64), out=bpow[1:]
+                    )
+                    binv = np.ones(npos, dtype=np.uint64)
+                    if npos > 1:
+                        np.multiply.accumulate(
+                            np.full(npos - 1, _CONTAIN_BINV, dtype=np.uint64),
+                            out=binv[1:],
+                        )
+                    S = np.zeros(n + 1, dtype=np.uint64)
+                    np.cumsum(x * bpow, out=S[1:])
+                    W = (S[_CONTAIN_A:] - S[:npos]) * binv
+                docidx = np.repeat(np.arange(len(ids)), blen)
+                valid = (
+                    docidx[:npos]
+                    == docidx[np.minimum(np.arange(npos) + _CONTAIN_A - 1, n - 1)]
+                )
+                lo = np.searchsorted(a_srt, W)
+                hit = valid & (a_srt[np.minimum(lo, len(a_srt) - 1)] == W)
+                hp = np.flatnonzero(hit)
+                if len(hp):
+                    wlo = lo[hp]
+                    whi = np.searchsorted(a_srt, W[hp], side="right")
+                    runs = whi - wlo
+                    tot = int(runs.sum())
+                    # expand equal-anchor runs: candidate row per (pos, cand)
+                    pos_r = np.repeat(hp, runs)
+                    base = np.repeat(wlo, runs)
+                    within = np.arange(tot) - np.repeat(
+                        np.cumsum(runs) - runs, runs
+                    )
+                    crow = base + within
+                    d_r = docidx[pos_r]
+                    ok = (cid[crow] != ids[d_r]) & (
+                        pos_r + clen[crow] <= offs[1:][d_r]
+                    )
+                    crow, pos_r, d_r = crow[ok], pos_r[ok], d_r[ok]
+                    if len(crow):
+                        sl = np.array(
+                            [
+                                bytes(data[p : p + L])
+                                for p, L in zip(pos_r, clen[crow])
+                            ],
+                            dtype=object,
+                        )
+                        h1 = pd.util.hash_array(sl, hash_key=_CONTAIN_K1).view(
+                            np.int64
+                        )
+                        eq = h1 == cf1[crow]
+                        if eq.any():
+                            h2 = pd.util.hash_array(
+                                sl[eq], hash_key=_CONTAIN_K2
+                            ).view(np.int64)
+                            eq2 = h2 == cf2[crow][eq]
+                            fc = crow[eq][eq2]
+                            fd = d_r[eq][eq2]
+                            if len(fc):
+                                pr = pd.DataFrame(
+                                    {"c": cid[fc], "k": ids[fd]}
+                                ).drop_duplicates()
+                                pair_c.append(pr["c"].to_numpy())
+                                pair_k.append(pr["k"].to_numpy())
+            # short candidates: literal substring pass
+            text = batch.column("text")
+            for sdoc, stext in shorts:
+                m = pc.match_substring(text, stext)
+                kmask = m.to_numpy(zero_copy_only=False) & (ids != sdoc)
+                if kmask.any():
+                    pair_c.append(np.full(int(kmask.sum()), sdoc, dtype=np.int64))
+                    pair_k.append(ids[kmask])
+            if not pair_c:
+                return pair_schema.empty_table()
+            g = (
+                pd.DataFrame(
+                    {"doc_id": np.concatenate(pair_c), "k": np.concatenate(pair_k)}
+                )
+                .groupby("doc_id", sort=False)["k"]
+                .nunique()
+                .reset_index(name="n_containers")
+            )
+            return pa.table(
+                {
+                    "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                    "n_containers": pa.array(
+                        g["n_containers"].to_numpy(), pa.int64()
+                    ),
+                }
+            )
+
+        return _to_table(
+            ds.map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    # the anchor index dropped text — re-read the (rare) short texts
+    # via a vectorized is_in filter scan
+    short_all: list[tuple[int, str]] = []
+    if short_tb.num_rows:
+        sids = ray.put(short_tb.column("doc_id").to_numpy(zero_copy_only=False))
+
+        def pick(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("doc_id"), pa.array(ray.get(sids)))
+            )
+
+        st = _to_table(
+            ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        short_all = list(
+            zip(
+                (int(d) for d in st.column("doc_id").to_pylist()),
+                st.column("text").to_pylist(),
+            )
+        )
+
+    for c0 in range(0, max(len(l_anchor), 1), _CONTAIN_CHUNK):
+        sl = slice(c0, c0 + _CONTAIN_CHUNK)
+        shorts = short_all if c0 == 0 else []
+        if len(l_anchor[sl]) or shorts:
+            parts.append(scan_pass(sl, shorts))
+
+    if not parts:
+        return pair_schema.empty_table()
+    merged = pa.concat_tables(parts)
+    out = _sum_partials(
+        ray.data.from_arrow(merged),
+        keys=["doc_id"],
+        sum_cols=["n_containers"],
+        schema=pair_schema,
+    )
+    return out.sort_by("doc_id")
+
+
+SQL_CONTAINED_DEDUP = """
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_containers
+FROM documents a JOIN documents b
+  ON a.doc_id <> b.doc_id AND position(a.text IN b.text) > 0
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13331,6 +13615,7 @@ QUERIES = {
     "kll_quantiles": q_kll_quantiles,
     "rolling_anomaly": q_rolling_anomaly,
     "welch_t": q_welch_t,
+    "contained_dedup": q_contained_dedup,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -13492,6 +13777,7 @@ ORACLES = {
     "resample_daily": SQL_RESAMPLE_DAILY,
     "rolling_anomaly": SQL_ROLLING_ANOMALY,
     "welch_t": SQL_WELCH_T,
+    "contained_dedup": SQL_CONTAINED_DEDUP,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,

@@ -628,3 +628,62 @@ def test_cc_chain_converges_with_pointer_jumping():
         )
     assert len(out) == 128
     assert (out["label"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contained_dedup_edge_cases(tmp_path, monkeypatch):
+    """Adversarial containment fixture: empty text (contained in every
+    other doc by SQL position('' IN x)=1 semantics), a short (<16-byte)
+    candidate, multibyte UTF-8 containment, equal texts (mutually
+    contained), an anchor-prefix false positive (shared 16-byte prefix,
+    different suffix), and a 1-candidate-per-pass broadcast chunk so
+    the multi-pass path is exercised — all checked against DuckDB."""
+    import duckdb
+
+    from pdf_extractor_ray.pipelines import queries as q
+
+    big = "The quick brown fox jumps over the lazy dog near the river bank."
+    uni = "héllo wörld ünïcode çontainment päyload"
+    docs = [
+        (0, big),                                  # container
+        (1, "quick brown fox jumps over the lazy"),  # contained in 0
+        (2, "fox"),                                # short, in 0 and 1
+        (3, ""),                                   # empty: in all others
+        (4, uni),                                  # container (multibyte)
+        (5, "wörld ünïcode çon"),                  # contained in 4
+        (6, "twin text payload AAAA"),             # equal pair
+        (7, "twin text payload AAAA"),             # equal pair
+        (8, big[:16] + " ENTIRELY DIFFERENT TAIL"),  # anchor FP vs 1? no:
+        # shares doc 0's first-16-byte prefix with a different suffix —
+        # the 128-bit verify must reject it
+        (9, "nothing in common with anything else at all"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array(["s"] * len(docs), pa.string()),
+                "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    monkeypatch.setattr(q, "_CONTAIN_CHUNK", 1)  # force multi-pass
+    got = q.q_contained_dedup(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+        % str(tmp_path / "documents.parquet")
+    )
+    exp = con.execute(q.SQL_CONTAINED_DEDUP).df()
+    con.close()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_containers"].tolist() == exp["n_containers"].tolist()
+    asmap = dict(zip(got["doc_id"], got["n_containers"]))
+    assert asmap[3] == len(docs) - 1          # empty in every other doc
+    assert asmap[1] == 1 and asmap[2] == 2    # planted containments
+    assert asmap[5] == 1
+    assert asmap[6] == 1 and asmap[7] == 1    # equal texts: mutual
+    assert 8 not in asmap and 9 not in asmap  # FP rejected / no match
