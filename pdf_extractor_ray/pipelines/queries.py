@@ -13535,6 +13535,71 @@ GROUP BY a.doc_id ORDER BY a.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# data-mixing weights — per-(lang, source) multinomial sampling
+# weights at temperature α=½ (the count^α re-balancing used for
+# multilingual pretraining mixtures).  α=½ is deliberate: sqrt is an
+# IEEE CORRECTLY-ROUNDED op (pow is not), so both engines derive the
+# identical double from the identical integer count; scaled-isqrt
+# (floor(sqrt(n·10¹²))) and the round-half-up integer-ppm division
+# keep everything after that exact.  Scale shape: per-batch counts →
+# one O(langs × sources) exchange; the weight finish is driver-side
+# over that tiny table.  int64 bound: n ≤ 10¹² keeps 2·sw·10⁶ < 2⁶³.
+# --------------------------------------------------------------------------
+
+
+def q_mixture_weights(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            b.append_column("n", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+            .group_by(["lang", "source"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "n": g.column("n_sum").cast(pa.int64()),
+            }
+        )
+
+    cnt = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang", "source"],
+        sum_cols=["n"],
+        schema=pa.schema(
+            [("lang", pa.string()), ("source", pa.string()), ("n", pa.int64())]
+        ),
+    ).to_pandas()
+    cnt = cnt.sort_values(["lang", "source"]).reset_index(drop=True)
+    n = cnt["n"].to_numpy(dtype=np.int64)
+    sw = np.floor(np.sqrt(n.astype(np.float64) * 1e12)).astype(np.int64)
+    tot = int(sw.sum())
+    ppm = [(2 * int(w) * 1_000_000 + tot) // (2 * tot) for w in sw]
+    return pa.table(
+        {
+            "lang": pa.array(cnt["lang"], pa.string()),
+            "source": pa.array(cnt["source"], pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "weight_ppm": pa.array(ppm, pa.int64()),
+        }
+    )
+
+
+SQL_MIXTURE_WEIGHTS = """
+WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+w AS (SELECT lang, source, CAST(n AS BIGINT) AS n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE) * 1e12)) AS BIGINT) AS sw
+      FROM c),
+t AS (SELECT CAST(sum(sw) AS BIGINT) AS tot FROM w)
+SELECT lang, source, n,
+       CAST((2 * sw * 1000000 + tot) // (2 * tot) AS BIGINT) AS weight_ppm
+FROM w, t ORDER BY lang, source
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13650,6 +13715,7 @@ QUERIES = {
     "rolling_anomaly": q_rolling_anomaly,
     "welch_t": q_welch_t,
     "contained_dedup": q_contained_dedup,
+    "mixture_weights": q_mixture_weights,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -13812,6 +13878,7 @@ ORACLES = {
     "rolling_anomaly": SQL_ROLLING_ANOMALY,
     "welch_t": SQL_WELCH_T,
     "contained_dedup": SQL_CONTAINED_DEDUP,
+    "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
