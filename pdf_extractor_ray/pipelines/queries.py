@@ -13600,6 +13600,73 @@ FROM w, t ORDER BY lang, source
 """
 
 
+# --------------------------------------------------------------------------
+# RANGE-frame trailing window — per event, the count and exact cent
+# sum of the SAME USER's events with ts in [ts − 1 h, ts] (a
+# value-based RANGE frame, not a ROWS frame: all ts-peers are in the
+# frame regardless of row order, matching SQL RANGE semantics).
+# Shape: one user-bucketed exchange; inside a bucket, rows sort by
+# (user, ts) and each user SEGMENT gets two vectorized searchsorted
+# calls + a cumsum difference — a per-GROUP loop over vectorized
+# kernels (the q_ewma_user precedent: per-user sequential scans are
+# inherent to the semantics and parallelize across buckets/users).
+# --------------------------------------------------------------------------
+
+_RANGE_WIN_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_range_window(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("n_1h", pa.int64()),
+                ("sum_cents_1h", pa.int64()),
+            ]
+        )
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "ts"], kind="stable")
+        u = b["user_id"].to_numpy()
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        bounds = np.r_[starts, len(u)]
+        n = np.empty(len(u), dtype=np.int64)
+        s = np.empty(len(u), dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        for k in range(len(starts)):
+            a, e = bounds[k], bounds[k + 1]
+            seg = ts[a:e]
+            lo = a + np.searchsorted(seg, seg - _RANGE_WIN_US, side="left")
+            hi = a + np.searchsorted(seg, seg, side="right")
+            n[a:e] = hi - lo
+            s[a:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "n_1h": pa.array(n, pa.int64()),
+                "sum_cents_1h": pa.array(s, pa.int64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_RANGE_WINDOW = """
+SELECT event_id, user_id,
+  CAST(count(*) OVER fr AS BIGINT) AS n_1h,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER fr AS BIGINT) AS sum_cents_1h
+FROM events
+WINDOW fr AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13716,6 +13783,7 @@ QUERIES = {
     "welch_t": q_welch_t,
     "contained_dedup": q_contained_dedup,
     "mixture_weights": q_mixture_weights,
+    "range_window": q_range_window,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -13879,6 +13947,7 @@ ORACLES = {
     "welch_t": SQL_WELCH_T,
     "contained_dedup": SQL_CONTAINED_DEDUP,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
+    "range_window": SQL_RANGE_WINDOW,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
