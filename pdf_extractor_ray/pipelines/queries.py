@@ -13667,6 +13667,272 @@ WINDOW fr AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+# --------------------------------------------------------------------------
+# Longest consecutive-active-day streak per user — the gaps-and-islands
+# pattern: a batch collapses to its distinct (user, day) pairs (the
+# combiner), ONE user-bucketed exchange re-dedups and computes islands
+# as day − rank(day) per user (equal within a run of consecutive days),
+# then per-island sizes fold to the per-user max.  Everything after the
+# sort is a vectorized segmented cumsum/compare — pure integer days, so
+# both engines agree exactly.
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_user_streaks(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), _DAY_US)
+        g = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "day": day.to_numpy(),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_active_days", pa.int64()),
+                ("max_streak", pa.int64()),
+            ]
+        )
+        b = b.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="stable"
+        )
+        if b.empty:
+            return schema.empty_table()
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # rank of the day within its user segment (0-based)
+        idx = np.arange(len(u))
+        seg_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        rank = idx - seg_start
+        isl = d - rank  # constant within a consecutive-day run
+        k = pd.DataFrame({"user_id": u, "isl": isl})
+        runs = k.groupby(["user_id", "isl"], sort=False).size().reset_index(name="len")
+        g = runs.groupby("user_id", sort=False).agg(
+            n_active_days=("len", "sum"), max_streak=("len", "max")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_active_days": pa.array(
+                    g["n_active_days"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "max_streak": pa.array(
+                    g["max_streak"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    part = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _to_table(_bucketed(part, "user_id", per_bucket))
+
+
+SQL_USER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+i AS (
+  SELECT user_id, day,
+         day - (row_number() OVER (PARTITION BY user_id ORDER BY day) - 1) AS isl
+  FROM d),
+s AS (SELECT user_id, isl, count(*) AS len FROM i GROUP BY user_id, isl)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user CUSUM change detection — the reset-free one-sided CUSUM
+# s_t = max(0, s_{t-1} + (c_t − k)) has the closed form
+# s_t = C_t − min(0, min_{j≤t} C_j) over the drift-adjusted cumsum C,
+# so the whole fold vectorizes as a segmented cumsum + running-min —
+# no per-row recursion on either engine.  An ALARM is an upward
+# crossing of h (s > h while the previous s ≤ h).  Exact int64 cents
+# throughout; the oracle is plain window SQL, no recursive CTE.
+# --------------------------------------------------------------------------
+
+_CUSUM_K_CENTS = 2_000  # drift allowance per event (=$20)
+_CUSUM_H_CENTS = 10_000  # alarm threshold (=$100)
+
+
+def q_cusum_flags(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_alarms", pa.int64()),
+                ("max_s_cents", pa.int64()),
+            ]
+        )
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = b["user_id"].to_numpy()
+        c = np.rint(b["value"].to_numpy() * 100).astype(np.int64) - _CUSUM_K_CENTS
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        # segmented cumsum: subtract the running total at each segment start
+        cs = np.cumsum(c)
+        seg_base = (cs - c)[new_user]
+        seg_id = np.cumsum(new_user) - 1
+        C = cs - seg_base[seg_id]
+        # running min of C within the segment (C-speed grouped cummin —
+        # segments are contiguous after the sort), floored at 0
+        M = np.minimum(pd.Series(C).groupby(seg_id).cummin().to_numpy(), 0)
+        s = C - M
+        prev_s = np.where(new_user, np.int64(0), np.r_[np.int64(0), s[:-1]])
+        alarm = (s > _CUSUM_H_CENTS) & (prev_s <= _CUSUM_H_CENTS)
+        k = pd.DataFrame({"user_id": u, "alarm": alarm.astype(np.int64), "s": s})
+        g = k.groupby("user_id", sort=False).agg(
+            n_alarms=("alarm", "sum"), max_s_cents=("s", "max")
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_alarms": pa.array(g["n_alarms"].to_numpy().astype(np.int64), pa.int64()),
+                "max_s_cents": pa.array(
+                    g["max_s_cents"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_CUSUM_FLAGS = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) - 2000 AS c
+  FROM events),
+w AS (
+  SELECT user_id, ts, event_id,
+         sum(c) OVER seq AS cum
+  FROM e
+  WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s0 AS (
+  SELECT user_id, ts, event_id,
+         cum - least(0, min(cum) OVER seq) AS s
+  FROM w
+  WINDOW seq AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT user_id, s,
+         coalesce(lag(s, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0)
+           AS prev_s
+  FROM s0)
+SELECT user_id,
+       CAST(sum(CASE WHEN s > 10000 AND prev_s <= 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(max(s) AS BIGINT) AS max_s_cents
+FROM s GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — each PURCHASE attributes to the user's most
+# recent strictly-preceding CLICK within a 7-day lookback.  One
+# user-bucketed exchange; inside a bucket the "last preceding click"
+# is a segmented shift-then-ffill (C-speed grouped transform), the
+# lookback test exact integer microseconds.  Oracle: the same frame as
+# max(click ts) OVER (... ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+# PRECEDING) — identical (ts, event_id) tie order on both engines.
+# --------------------------------------------------------------------------
+
+_ATTR_LOOKBACK_US = 7 * 86_400_000_000
+
+
+def q_attribution(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_purchases", pa.int64()),
+                ("n_attributed", pa.int64()),
+                ("sum_lag_us", pa.int64()),
+            ]
+        )
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].to_numpy()
+        u = b["user_id"].to_numpy()
+        click_ts = pd.Series(np.where(et == "click", ts, np.nan))
+        last_click = (
+            click_ts.groupby(pd.Series(u)).transform(lambda s: s.shift(1).ffill())
+        ).to_numpy()
+        is_p = et == "purchase"
+        if not is_p.any():
+            return schema.empty_table()
+        lag = ts[is_p] - last_click[is_p]
+        ok = ~np.isnan(last_click[is_p]) & (lag <= _ATTR_LOOKBACK_US)
+        k = pd.DataFrame(
+            {
+                "user_id": u[is_p],
+                "att": ok.astype(np.int64),
+                "lag": np.where(ok, lag, 0.0).astype(np.int64),
+            }
+        )
+        g = k.groupby("user_id", sort=False).agg(
+            n_purchases=("att", "size"),
+            n_attributed=("att", "sum"),
+            sum_lag_us=("lag", "sum"),
+        ).reset_index()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_purchases": pa.array(
+                    g["n_purchases"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n_attributed": pa.array(
+                    g["n_attributed"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "sum_lag_us": pa.array(
+                    g["sum_lag_us"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_ATTRIBUTION = """
+WITH x AS (
+  SELECT user_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN last_click IS NOT NULL
+                      AND epoch_us(ts) - last_click <= 604800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(sum(CASE WHEN last_click IS NOT NULL
+                      AND epoch_us(ts) - last_click <= 604800000000
+                     THEN epoch_us(ts) - last_click ELSE 0 END) AS BIGINT)
+         AS sum_lag_us
+FROM x WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -13784,6 +14050,9 @@ QUERIES = {
     "contained_dedup": q_contained_dedup,
     "mixture_weights": q_mixture_weights,
     "range_window": q_range_window,
+    "user_streaks": q_user_streaks,
+    "cusum_flags": q_cusum_flags,
+    "attribution": q_attribution,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -13948,6 +14217,9 @@ ORACLES = {
     "contained_dedup": SQL_CONTAINED_DEDUP,
     "mixture_weights": SQL_MIXTURE_WEIGHTS,
     "range_window": SQL_RANGE_WINDOW,
+    "user_streaks": SQL_USER_STREAKS,
+    "cusum_flags": SQL_CUSUM_FLAGS,
+    "attribution": SQL_ATTRIBUTION,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
