@@ -13933,6 +13933,1057 @@ FROM x WHERE event_type = 'purchase' GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# BFS hop distance from the min node over the co-supply graph —
+# bounded-depth single-source shortest hops (unweighted).  Both
+# engines compute "min hops, capped at _BFS_MAX_HOPS": in BFS a
+# node's distance is final the round it is first reached, so the
+# distributed loop is monotone frontier growth — each round is the
+# CC machinery's two reduce-side exchanges (messages = dist⋈edges
+# keyed on node, then per-node min over dist∪messages) and the
+# convergence check is a row COUNT (dist only ever gains nodes).
+# Size-gated like connected_components: below _BFS_LOCAL_MAX_BYTES
+# the materialized edge table is solved with a vectorized CSR
+# frontier walk instead of paying ~diameter rounds of executor
+# overhead; a test forces the distributed path and compares.
+# --------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 12
+_BFS_LOCAL_MAX_BYTES = 64 << 20
+
+
+def _bfs_local(edge_tbl: pa.Table, max_hops: int) -> pa.Table:
+    """Exact bounded BFS on a driver-resident (node, nbr) edge table:
+    compact ids, CSR adjacency via one argsort, vectorized per-level
+    frontier expansion — O(E) total across all levels."""
+    a = edge_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edge_tbl.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia, ib = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
+    # undirected: both orientations into one CSR
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    order = np.argsort(src, kind="stable")
+    src, dst = src[order], dst[order]
+    indptr = np.searchsorted(src, np.arange(len(nodes) + 1))
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    frontier = np.array([0], dtype=np.int64)  # nodes sorted → index 0 is min id
+    dist[0] = 0
+    for d in range(1, max_hops + 1):
+        if len(frontier) == 0:
+            break
+        # gather all frontier neighbors in one vectorized CSR-span read
+        starts = indptr[frontier]
+        cnts = indptr[frontier + 1] - starts
+        total = int(cnts.sum())
+        if total == 0:
+            break
+        offsets = np.concatenate([[0], np.cumsum(cnts)])
+        idx = (
+            np.arange(total)
+            - np.repeat(offsets[:-1], cnts)
+            + np.repeat(starts, cnts)
+        )
+        nxt = np.unique(dst[idx])
+        nxt = nxt[dist[nxt] < 0]
+        dist[nxt] = d
+        frontier = nxt
+    reached = dist >= 0
+    return pa.table(
+        {
+            "node": pa.array(nodes[reached], pa.int64()),
+            "hops": pa.array(dist[reached], pa.int64()),
+        }
+    )
+
+
+def q_bfs_hops(
+    sf_dir: str,
+    local_max_bytes: int = _BFS_LOCAL_MAX_BYTES,
+    max_hops: int = _BFS_MAX_HOPS,
+):
+    import pyarrow.dataset as pads
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey"],
+        filter=pads.field("l_quantity") == 1.0,
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "node": b.column("l_suppkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "nbr": b.column("l_partkey")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                + _GRAPH_PART_OFFSET,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "node": pa.array(f["node"].to_numpy(), pa.int64()),
+                "nbr": pa.array(f["nbr"].to_numpy(), pa.int64()),
+            }
+        )
+
+    edge_ds = li.map_batches(edges, batch_format="pyarrow").materialize()
+    if (edge_ds.size_bytes() or 0) <= local_max_bytes:
+        return _bfs_local(_to_table(edge_ds), max_hops)
+
+    # distributed path: per-round reduce-side exchanges (CC pattern)
+    both = edge_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("node").combine_chunks(), t.column("nbr").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t.column("nbr").combine_chunks(), t.column("node").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    # deterministic source: global min node id
+    mins = both.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.min(t.column("node")).as_py()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    src_id = int(pc.min(_to_table(mins).column("m")).as_py())
+    dist = ray.data.from_arrow(
+        pa.table({"node": pa.array([src_id], pa.int64()), "hops": pa.array([0], pa.int64())})
+    ).materialize()
+    # Frontier-only propagation: a BFS distance is final the round the
+    # node is first reached, so only LAST round's new nodes can relax a
+    # neighbor — messages shrink from O(reached) to O(frontier) rows.
+    # Per round: one reduce-side frontier⋈edges exchange + one min
+    # exchange; the edge table is re-shipped each round (Ray Data has
+    # no persistent partitioning), which is the documented cost of the
+    # big-graph regime — the local CSR path handles everything under
+    # local_max_bytes without any of it.
+    frontier = dist
+
+    def front_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "nbr": pa.nulls(t.num_rows, pa.int64()),
+                "_src": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def edge_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "nbr": t.column("nbr"),
+                "_src": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def relax(df: pd.DataFrame) -> pa.Table:
+        f = df[df["_src"] == 0]
+        e = df[df["_src"] == 1]
+        if f.empty or e.empty:
+            return pa.table({"node": pa.array([], pa.int64())})
+        hit = e.loc[e["_k"].isin(f["_k"].to_numpy()), "nbr"].unique()
+        return pa.table({"node": pa.array(hit.astype(np.int64), pa.int64())})
+
+    for d in range(1, max_hops + 1):
+        msgs = _bucketed(
+            frontier.map_batches(front_keyed, batch_format="pyarrow").union(
+                both.map_batches(edge_keyed, batch_format="pyarrow")
+            ),
+            "_k",
+            relax,
+        ).map_batches(
+            lambda t, _d=d: pa.table(
+                {
+                    "node": t.column("node"),
+                    "hops": pa.array(np.full(t.num_rows, _d, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = (
+            dist.union(msgs)
+            .groupby("node")
+            .min("hops")
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "hops": t.column("min(hops)"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        frontier = dist.map_batches(
+            lambda t, _d=d: t.filter(pc.equal(t.column("hops"), _d)),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return _to_table(dist)
+
+
+_SQL_BFS_TMPL = f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(l_partkey + {_GRAPH_PART_OFFSET} AS BIGINT) AS b
+      FROM lineitem WHERE l_quantity = 1),
+u AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+src AS (SELECT min(a) AS s FROM u),
+walk(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT u.b, walk.d + 1 FROM walk JOIN u ON u.a = walk.node
+  WHERE walk.d < {{h}})
+SELECT node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY node
+"""
+
+SQL_BFS_HOPS = _SQL_BFS_TMPL.format(h=_BFS_MAX_HOPS)
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U between two document sources on n_chars — rank-sum
+# with tie-averaged ranks, EXACTLY: the whole test reduces to the
+# per-(group, value) histogram (a combiner-sized _sum_partials
+# exchange; the value domain is bounded by document length, not corpus
+# size), and avg-rank×2 = 2·cum_before + ties + 1 keeps every rank an
+# integer — no .5 floats cross an engine boundary.  Outputs are the
+# x2-scaled rank sum and U statistic (n ≤ 2^31 keeps 2R ≤ 4n² in
+# int64 up to n ≈ 1.5e9 per pair of groups).
+# --------------------------------------------------------------------------
+
+_MW_A, _MW_B = "src0", "src1"
+
+
+def q_mann_whitney(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read_pq(
+        _t(sf_dir, "documents"),
+        columns=["source", "n_chars"],
+        filter=pads.field("source").isin([_MW_A, _MW_B]),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "g": pc.equal(b.column("source"), _MW_B).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "v": b.column("n_chars").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["g", "v"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "g": pa.array(g["g"].to_numpy().astype(np.int8), pa.int8()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["g", "v"],
+        sum_cols=["cnt"],
+        schema=pa.schema([("g", pa.int8()), ("v", pa.int64()), ("cnt", pa.int64())]),
+    ).to_pandas()
+    h = (
+        hist.pivot_table(index="v", columns="g", values="cnt", aggfunc="sum")
+        .reindex(columns=[0, 1], fill_value=0)
+        .fillna(0)
+        .sort_index()
+    )
+    c0 = h[0].to_numpy().astype(np.int64)
+    c1 = h[1].to_numpy().astype(np.int64)
+    tot = c0 + c1
+    cum_before = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    r2 = 2 * cum_before + tot + 1  # avg rank × 2 per distinct value
+    n_a, n_b = int(c0.sum()), int(c1.sum())
+    r_a_x2 = int((c0 * r2).sum())
+    u_a_x2 = r_a_x2 - n_a * (n_a + 1)
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "r_a_x2": pa.array([r_a_x2], pa.int64()),
+            "u_a_x2": pa.array([u_a_x2], pa.int64()),
+        }
+    )
+
+
+SQL_MANN_WHITNEY = f"""
+WITH s AS (
+  SELECT n_chars AS v, CASE WHEN source = '{_MW_B}' THEN 1 ELSE 0 END AS g
+  FROM documents WHERE source IN ('{_MW_A}', '{_MW_B}')),
+r AS (
+  SELECT g, 2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS r2
+  FROM s),
+a AS (
+  SELECT count(*) FILTER (g = 0) AS n_a, count(*) FILTER (g = 1) AS n_b,
+         sum(r2) FILTER (g = 0) AS r_a_x2
+  FROM r)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r_a_x2 AS BIGINT) AS r_a_x2,
+       CAST(r_a_x2 - n_a * (n_a + 1) AS BIGINT) AS u_a_x2
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation ingredients per lang between n_chars and
+# the space count (both metrics have bounded value domains, so BOTH
+# global rankings collapse to histograms).  Tie-averaged ranks ×2 keep
+# everything integer: Σ(2rx−2ry)² = 4Σd² is exact int64 up to ~1e9
+# docs per lang (the oracle's HUGEINT keeps going past that — noted
+# bound).  ρ = 1 − sum_d2_x4/(4·n(n²−1)/6) is left to the caller so no
+# float leaves either engine.
+# --------------------------------------------------------------------------
+
+def _space_count(b: pa.Table) -> np.ndarray:
+    return (
+        pc.count_substring(b.column("text"), " ")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+
+def q_spearman_x4(sf_dir: str):
+    cols = ["lang", "n_chars", "text"]
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _space_count(b)
+        f = pd.DataFrame(
+            {
+                "lang": np.concatenate([lang, lang]),
+                "w": np.r_[
+                    np.zeros(len(x), np.int8), np.ones(len(y), np.int8)
+                ],
+                "v": np.concatenate([x, y]),
+            }
+        )
+        g = f.groupby(["lang", "w", "v"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "w": pa.array(g["w"].to_numpy(), pa.int8()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = _sum_partials(
+        _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
+            hist_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["lang", "w", "v"],
+        sum_cols=["cnt"],
+        schema=pa.schema(
+            [
+                ("lang", pa.string()),
+                ("w", pa.int8()),
+                ("v", pa.int64()),
+                ("cnt", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    # per (lang, metric): sorted values + avg-rank×2 lookup arrays
+    maps: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+    for (lang, w), g in hist.groupby(["lang", "w"], sort=False):
+        g = g.sort_values("v")
+        cnt = g["cnt"].to_numpy().astype(np.int64)
+        cum_before = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        maps[(lang, int(w))] = (
+            g["v"].to_numpy().astype(np.int64),
+            2 * cum_before + cnt + 1,
+        )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        x = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = _space_count(b)
+        out_lang, out_n, out_s = [], [], []
+        f = pd.DataFrame({"lang": lang, "x": x, "y": y})
+        for lg, g in f.groupby("lang", sort=False):
+            vx, rx = maps[(lg, 0)]
+            vy, ry = maps[(lg, 1)]
+            r2x = rx[np.searchsorted(vx, g["x"].to_numpy())]
+            r2y = ry[np.searchsorted(vy, g["y"].to_numpy())]
+            d = r2x - r2y
+            out_lang.append(lg)
+            out_n.append(len(g))
+            out_s.append(int((d * d).sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "sum_d2_x4": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    return _sum_partials(
+        _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
+            pair_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        keys=["lang"],
+        sum_cols=["n", "sum_d2_x4"],
+        schema=pa.schema(
+            [("lang", pa.string()), ("n", pa.int64()), ("sum_d2_x4", pa.int64())]
+        ),
+    )
+
+
+SQL_SPEARMAN_X4 = """
+WITH m AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+  FROM documents),
+r AS (
+  SELECT lang,
+    2 * rank() OVER (PARTITION BY lang ORDER BY x)
+      + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+    2 * rank() OVER (PARTITION BY lang ORDER BY y)
+      + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+  FROM m)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2_x4
+FROM r GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier ingredients for user lifetime (days between first and
+# last event): per lifespan day d, how many users were still "at
+# risk" (lifespan ≥ d) and how many churned exactly at d.  Per-user
+# min/max is one bucketed exchange; the lifespan histogram is
+# combiner-sized, so the survival curve itself is a driver cumsum over
+# O(max-lifespan) rows regardless of user count.
+# --------------------------------------------------------------------------
+
+def q_kaplan_meier(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), _DAY_US
+        ).to_numpy()
+        g = (
+            pd.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False), "d": day}
+            )
+            .groupby("user_id", sort=False)
+            .agg(f=("d", "min"), l=("d", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "f": pa.array(g["f"].to_numpy(), pa.int64()),
+                "l": pa.array(g["l"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("user_id", sort=False).agg(f=("f", "min"), l=("l", "max"))
+        h = (g["l"] - g["f"]).value_counts().sort_index()
+        return pa.table(
+            {
+                "d": pa.array(h.index.to_numpy().astype(np.int64), pa.int64()),
+                "churned": pa.array(h.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = _sum_partials(
+        _bucketed(
+            ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+        ),
+        keys=["d"],
+        sum_cols=["churned"],
+        schema=pa.schema([("d", pa.int64()), ("churned", pa.int64())]),
+    ).to_pandas().sort_values("d")
+    churned = hist["churned"].to_numpy()
+    at_risk = churned[::-1].cumsum()[::-1]
+    return pa.table(
+        {
+            "d": pa.array(hist["d"].to_numpy(), pa.int64()),
+            "at_risk": pa.array(at_risk.astype(np.int64), pa.int64()),
+            "churned": pa.array(churned.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_KAPLAN_MEIER = """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts) // 86400000000) - min(epoch_us(ts) // 86400000000) AS d
+  FROM events GROUP BY user_id),
+h AS (SELECT d, count(*) AS churned FROM u GROUP BY d)
+SELECT d,
+       CAST(sum(churned) OVER
+            (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk,
+       CAST(churned AS BIGINT) AS churned
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# LOCF gap-fill: per user, a daily calendar spine from first to last
+# purchase day, filled with the last observed purchase value (exact
+# cents; same-day ties resolved to the max event_id).  The fill is one
+# bucketed exchange on user_id; inside a bucket the whole ffill is a
+# single composite-key searchsorted (user · 2^25 + day stays bijective
+# for epoch days < 2^25 ≈ year 93000), no per-user Python loop.
+# Oracle: DuckDB ASOF JOIN against the generate_series spine.
+# --------------------------------------------------------------------------
+
+def q_locf_fill(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read_pq(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), _DAY_US
+        ).to_numpy()
+        f = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "day": day,
+                "event_id": b.column("event_id").to_numpy(zero_copy_only=False),
+                "cents": _event_cents(b),
+            }
+        ).sort_values(["user_id", "day", "event_id"], kind="stable")
+        g = f.groupby(["user_id", "day"], sort=False).tail(1)
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("day", pa.int64()), ("cents", pa.int64())]
+        )
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "day", "event_id"], kind="stable")
+        b = b.groupby(["user_id", "day"], sort=False).tail(1)
+        u = b["user_id"].to_numpy()
+        d = b["day"].to_numpy()
+        c = b["cents"].to_numpy()
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_u)
+        ends = np.r_[starts[1:], len(u)] - 1
+        span = d[ends] - d[starts] + 1
+        total = int(span.sum())
+        seg = np.repeat(np.arange(len(starts)), span)
+        pos = np.arange(total) - np.repeat(np.cumsum(span) - span, span)
+        out_u = u[starts][seg]
+        out_d = d[starts][seg] + pos
+        key_obs = u * (1 << 25) + d
+        key_spine = out_u * (1 << 25) + out_d
+        idx = np.searchsorted(key_obs, key_spine, side="right") - 1
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "day": pa.array(out_d, pa.int64()),
+                "cents": pa.array(c[idx], pa.int64()),
+            }
+        )
+
+    return _to_table(
+        _bucketed(ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket)
+    )
+
+
+SQL_LOCF_FILL = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, day),
+b AS (SELECT user_id, min(day) AS f, max(day) AS l FROM obs GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(f, l)) AS day FROM b)
+SELECT s.user_id, s.day, o.cents
+FROM spine s ASOF JOIN obs o ON s.user_id = o.user_id AND s.day >= o.day
+"""
+
+
+# --------------------------------------------------------------------------
+# Session path analysis — entry/exit event_type per 30-min-gap session,
+# rolled up to (entry, exit) counts.  Sessionization is the
+# window_session fold (bucketed user exchange, vectorized gap cumsum);
+# entry/exit fall out of the segment boundary mask, and the final
+# rollup is a combiner-sized _sum_partials.
+# --------------------------------------------------------------------------
+
+def q_session_paths(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("entry_type", pa.string()),
+                ("exit_type", pa.string()),
+                ("n_sessions", pa.int64()),
+            ]
+        )
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts_us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = b["user_id"].to_numpy()
+        new_s = np.empty(len(b), dtype=bool)
+        new_s[0] = True
+        new_s[1:] = (uid[1:] != uid[:-1]) | (
+            (ts_us[1:] - ts_us[:-1]) > _SESSION_GAP_US
+        )
+        starts = np.flatnonzero(new_s)
+        ends = np.r_[starts[1:], len(b)] - 1
+        et = b["event_type"].to_numpy()
+        g = (
+            pd.DataFrame({"entry_type": et[starts], "exit_type": et[ends]})
+            .groupby(["entry_type", "exit_type"], sort=False)
+            .size()
+            .reset_index(name="n_sessions")
+        )
+        return pa.table(
+            {
+                "entry_type": pa.array(g["entry_type"], pa.string()),
+                "exit_type": pa.array(g["exit_type"], pa.string()),
+                "n_sessions": pa.array(
+                    g["n_sessions"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _sum_partials(
+        _bucketed(ds, "user_id", per_bucket),
+        keys=["entry_type", "exit_type"],
+        sum_cols=["n_sessions"],
+        schema=pa.schema(
+            [
+                ("entry_type", pa.string()),
+                ("exit_type", pa.string()),
+                ("n_sessions", pa.int64()),
+            ]
+        ),
+    )
+
+
+SQL_SESSION_PATHS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked),
+x AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY ts DESC, event_id DESC) AS rd
+  FROM sess)
+SELECT a.event_type AS entry_type, d.event_type AS exit_type,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM x a JOIN x d ON a.user_id = d.user_id AND a.sid = d.sid
+WHERE a.ra = 1 AND d.rd = 1
+GROUP BY a.event_type, d.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Week-over-week revenue change per event_type — map-side (type, week)
+# cents combiner, then the lag happens on the O(types × weeks) rollup
+# on the driver (bounded by calendar span, not data size).  delta is
+# NULL on each type's first week, matching SQL lag().
+# --------------------------------------------------------------------------
+
+def q_wow_change(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        week = (
+            pc.divide(
+                b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                7 * _DAY_US,
+            ).to_numpy()
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+                    "week": week,
+                    "cents": _event_cents(b),
+                }
+            )
+            .groupby(["event_type", "week"], sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "week": pa.array(g["week"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "week"],
+        sum_cols=["cents"],
+        schema=pa.schema(
+            [("event_type", pa.string()), ("week", pa.int64()), ("cents", pa.int64())]
+        ),
+    ).to_pandas().sort_values(["event_type", "week"], kind="stable")
+    prev = agg.groupby("event_type", sort=False)["cents"].shift(1)
+    delta = agg["cents"] - prev
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "week": pa.array(agg["week"].to_numpy(), pa.int64()),
+            "cents": pa.array(agg["cents"].to_numpy(), pa.int64()),
+            "delta_cents": pa.array(
+                [None if pd.isna(v) else int(v) for v in delta], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_WOW_CHANGE = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, week)
+SELECT event_type, week, cents,
+       CAST(cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week)
+            AS BIGINT) AS delta_cents
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonality per event_type — pure combiner rollup
+# (domain: types × 7).  dow is epoch-day mod 7 (0 = Thursday), spelled
+# identically in both engines to dodge locale-dependent dayname().
+# avg_value divides the exact cent sum in one fixed order so the
+# float64 result is bit-identical.
+# --------------------------------------------------------------------------
+
+def q_seasonal_dow(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        dow = (
+            pc.divide(
+                b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), _DAY_US
+            ).to_numpy()
+            % 7
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+                    "dow": dow,
+                    "cents": _event_cents(b),
+                }
+            )
+            .groupby(["event_type", "dow"], sort=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "dow": pa.array(g["dow"].to_numpy(), pa.int64()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "dow"],
+        sum_cols=["n", "cents"],
+        schema=pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("dow", pa.int64()),
+                ("n", pa.int64()),
+                ("cents", pa.int64()),
+            ]
+        ),
+    ).to_pandas()
+    avg = agg["cents"].to_numpy().astype(np.float64) / 100.0 / agg["n"].to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "dow": pa.array(agg["dow"].to_numpy(), pa.int64()),
+            "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+            "cents": pa.array(agg["cents"].to_numpy(), pa.int64()),
+            "avg_value": pa.array(avg, pa.float64()),
+        }
+    )
+
+
+SQL_SEASONAL_DOW = """
+SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)
+         AS avg_value
+FROM events GROUP BY event_type, dow
+"""
+
+
+# --------------------------------------------------------------------------
+# Trailing-window spike counter — an event is a spike when its value
+# exceeds 2× the mean of its user's previous ≤5 events (rows-frame
+# 5 PRECEDING..1 PRECEDING), compared in cross-multiplied integer
+# cents (c·k > 2·s) so no float mean exists.  The rolling sums are a
+# segmented cumsum over the bucketed user exchange — no pandas
+# .rolling(), no per-user loop.
+# --------------------------------------------------------------------------
+
+def q_trailing_spike(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("n_spikes", pa.int64())])
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = b["user_id"].to_numpy()
+        c = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        idx = np.arange(len(u))
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_u, idx, 0))
+        j = np.maximum(idx - 5, seg_start)
+        cs0 = np.r_[0, np.cumsum(c)]
+        s = cs0[idx] - cs0[j]
+        k = idx - j
+        spike = (k > 0) & (c * k > 2 * s)
+        g = pd.DataFrame({"user_id": u, "spike": spike}).groupby(
+            "user_id", sort=False
+        )["spike"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(g.index.to_numpy(), pa.int64()),
+                "n_spikes": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_TRAILING_SPIKE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+w AS (
+  SELECT user_id, c,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS s,
+         count(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS k
+  FROM e)
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE k > 0 AND c * k > 2 * s) AS BIGINT) AS n_spikes
+FROM w GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# RFM quintile scoring over purchase events.  Buckets use the
+# tie-stable rank rule q = least(4, 5·|{strictly smaller}| // n) —
+# equal metric values always share a bucket, so no ntile boundary
+# resolution is needed.  |smaller| is computed WITHOUT a global sort:
+# a combiner-sized coarse-bin histogram fixes each value-range's
+# global offset on the driver, then one value-binned exchange per
+# metric ranks rows inside their bin (min-rank over ties) — the users
+# table itself never materializes anywhere.
+# --------------------------------------------------------------------------
+
+_RFM_SHIFTS = {"recency_days": 0, "freq": 0, "cents": 14}
+
+
+def _rank_quintile(users: ray.data.Dataset, col: str, out_col: str, n_total: int):
+    """Append least(4, 5·cnt_smaller//n) for ``col`` via a value-binned
+    exchange; bin offsets come from a _sum_partials coarse histogram."""
+    shift = _RFM_SHIFTS[col]
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False) >> shift
+        g = pd.Series(v).value_counts()
+        return pa.table(
+            {
+                "bin": pa.array(g.index.to_numpy().astype(np.int64), pa.int64()),
+                "cnt": pa.array(g.to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _sum_partials(
+            users.map_batches(hist_partial, batch_format="pyarrow"),
+            keys=["bin"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("bin", pa.int64()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("bin")
+    )
+    bins = hist["bin"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(hist["cnt"].to_numpy())[:-1]])
+    off = dict(zip(bins.tolist(), offsets.tolist()))
+
+    def add_bin(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False) >> shift
+        return b.append_column("_bin", pa.array(v.astype(np.int64), pa.int64()))
+
+    def per_bin(g: pd.DataFrame) -> pd.DataFrame:
+        base = off[int(g["_bin"].iloc[0])]
+        v = g[col].to_numpy()
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        # min-rank of each value within the bin = count of strictly smaller
+        smaller = np.searchsorted(sv, v, side="left") + base
+        g = g.drop(columns=["_bin"]).copy()
+        g[out_col] = np.minimum(4, 5 * smaller // n_total).astype(np.int64)
+        return g
+
+    return (
+        users.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("_bin", num_partitions=_GROUP_BUCKETS)
+        .map_groups(per_bin, batch_format="pandas")
+    )
+
+
+def q_rfm_scores(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read_pq(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "value"],
+        filter=pads.field("event_type") == "purchase",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(
+            b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), _DAY_US
+        ).to_numpy()
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "day": day,
+                    "cents": _event_cents(b),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(last_day=("day", "max"), freq=("day", "size"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "last_day": pa.array(g["last_day"].to_numpy(), pa.int64()),
+                "freq": pa.array(g["freq"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = (
+            b.groupby("user_id", sort=False)
+            .agg(last_day=("last_day", "max"), freq=("freq", "sum"), cents=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "last_day": pa.array(g["last_day"].to_numpy(), pa.int64()),
+                "freq": pa.array(g["freq"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    users = _bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+    ).materialize()
+    gmax = int(
+        pc.max(_to_table(users.select_columns(["last_day"])).column("last_day")).as_py()
+    )
+    n_total = users.count()
+
+    def recency(b: pa.Table) -> pa.Table:
+        r = pc.subtract(pa.scalar(gmax, pa.int64()), b.column("last_day"))
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "recency_days": r,
+                "freq": b.column("freq"),
+                "cents": b.column("cents"),
+            }
+        )
+
+    out = users.map_batches(recency, batch_format="pyarrow")
+    out = _rank_quintile(out, "recency_days", "r_q", n_total)
+    out = _rank_quintile(out, "freq", "f_q", n_total)
+    out = _rank_quintile(out, "cents", "m_q", n_total)
+    return _to_table(out)
+
+
+SQL_RFM_SCORES = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'),
+u AS (
+  SELECT user_id, max(day) AS last_day, count(*) AS freq, sum(c) AS cents
+  FROM p GROUP BY user_id),
+g AS (SELECT max(last_day) AS gmax FROM u),
+n AS (SELECT count(*) AS nu FROM u)
+SELECT user_id,
+       CAST((SELECT gmax FROM g) - last_day AS BIGINT) AS recency_days,
+       CAST(freq AS BIGINT) AS freq, CAST(cents AS BIGINT) AS cents,
+       CAST(least(4, 5 * (rank() OVER (ORDER BY (SELECT gmax FROM g) - last_day) - 1)
+                     // (SELECT nu FROM n)) AS BIGINT) AS r_q,
+       CAST(least(4, 5 * (rank() OVER (ORDER BY freq) - 1)
+                     // (SELECT nu FROM n)) AS BIGINT) AS f_q,
+       CAST(least(4, 5 * (rank() OVER (ORDER BY cents) - 1)
+                     // (SELECT nu FROM n)) AS BIGINT) AS m_q
+FROM u
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -14053,6 +15104,16 @@ QUERIES = {
     "user_streaks": q_user_streaks,
     "cusum_flags": q_cusum_flags,
     "attribution": q_attribution,
+    "bfs_hops": q_bfs_hops,
+    "mann_whitney": q_mann_whitney,
+    "spearman_x4": q_spearman_x4,
+    "kaplan_meier": q_kaplan_meier,
+    "locf_fill": q_locf_fill,
+    "session_paths": q_session_paths,
+    "wow_change": q_wow_change,
+    "seasonal_dow": q_seasonal_dow,
+    "trailing_spike": q_trailing_spike,
+    "rfm_scores": q_rfm_scores,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
@@ -14220,6 +15281,16 @@ ORACLES = {
     "user_streaks": SQL_USER_STREAKS,
     "cusum_flags": SQL_CUSUM_FLAGS,
     "attribution": SQL_ATTRIBUTION,
+    "bfs_hops": SQL_BFS_HOPS,
+    "mann_whitney": SQL_MANN_WHITNEY,
+    "spearman_x4": SQL_SPEARMAN_X4,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "locf_fill": SQL_LOCF_FILL,
+    "session_paths": SQL_SESSION_PATHS,
+    "wow_change": SQL_WOW_CHANGE,
+    "seasonal_dow": SQL_SEASONAL_DOW,
+    "trailing_spike": SQL_TRAILING_SPIKE,
+    "rfm_scores": SQL_RFM_SCORES,
     "tpch_q14": SQL_TPCH_Q14,
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
