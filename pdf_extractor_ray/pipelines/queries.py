@@ -12492,7 +12492,13 @@ def q_triangle_count(sf_dir: str):
     return out.sort_by([("n_triangles", "descending"), ("supp_node", "ascending")])
 
 
-def _triangles_distributed(edges) -> pa.Table:
+def _oriented_edges(edges) -> ray.data.Dataset:
+    """Degree-ordered orientation ``(a, b, da, db)`` with a = the
+    smaller (deg, id) endpoint: the shared front half of the
+    distributed triangle-count and edge-Jaccard paths — two
+    reduce-side degree tag-union joins plus one vectorized orient
+    pass.  Triangle counting only needs ``db`` (the wedge order);
+    edge-Jaccard reads both degrees off the oriented edge row."""
     degs = _node_degrees(edges).materialize()
 
     def edge_rows(b: pa.Table) -> pa.Table:
@@ -12541,11 +12547,19 @@ def _triangles_distributed(edges) -> pa.Table:
             {
                 "a": pa.array(np.where(u_first, u, v), pa.int64()),
                 "b": pa.array(np.where(u_first, v, u), pa.int64()),
+                "da": pa.array(np.where(u_first, du, dv), pa.int64()),
                 "db": pa.array(np.where(u_first, dv, du), pa.int64()),
             }
         )
 
-    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+    return with_both.map_batches(orient, batch_format="pyarrow")
+
+
+def _wedge_edge_stream(oriented) -> ray.data.Dataset:
+    """Union of apex wedges ``(x, y, z=apex)`` and closing-edge keys
+    ``(x, y, z=-1)`` over a degree-oriented edge set — consumers bucket
+    on x, match wedges against edges per bucket, and attribute each
+    triangle their own way (corner counts vs per-edge counts)."""
 
     # wedges at each source a: pairs of out-neighbors ordered by the
     # SAME (deg, id) total order, so the closing edge — if it exists —
@@ -12577,7 +12591,12 @@ def _triangles_distributed(edges) -> pa.Table:
             }
         )
 
-    both = wedge_rows.union(oriented.map_batches(edge_keys, batch_format="pyarrow"))
+    return wedge_rows.union(oriented.map_batches(edge_keys, batch_format="pyarrow"))
+
+
+def _triangles_distributed(edges) -> pa.Table:
+    oriented = _oriented_edges(edges).materialize()
+    both = _wedge_edge_stream(oriented)
 
     # match wedges against edges on (x, y); each match is one triangle
     # {x, y, z} — emit +1 per corner, pre-summed per bucket
@@ -12615,6 +12634,209 @@ corners AS (SELECT x AS node FROM tri
             UNION ALL SELECT z FROM tri)
 SELECT node AS supp_node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY node ORDER BY n_triangles DESC, supp_node
+"""
+
+
+# --------------------------------------------------------------------------
+# Edge-Jaccard neighborhood similarity (graph family): for every
+# co-supply edge (u, v), J = |N(u)∩N(v)| / |N(u)∪N(v)|.  The
+# intersection is exactly the triangle count THROUGH the edge, and
+# |N(u)∪N(v)| = deg(u) + deg(v) − |N(u)∩N(v)| (u and v each sit in the
+# union once, via the other's neighborhood) — so the whole operator is
+# the triangle machinery with per-EDGE instead of per-CORNER
+# attribution.  Scale shape: shares _oriented_edges (two reduce-side
+# degree joins) and _wedge_edge_stream (out-degree ≤ O(√m) wedge
+# self-merge) with q_triangle_count; the match stage emits the three
+# canonical edges of each triangle pre-summed per bucket, edge rows
+# carry their own degrees with common=0, and ONE summed exchange on
+# (u, v) produces the final table — no all-pairs, no driver graph.
+# Integer common/union columns keep the hash exact; jaccard is one
+# IEEE division of exact int64s (bit-equal to DuckDB's DOUBLE divide).
+# --------------------------------------------------------------------------
+
+_EJ_SCHEMA = pa.schema(
+    [
+        ("u", pa.int64()),
+        ("v", pa.int64()),
+        ("common_neighbors", pa.int64()),
+        ("union_neighbors", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def _edge_jaccard_finish(u, v, du, dv, common) -> pa.Table:
+    """(u, v, deg, deg, common) int64 arrays → final sorted table."""
+    union = du + dv - common
+    t = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "common_neighbors": pa.array(common, pa.int64()),
+            "union_neighbors": pa.array(union, pa.int64()),
+            # an edge forces du, dv ≥ 1 and common ≤ min(du, dv) − 1,
+            # so union ≥ 2 — the divide is total
+            "jaccard": pa.array(common.astype(np.float64) / union, pa.float64()),
+        }
+    )
+    return t.sort_by(
+        [("jaccard", "descending"), ("u", "ascending"), ("v", "ascending")]
+    )
+
+
+def _edge_jaccard_local(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _EJ_SCHEMA.empty_table()
+    df = t.to_pandas()
+    deg = pd.concat([df["u"], df["v"]]).value_counts()
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    du = df["u"].map(deg).to_numpy()
+    dv = df["v"].map(deg).to_numpy()
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    oe = pd.DataFrame(
+        {
+            "a": np.where(u_first, u, v),
+            "b": np.where(u_first, v, u),
+            "db": np.where(u_first, dv, du),
+        }
+    )
+    m = oe.merge(oe, on="a")
+    keep = (m["db_x"] < m["db_y"]) | ((m["db_x"] == m["db_y"]) & (m["b_x"] < m["b_y"]))
+    w = m[keep]
+    tri = w.merge(
+        oe[["a", "b"]].rename(columns={"a": "b_x", "b": "b_y"}), on=["b_x", "b_y"]
+    )
+    x = tri["b_x"].to_numpy()
+    y = tri["b_y"].to_numpy()
+    z = tri["a"].to_numpy()
+    eu = np.concatenate([np.minimum(x, y), np.minimum(x, z), np.minimum(y, z)])
+    ev = np.concatenate([np.maximum(x, y), np.maximum(x, z), np.maximum(y, z)])
+    cnt = (
+        pd.DataFrame({"u": eu, "v": ev})
+        .groupby(["u", "v"], sort=False)
+        .size()
+        .reset_index(name="common")
+    )
+    merged = df[["u", "v"]].merge(cnt, on=["u", "v"], how="left")
+    common = merged["common"].fillna(0).to_numpy().astype(np.int64)
+    return _edge_jaccard_finish(u, v, du.astype(np.int64), dv.astype(np.int64), common)
+
+
+def _edge_jaccard_distributed(edges) -> pa.Table:
+    oriented = _oriented_edges(edges).materialize()
+    both = _wedge_edge_stream(oriented)
+
+    _EJ_PART = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("du", pa.int64()),
+            ("dv", pa.int64()),
+            ("common", pa.int64()),
+        ]
+    )
+
+    # match wedges against edges on (x, y); each triangle {x, y, z}
+    # credits its THREE canonical edges, pre-summed per bucket
+    def match_edges(df: pd.DataFrame) -> pa.Table:
+        is_edge = df["z"].to_numpy() < 0
+        e = df[is_edge][["x", "y"]]
+        w = df[~is_edge]
+        tri = w.merge(e, on=["x", "y"])
+        x = tri["x"].to_numpy()
+        y = tri["y"].to_numpy()
+        z = tri["z"].to_numpy()
+        eu = np.concatenate([np.minimum(x, y), np.minimum(x, z), np.minimum(y, z)])
+        ev = np.concatenate([np.maximum(x, y), np.maximum(x, z), np.maximum(y, z)])
+        g = (
+            pd.DataFrame({"u": eu, "v": ev})
+            .groupby(["u", "v"], sort=False)
+            .size()
+            .reset_index(name="common")
+        )
+        n = len(g)
+        zero = pa.array(np.zeros(n, np.int64), pa.int64())
+        return pa.table(
+            {
+                "u": pa.array(g["u"].to_numpy(), pa.int64()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "du": zero,
+                "dv": zero,
+                "common": pa.array(g["common"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    tri_partials = _bucketed(both, "x", match_edges)
+
+    # every edge exactly once, back in canonical (min, max) id order,
+    # carrying its endpoint degrees and common = 0
+    def edge_deg_rows(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        da = b.column("da").to_numpy(zero_copy_only=False)
+        db = b.column("db").to_numpy(zero_copy_only=False)
+        a_first = a < bb
+        n = len(a)
+        return pa.table(
+            {
+                "u": pa.array(np.where(a_first, a, bb), pa.int64()),
+                "v": pa.array(np.where(a_first, bb, a), pa.int64()),
+                "du": pa.array(np.where(a_first, da, db), pa.int64()),
+                "dv": pa.array(np.where(a_first, db, da), pa.int64()),
+                "common": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    summed = _sum_partials(
+        tri_partials.union(
+            oriented.map_batches(edge_deg_rows, batch_format="pyarrow")
+        ),
+        ["u", "v"],
+        ["du", "dv", "common"],
+        _EJ_PART,
+    )
+    return _edge_jaccard_finish(
+        summed.column("u").to_numpy(zero_copy_only=False),
+        summed.column("v").to_numpy(zero_copy_only=False),
+        summed.column("du").to_numpy(zero_copy_only=False),
+        summed.column("dv").to_numpy(zero_copy_only=False),
+        summed.column("common").to_numpy(zero_copy_only=False),
+    )
+
+
+def q_edge_jaccard(sf_dir: str):
+    edges = _cosupply_edges(sf_dir).materialize()
+    if edges.count() == 0:
+        return _EJ_SCHEMA.empty_table()
+    if (edges.size_bytes() or 0) <= _TRI_LOCAL_MAX_BYTES:
+        return _edge_jaccard_local(dd._collect(edges))
+    return _edge_jaccard_distributed(edges)
+
+
+SQL_EDGE_JACCARD = f"""
+WITH {_COSUPPLY_SQL_E},
+d AS (SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node),
+tri AS (SELECT ab.u AS x, ab.v AS y, bc.v AS z
+        FROM e ab JOIN e bc ON ab.v = bc.u
+                  JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+c AS (SELECT u, v, count(*) AS common FROM (
+        SELECT x AS u, y AS v FROM tri
+        UNION ALL SELECT x, z FROM tri
+        UNION ALL SELECT y, z FROM tri)
+      GROUP BY u, v)
+SELECT e.u, e.v,
+       CAST(COALESCE(c.common, 0) AS BIGINT)                        AS common_neighbors,
+       CAST(du.deg + dv.deg - COALESCE(c.common, 0) AS BIGINT)      AS union_neighbors,
+       CAST(COALESCE(c.common, 0) AS DOUBLE)
+         / CAST(du.deg + dv.deg - COALESCE(c.common, 0) AS DOUBLE)  AS jaccard
+FROM e
+JOIN d du ON du.node = e.u
+JOIN d dv ON dv.node = e.v
+LEFT JOIN c ON c.u = e.u AND c.v = e.v
+ORDER BY jaccard DESC, e.u, e.v
 """
 
 
@@ -15091,6 +15313,7 @@ QUERIES = {
     "graph_components": q_graph_components,
     "triangle_count": q_triangle_count,
     "degree_dist": q_degree_dist,
+    "edge_jaccard": q_edge_jaccard,
     "copurchase_pairs": q_copurchase_pairs,
     "order_reconcile": q_order_reconcile,
     "resample_daily": q_resample_daily,
@@ -15270,6 +15493,7 @@ ORACLES = {
     "graph_components": SQL_GRAPH_COMPONENTS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "degree_dist": SQL_DEGREE_DIST,
+    "edge_jaccard": SQL_EDGE_JACCARD,
     "copurchase_pairs": SQL_COPURCHASE_PAIRS,
     "order_reconcile": SQL_ORDER_RECONCILE,
     "resample_daily": SQL_RESAMPLE_DAILY,

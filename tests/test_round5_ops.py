@@ -409,6 +409,47 @@ def test_triangle_count_planted_graph(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_edge_jaccard_planted_graph(tmp_path):
+    """Same K4 + star graph: every K4 edge shares the other two clique
+    nodes (common=2, union=3+3-2=4 → J=0.5); every star edge shares
+    nothing (common=0, union=4+1 → J=0.0).  Local and forced
+    distributed paths must agree exactly."""
+    from pdf_extractor_ray.pipelines.queries import (
+        _cosupply_edges,
+        _edge_jaccard_distributed,
+        q_edge_jaccard,
+    )
+
+    part_supps = {
+        100: [1, 2, 3],
+        101: [1, 2],
+        102: [1, 4],
+        103: [2, 4],
+        104: [3, 4],
+        105: [0, 5],
+        106: [0, 6],
+        107: [0, 7],
+        108: [0, 8],
+    }
+    _write_lineitem_graph(tmp_path, part_supps, excluded=[(109, 0), (109, 1)])
+
+    got = q_edge_jaccard(str(tmp_path)).to_pydict()
+    assert got == {
+        "u": [1, 1, 1, 2, 2, 3, 0, 0, 0, 0],
+        "v": [2, 3, 4, 3, 4, 4, 5, 6, 7, 8],
+        "common_neighbors": [2, 2, 2, 2, 2, 2, 0, 0, 0, 0],
+        "union_neighbors": [4, 4, 4, 4, 4, 4, 5, 5, 5, 5],
+        "jaccard": [0.5] * 6 + [0.0] * 4,
+    }
+
+    dist = (
+        _edge_jaccard_distributed(_cosupply_edges(str(tmp_path)).materialize())
+        .to_pydict()
+    )
+    assert dist == got
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_dbscan_planted_blobs(tmp_path):
     """Three well-separated 2-D blobs embedded in 64-d (structure in
     dims 0-1, tiny noise elsewhere) plus five isolated far points:
@@ -502,6 +543,13 @@ def test_graph_ops_empty_graph(tmp_path):
     deg = q_degree_dist(str(tmp_path))
     assert deg.num_rows == 0
     assert deg.column_names == ["degree", "n_nodes"]
+    from pdf_extractor_ray.pipelines.queries import q_edge_jaccard
+
+    ej = q_edge_jaccard(str(tmp_path))
+    assert ej.num_rows == 0
+    assert ej.column_names == [
+        "u", "v", "common_neighbors", "union_neighbors", "jaccard",
+    ]
 
 
 @pytest.mark.usefixtures("ray_session")
