@@ -15056,6 +15056,54 @@ FROM w GROUP BY user_id
 
 _RFM_SHIFTS = {"recency_days": 0, "freq": 0, "cents": 14}
 
+# local-path gate (the q_pagerank pattern): the per-user RFM table is
+# O(distinct purchasers) — tiny relative to events — so below this
+# byte size the three quintile ranks run as one in-process numpy pass
+# instead of three value-binned exchanges (measured 3.7 s → ~1 s at
+# sf0.01); the exchange path below is the 100-TB shape and stays
+# pinned by the forced-path branch of test_rfm_tie_stable_quintiles.
+_RFM_LOCAL_MAX_BYTES = 64 << 20
+
+
+_RFM_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("recency_days", pa.int64()),
+        ("freq", pa.int64()),
+        ("cents", pa.int64()),
+        ("r_q", pa.int64()),
+        ("f_q", pa.int64()),
+        ("m_q", pa.int64()),
+    ]
+)
+
+
+def _rfm_local(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _RFM_SCHEMA.empty_table()
+    last_day = t.column("last_day").to_numpy(zero_copy_only=False)
+    rec = (last_day.max() - last_day).astype(np.int64)
+    freq = t.column("freq").to_numpy(zero_copy_only=False)
+    cents = t.column("cents").to_numpy(zero_copy_only=False)
+    n = t.num_rows
+
+    def quint(v: np.ndarray) -> np.ndarray:
+        sv = np.sort(v, kind="stable")
+        smaller = np.searchsorted(sv, v, side="left")
+        return np.minimum(4, 5 * smaller // n).astype(np.int64)
+
+    return pa.table(
+        {
+            "user_id": t.column("user_id"),
+            "recency_days": pa.array(rec, pa.int64()),
+            "freq": pa.array(freq.astype(np.int64), pa.int64()),
+            "cents": pa.array(cents.astype(np.int64), pa.int64()),
+            "r_q": pa.array(quint(rec), pa.int64()),
+            "f_q": pa.array(quint(freq), pa.int64()),
+            "m_q": pa.array(quint(cents), pa.int64()),
+        }
+    )
+
 
 def _rank_quintile(users: ray.data.Dataset, col: str, out_col: str, n_total: int):
     """Append least(4, 5·cnt_smaller//n) for ``col`` via a value-binned
@@ -15108,7 +15156,7 @@ def _rank_quintile(users: ray.data.Dataset, col: str, out_col: str, n_total: int
     )
 
 
-def q_rfm_scores(sf_dir: str):
+def q_rfm_scores(sf_dir: str, local_max_bytes: int = _RFM_LOCAL_MAX_BYTES):
     import pyarrow.dataset as pads
 
     ds = _read_pq(
@@ -15160,6 +15208,8 @@ def q_rfm_scores(sf_dir: str):
     users = _bucketed(
         ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
     ).materialize()
+    if (users.size_bytes() or 0) <= local_max_bytes:
+        return _rfm_local(dd._collect(users))
     gmax = int(
         pc.max(_to_table(users.select_columns(["last_day"])).column("last_day")).as_py()
     )

@@ -161,6 +161,28 @@ def test_rfm_tie_stable_quintiles(tmp_path):
     for c in ("recency_days", "freq", "cents", "r_q", "f_q", "m_q"):
         assert got[c].tolist() == exp[c].tolist(), c
 
+    # force the DISTRIBUTED value-binned-exchange path (the 100-TB
+    # shape) — identical table required
+    dist = (
+        q.q_rfm_scores(str(tmp_path), local_max_bytes=0)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert dist.equals(got.reset_index(drop=True))
+
+
+def test_rfm_no_purchases(tmp_path):
+    """A lake with zero purchase events must yield an empty typed
+    table, not crash on max() of an empty aggregate."""
+    d0 = dt.datetime(2025, 1, 1)
+    _write_events(tmp_path, [(0, 1, d0, "view", 1.0)])
+    got = q.q_rfm_scores(str(tmp_path))
+    assert got.num_rows == 0
+    assert got.column_names == [
+        "user_id", "recency_days", "freq", "cents", "r_q", "f_q", "m_q",
+    ]
+
 
 def test_kaplan_meier_at_risk_monotone(tmp_path):
     d0 = dt.datetime(2025, 1, 1)
