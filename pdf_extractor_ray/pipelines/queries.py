@@ -3684,6 +3684,62 @@ def q_outer_join(sf_dir: str):
                 "n_orderless": t.column("n_rows"),
             }
         )
+    # SIZE GATE (the q3/q7/q8 pattern): the customer side is a slim
+    # 2-column projection — under the cap its custkey→segment map
+    # broadcasts and the whole query is ONE orders pass of (custkey, n)
+    # combiner partials + a driver finish over O(custkeys) rows, which
+    # measured 8.6 s → ~1 s at sf0.1 (the JoinOperator's aggregator
+    # actor pool costs ~6 s of startup regardless of input size).
+    # Above the cap the distributed LEFT OUTER hash join below runs;
+    # GRAFT_JOIN_BROADCAST_MAX=0 forces it (pinned by test).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    cust_mat = customer.materialize()
+    if (cust_mat.size_bytes() or 0) <= cap:
+        ct = _to_table_s(
+            cust_mat,
+            pa.schema([("c_custkey", pa.int64()), ("c_mktsegment", pa.string())]),
+        )
+        seg = pd.Series(
+            ct.column("c_mktsegment").to_numpy(zero_copy_only=False),
+            index=ct.column("c_custkey").to_numpy(zero_copy_only=False),
+        )
+        segref = ray.put(ct.column("c_custkey").combine_chunks())
+
+        def o_cnt(b: pa.Table) -> pa.Table:
+            k = b.column("o_custkey")
+            f = pc.is_in(k, value_set=ray.get(segref))
+            kept = k.filter(f).to_numpy(zero_copy_only=False)
+            u, c = np.unique(kept, return_counts=True)
+            return pa.table(
+                {
+                    "k": pa.array(u, pa.int64()),
+                    "n": pa.array(c.astype(np.int64), pa.int64()),
+                }
+            )
+
+        percust = _sum_partials(
+            orders.map_batches(o_cnt, batch_format="pyarrow", zero_copy_batch=True),
+            ["k"],
+            ["n"],
+            pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+        ).to_pandas()
+        percust["seg"] = percust["k"].map(seg)
+        g = percust.groupby("seg").agg(n_orders=("n", "sum"), matched=("k", "size"))
+        all_segs = seg.groupby(seg).size()  # customers per segment
+        n_orders = g["n_orders"].reindex(all_segs.index).fillna(0).astype(np.int64)
+        matched = g["matched"].reindex(all_segs.index).fillna(0).astype(np.int64)
+        orderless = (all_segs - matched).astype(np.int64)
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(all_segs.index.to_numpy(), pa.string()),
+                "n_rows": pa.array(
+                    (n_orders + orderless).to_numpy(), pa.int64()
+                ),
+                "n_orders": pa.array(n_orders.to_numpy(), pa.int64()),
+                "n_orderless": pa.array(orderless.to_numpy(), pa.int64()),
+            }
+        )
+
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     joined = customer.join(
         orders,
