@@ -721,14 +721,15 @@ def q_tpch_q5(sf_dir: str):
         )
     )
     cust_table = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
-    cust_nat = ray.put(_lookup_array(cust_table, "c_custkey", "c_nationkey"))
+    cust_lut = _lookup_array(cust_table, "c_custkey", "c_nationkey")
+    cust_nat = ray.put(cust_lut)
     asia_keys = np.array(sorted(nation_name), dtype=np.int64)
 
     orders = _read_pq(
         _t(sf_dir, "orders"),
         columns=["o_orderkey", "o_custkey"],
         filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
-    )
+    ).materialize()
 
     def tag_customer_nation(batch: pa.Table) -> pa.Table:
         lut = ray.get(cust_nat)
@@ -772,6 +773,84 @@ def q_tpch_q5(sf_dir: str):
         )
 
     q5_schema = pa.schema([("nation", pa.string()), ("revenue", pa.float64())])
+
+    # SIZE GATE (the q3/outer_join pattern): the date-filtered orders
+    # slice is a 2-int-column projection; under the cap its
+    # (orderkey → customer-nation) map broadcasts as a pair of sorted
+    # numpy arrays (searchsorted lookup, no Python dict) and the whole
+    # query is ONE lineitem pass emitting ≤|ASIA nations| (s_nat, rev)
+    # partial rows per batch — the join exchange disappears, which
+    # measured 6.2 s → ~1 s at sf0.1 (the JoinOperator pays ~4 s of
+    # aggregator-pool startup regardless of input size).  Above the cap
+    # the large-large hash join below runs; GRAFT_JOIN_BROADCAST_MAX=0
+    # forces it (pinned by test_tpch_join_exchange_path_matches_broadcast).
+    cap = int(os.environ.get("GRAFT_JOIN_BROADCAST_MAX", _JOIN_BROADCAST_MAX))
+    if (orders.size_bytes() or 0) <= cap:
+        ot = _to_table(orders)
+        if "o_custkey" not in ot.column_names or len(asia_keys) == 0:
+            return q5_schema.empty_table()
+        ok = ot.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ck = ot.column("o_custkey").to_numpy(zero_copy_only=False)
+        cn = cust_lut[np.minimum(ck, len(cust_lut) - 1)]
+        keep = np.isin(cn, asia_keys)
+        ok, cn = ok[keep], cn[keep]
+        order = np.argsort(ok)
+        omref = ray.put((ok[order], cn[order].astype(np.int64)))
+        ak = asia_keys
+
+        def li_bcast(b: pa.Table) -> pa.Table:
+            lut = ray.get(sup_nat)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+            sn = lut[np.minimum(sk, len(lut) - 1)]
+            keep = np.isin(sn, ak)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+            sn = sn[keep]
+            rev = np.rint(
+                b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+                * (1.0 - b.column("l_discount").to_numpy(zero_copy_only=False)[keep])
+                * 1e4
+            ).astype(np.int64)
+            oks, cns = ray.get(omref)
+            if len(oks):
+                pos = np.minimum(np.searchsorted(oks, lk), len(oks) - 1)
+                hit = (oks[pos] == lk) & (cns[pos] == sn)
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+            sn, rev = sn[hit], rev[hit]
+            # ≤|ASIA| exact int sums per batch (5 masked reductions)
+            sums = np.array([rev[sn == k].sum() for k in ak], dtype=np.int64)
+            cnts = np.array([(sn == k).sum() for k in ak], dtype=np.int64)
+            nz = cnts > 0
+            return pa.table(
+                {
+                    "s_nat": pa.array(ak[nz], pa.int64()),
+                    "rev": pa.array(sums[nz], pa.int64()),
+                }
+            )
+
+        agg_t = _sum_partials(
+            lineitem.map_batches(
+                li_bcast, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            ["s_nat"],
+            ["rev"],
+            pa.schema([("s_nat", pa.int64()), ("rev", pa.int64())]),
+        )
+        return pa.table(
+            {
+                "nation": pa.array(
+                    [nation_name[k] for k in agg_t.column("s_nat").to_pylist()],
+                    pa.string(),
+                ),
+                "revenue": pa.array(
+                    _i4_to_money(
+                        agg_t.column("rev").to_numpy(zero_copy_only=False)
+                    ),
+                    pa.float64(),
+                ),
+            }
+        ).sort_by([("revenue", "descending")])
+
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     left = lineitem.map_batches(tag_supplier_nation, batch_format="pyarrow")
     right = orders.map_batches(tag_customer_nation, batch_format="pyarrow")

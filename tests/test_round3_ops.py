@@ -129,7 +129,7 @@ def test_tpch_join_exchange_path_matches_broadcast(monkeypatch):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
-    for name in ("tpch_q3", "tpch_q7", "tpch_q8", "tpch_q16", "outer_join"):
+    for name in ("tpch_q3", "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q16", "outer_join"):
         exp = _canon(con.execute(ORACLES[name]).fetchdf())
         monkeypatch.delenv("GRAFT_JOIN_BROADCAST_MAX", raising=False)
         bcast = QUERIES[name](sf_dir)
