@@ -207,3 +207,64 @@ def levenshtein(a: str, b: str, max_dist: int | None = None) -> int | None:
     if max_dist is not None and d > max_dist:
         return None
     return d
+
+
+def jaro(a: str, b: str) -> float:
+    """Jaro similarity, the standard definition DuckDB's
+    ``jaro_similarity()`` implements: match window
+    ``max(|a|,|b|)//2 - 1``, transpositions counted as half the
+    out-of-order matches.  Parity with DuckDB verified pairwise over
+    real part-name vocabulary in tests (ASCII inputs; multibyte
+    inputs may differ byte-vs-codepoint — the engine's fuzzy-join
+    callers operate on ASCII name columns)."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB scores ''-vs-'' as 0, not 1
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    fa = [False] * la
+    fb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        ca = a[i]
+        for j in range(lo, hi):
+            if not fb[j] and ca == b[j]:
+                fa[i] = fb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if fa[i]:
+            while not fb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler(a: str, b: str, prefix_weight: float = 0.1) -> float:
+    """Jaro-Winkler: Jaro plus a common-prefix bonus (≤4 chars, only
+    when Jaro > 0.7) — the standard parameters and the ones DuckDB's
+    ``jaro_winkler_similarity()`` uses (verified pairwise in tests)."""
+    j = jaro(a, b)
+    if j > 0.7:
+        prefix = 0
+        for x, y in zip(a, b):
+            if x == y and prefix < 4:
+                prefix += 1
+            else:
+                break
+        j += prefix * prefix_weight * (1.0 - j)
+    return j

@@ -15757,6 +15757,304 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# blocked fuzzy similarity join (Jaro-Winkler) — the second classic
+# entity-resolution verify kernel next to q_edit_dedup's banded
+# Levenshtein: a deterministic BLOCKING key (first two whitespace
+# tokens) co-locates candidates in one bucketed exchange, then
+# Jaro-Winkler over a fixed 48-char prefix verifies within blocks.
+# functions.textstats.jaro_winkler is bit-for-bit DuckDB's
+# jaro_winkler_similarity (standard Winkler parameters: prefix ≤ 4,
+# weight 0.1, boost only above 0.7) — pinned by
+# test_jaro_winkler_duckdb_parity over every real candidate pair, so
+# the unrounded ≥-threshold filter agrees exactly on both engines.
+# All-pairs work is bounded by the block-size distribution (the
+# standard, documented blocking assumption — same as q_edit_dedup).
+# --------------------------------------------------------------------------
+
+_FUZZY_PREFIX, _FUZZY_THRESHOLD = 48, 0.88
+
+
+def q_fuzzy_join(sf_dir: str):
+    from ..functions.textstats import jaro_winkler
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(b: pd.DataFrame) -> pa.Table:
+        toks = b["text"].str.split(" ")
+        bk = toks.str[0].fillna("") + " " + toks.str[1].fillna("")
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.string()),
+                "doc_id": pa.array(b["doc_id"].to_numpy(), pa.int64()),
+                "s": pa.array(b["text"].str.slice(0, _FUZZY_PREFIX), pa.string()),
+            }
+        )
+
+    def verify_block(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        ss = list(df["s"])
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(ids)):
+            si = ss[i]
+            for j in range(i + 1, len(ids)):
+                sim = jaro_winkler(si, ss[j])
+                if sim >= _FUZZY_THRESHOLD:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_s.append(sim)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "sim": pa.array(np.round(out_s, 6), pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(verify_block, batch_format="pandas")
+    )
+    return _to_table(out)
+
+
+SQL_FUZZY_JOIN = f"""
+WITH k AS (
+  SELECT doc_id, substr(text, 1, {_FUZZY_PREFIX}) AS s,
+         split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2) AS bk
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(jaro_winkler_similarity(a.s, b.s), 6) AS sim
+FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+WHERE jaro_winkler_similarity(a.s, b.s) >= {_FUZZY_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# SCD2 intervalization — reconstruct type-2 validity intervals from an
+# event stream: per user ordered by (ts, event_id), each run of equal
+# event_type becomes one (user, state, valid_from, valid_to) row,
+# valid_to = the next run's first ts (-1 sentinel for the open current
+# state — both engines emit the same exact int64, no NULL/NaN repr
+# ambiguity crosses the hash).  A batch can't pre-collapse runs (run
+# boundaries need global per-user order), so the shape is the one
+# user-bucketed exchange shared with sessionize/streaks, with the
+# run-collapse a vectorized segmented boundary scan inside the bucket.
+# --------------------------------------------------------------------------
+
+
+def q_scd2_intervals(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("from_us", pa.int64()),
+                ("to_us", pa.int64()),
+            ]
+        )
+        if b.empty:
+            return schema.empty_table()
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = b["user_id"].to_numpy()
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = b["event_type"].to_numpy()
+        new_run = np.r_[True, (u[1:] != u[:-1]) | (et[1:] != et[:-1])]
+        starts = np.flatnonzero(new_run)
+        su = u[starts]
+        sfrom = ts[starts]
+        nxt = np.r_[sfrom[1:], np.int64(0)]
+        same_user = np.r_[su[1:] == su[:-1], False]
+        to_us = np.where(same_user, nxt, np.int64(-1))
+        return pa.table(
+            {
+                "user_id": pa.array(su, pa.int64()),
+                "event_type": pa.array(et[starts], pa.string()),
+                "from_us": pa.array(sfrom, pa.int64()),
+                "to_us": pa.array(to_us, pa.int64()),
+            }
+        )
+
+    return _to_table(_bucketed(ds, "user_id", per_bucket))
+
+
+SQL_SCD2_INTERVALS = """
+WITH o AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER w AS rn,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_type, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS isl
+  FROM o),
+g AS (
+  SELECT user_id, min(event_type) AS event_type, isl,
+         min(ts) AS vf
+  FROM s GROUP BY user_id, isl)
+SELECT user_id, event_type,
+       CAST(epoch_us(vf) AS BIGINT) AS from_us,
+       COALESCE(CAST(epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY isl))
+                     AS BIGINT), -1) AS to_us
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# full Pearson correlation matrix in ONE moment pass — the
+# column-profiling shape: each batch collapses to a single row of
+# mergeable moments (n, Σxᵢ, Σxᵢxⱼ for all i ≤ j — 15 floats for 4
+# columns), one O(batches)-row exchange, closed-form finalize on the
+# tiny result.  Per-column constant shifts (corr is shift-invariant)
+# keep the n·Σxᵢxⱼ − ΣxᵢΣxⱼ cancellation at ~14 significant digits,
+# the same conditioning trick as q_corr_stats.  Columns are listed
+# alphabetically so pair labels are canonical.
+# --------------------------------------------------------------------------
+
+_CMAT_COLS = (
+    ("l_discount", 0.05),
+    ("l_extendedprice", 38_000.0),
+    ("l_quantity", 25.0),
+    ("l_tax", 0.04),
+)
+
+
+def q_corr_matrix(sf_dir: str):
+    cols = [c for c, _ in _CMAT_COLS]
+    nc = len(_CMAT_COLS)
+    ds = _read_pq(_t(sf_dir, "lineitem"), columns=cols)
+    moment_names = [f"s{i}" for i in range(nc)] + [
+        f"s{i}{j}" for i in range(nc) for j in range(i, nc)
+    ]
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        x = [b[c].to_numpy() - sh for c, sh in _CMAT_COLS]
+        out = {
+            "k": pa.array([0], pa.int32()),
+            "n": pa.array([len(b)], pa.int64()),
+        }
+        for i in range(nc):
+            out[f"s{i}"] = pa.array([float(x[i].sum())], pa.float64())
+            for j in range(i, nc):
+                out[f"s{i}{j}"] = pa.array([float((x[i] * x[j]).sum())], pa.float64())
+        return pa.table(out)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("k")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(m, alias_name=m) for m in moment_names],
+        )
+    )
+    t = _to_table_s(
+        agg,
+        pa.schema(
+            [("k", pa.int32()), ("n", pa.int64())]
+            + [(m, pa.float64()) for m in moment_names],
+        ),
+    )
+    if t.num_rows == 0:  # empty lake → the oracle's 6 NULL-corr rows
+        n = 0
+        s = {m: 0.0 for m in moment_names}
+    else:
+        n = int(t.column("n")[0].as_py())
+        s = {m: float(t.column(m)[0].as_py()) for m in moment_names}
+    col_a, col_b, corr = [], [], []
+    for i in range(nc):
+        for j in range(i + 1, nc):
+            col_a.append(_CMAT_COLS[i][0])
+            col_b.append(_CMAT_COLS[j][0])
+            if n == 0:
+                corr.append(None)
+                continue
+            cov = n * s[f"s{i}{j}"] - s[f"s{i}"] * s[f"s{j}"]
+            var_i = n * s[f"s{i}{i}"] - s[f"s{i}"] ** 2
+            var_j = n * s[f"s{j}{j}"] - s[f"s{j}"] ** 2
+            den = math.sqrt(var_i * var_j)
+            corr.append(round(cov / den, 6) if den > 0 else None)
+    return pa.table(
+        {
+            "col_a": pa.array(col_a, pa.string()),
+            "col_b": pa.array(col_b, pa.string()),
+            "n": pa.array([n] * len(col_a), pa.int64()),
+            "corr": pa.array(corr, pa.float64()),
+        }
+    )
+
+
+SQL_CORR_MATRIX = """
+SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_discount, l_extendedprice), 6) AS corr FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_quantity', CAST(count(*) AS BIGINT),
+       round(corr(l_discount, l_quantity), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax', CAST(count(*) AS BIGINT),
+       round(corr(l_discount, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_quantity', CAST(count(*) AS BIGINT),
+       round(corr(l_extendedprice, l_quantity), 6) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_tax', CAST(count(*) AS BIGINT),
+       round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax', CAST(count(*) AS BIGINT),
+       round(corr(l_quantity, l_tax), 6) FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# compression-ratio quality signal — the classic repetitiveness filter
+# for pretraining corpora (a highly repetitive document compresses far
+# below typical prose): per-document zlib ratio, flagged below a
+# threshold.  Purely map-side (no exchange at all); the per-row
+# zlib.compress call is the vectorization floor — each call is one C
+# routine over the document bytes, the same per-row-C-kernel shape as
+# tokenizers.  No SQL oracle (DuckDB has no zlib); determinism is
+# zlib-level-6 byte counts, pinned by unit test.
+# --------------------------------------------------------------------------
+
+_ZRATIO_LEVEL = 6
+_ZRATIO_FLAG_BELOW = 0.35
+
+
+def q_compression_ratio(sf_dir: str):
+    import zlib
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            bs = (t or "").encode("utf-8")
+            raw[i] = len(bs)
+            comp[i] = len(zlib.compress(bs, _ZRATIO_LEVEL))
+        ratio = comp / np.maximum(raw, 1)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "raw_len": pa.array(raw, pa.int64()),
+                "comp_len": pa.array(comp, pa.int64()),
+                "ratio": pa.array(np.round(ratio, 6), pa.float64()),
+                "flag_repetitive": pa.array(ratio < _ZRATIO_FLAG_BELOW),
+            }
+        )
+
+    return _to_table(ds.map_batches(score, batch_format="pyarrow"))
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -15892,6 +16190,10 @@ QUERIES = {
     "tpch_q18": q_tpch_q18,
     "percentile_cont": q_percentile_cont,
     "edit_dedup": q_edit_dedup,
+    "fuzzy_join": q_fuzzy_join,
+    "scd2_intervals": q_scd2_intervals,
+    "corr_matrix": q_corr_matrix,
+    "compression_ratio": q_compression_ratio,
     "unigram_logprob": q_unigram_logprob,
     "lang_balance": q_lang_balance,
     "drawdown": q_drawdown,
@@ -16070,6 +16372,9 @@ ORACLES = {
     "tpch_q18": SQL_TPCH_Q18,
     "percentile_cont": SQL_PERCENTILE_CONT,
     "edit_dedup": SQL_EDIT_DEDUP,
+    "fuzzy_join": SQL_FUZZY_JOIN,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
+    "corr_matrix": SQL_CORR_MATRIX,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_balance": SQL_LANG_BALANCE,
     "drawdown": SQL_DRAWDOWN,

@@ -1,0 +1,186 @@
+"""Pins for the entity-resolution / warehouse batch: Jaro-Winkler
+bit-parity with DuckDB over every real candidate pair, SCD2 interval
+boundaries (run collapse, same-ts ties, open-state sentinel),
+corr_matrix zero-variance guard, and the compression-ratio
+repetitiveness flag."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import pdf_extractor_ray.pipelines.queries as q
+from pdf_extractor_ray.functions.textstats import jaro, jaro_winkler
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, user_id, ts, event_type, value)."""
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def _oracle(tmp_path, sql, tables=("events",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            "CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+            % (t, str(tmp_path / (t + ".parquet")))
+        )
+    df = con.execute(sql).df()
+    con.close()
+    return df
+
+
+def test_jaro_winkler_duckdb_parity():
+    """Bit-for-bit double equality with DuckDB's
+    jaro_winkler_similarity over (a) the classic textbook pairs and
+    (b) EVERY real candidate pair the fuzzy_join blocking produces at
+    sf0.01 — the filter threshold compares unrounded doubles on both
+    engines, so anything short of exact equality could flip a pair."""
+    con = duckdb.connect()
+    words = [
+        "", "a", "ab", "ba", "martha", "marhta", "dwayne", "duane",
+        "dixon", "dicksonx", "jellyfish", "smellyfish",
+        "lemon chiffon azure antique", "lemon chiffon beige almond",
+    ]
+    for a in words:
+        for b in words:
+            want = con.execute(
+                "select jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert jaro_winkler(a, b) == want, (a, b)
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    pairs = con.execute(
+        f"""
+        WITH k AS (SELECT doc_id, substr(text, 1, {q._FUZZY_PREFIX}) AS s,
+                          split_part(text,' ',1)||' '||split_part(text,' ',2) AS bk
+                   FROM documents)
+        SELECT a.s, b.s, jaro_winkler_similarity(a.s, b.s)
+        FROM k a JOIN k b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        """
+    ).fetchall()
+    assert len(pairs) > 100
+    assert all(jaro_winkler(a, b) == want for a, b, want in pairs)
+    # jaro alone: transposition case (textbook value 0.9444…)
+    assert abs(jaro("martha", "marhta") - 0.9444444444444445) < 1e-15
+
+
+def test_scd2_intervals_runs_ties_and_sentinel(tmp_path):
+    d0 = dt.datetime(2025, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view view | buy | view — 3 intervals, run collapse
+        (1, 1, d0, "view", 1.0),
+        (2, 1, d0 + m, "view", 1.0),
+        (3, 1, d0 + 2 * m, "buy", 1.0),
+        (4, 1, d0 + 3 * m, "view", 1.0),
+        # user 2: same-ts tie broken by event_id (5 before 6)
+        (5, 2, d0, "a", 1.0),
+        (6, 2, d0, "b", 1.0),
+        # user 3: single event → one open interval
+        (7, 3, d0, "x", 1.0),
+    ]
+    _write_events(tmp_path, rows)
+    got = (
+        q.q_scd2_intervals(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "from_us"])
+        .reset_index(drop=True)
+    )
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    assert got[got["user_id"] == 1]["event_type"].tolist() == ["view", "buy", "view"]
+    u1 = got[got["user_id"] == 1]
+    assert u1["from_us"].tolist() == [us(d0), us(d0 + 2 * m), us(d0 + 3 * m)]
+    assert u1["to_us"].tolist() == [us(d0 + 2 * m), us(d0 + 3 * m), -1]
+    u2 = got[got["user_id"] == 2]
+    assert u2["event_type"].tolist() == ["a", "b"]  # event_id tiebreak
+    assert u2["to_us"].tolist() == [us(d0), -1]  # zero-length interval is real
+    assert got[got["user_id"] == 3]["to_us"].tolist() == [-1]
+    exp = (
+        _oracle(tmp_path, q.SQL_SCD2_INTERVALS)
+        .sort_values(["user_id", "from_us"])
+        .reset_index(drop=True)
+    )
+    for c in ("user_id", "event_type", "from_us", "to_us"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_corr_matrix_zero_variance_is_null(tmp_path):
+    t = pa.table(
+        {
+            "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            "l_discount": pa.array([0.05, 0.05, 0.05], pa.float64()),  # constant
+            "l_tax": pa.array([0.01, 0.02, 0.04], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    got = q.q_corr_matrix(str(tmp_path)).to_pandas()
+    assert len(got) == 6 and got["n"].tolist() == [3] * 6
+    by = {(r.col_a, r.col_b): r.corr for r in got.itertuples()}
+    # perfectly correlated pair
+    assert by[("l_extendedprice", "l_quantity")] == 1.0
+    # every pair touching the constant column is NULL (zero variance),
+    # matching DuckDB's corr() semantics
+    import math
+
+    for k, v in by.items():
+        if "l_discount" in k:
+            assert v is None or math.isnan(v), k
+    exp = _oracle(tmp_path, q.SQL_CORR_MATRIX, tables=("lineitem",))
+    eby = {(r.col_a, r.col_b): r.corr for r in exp.itertuples()}
+    for k in by:
+        a, b = by[k], eby[k]
+        assert (a is None or math.isnan(a)) == (b is None or math.isnan(b)), k
+        if a is not None and not math.isnan(a):
+            assert a == b, k
+
+
+def test_compression_ratio_flags_repetitive(tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    diverse = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 8)) for _ in range(80)
+    )
+    rows = [
+        (1, "spam " * 400, "en", "src0"),  # highly repetitive
+        (2, diverse, "en", "src0"),  # incompressible-ish
+    ]
+    _write_docs(tmp_path, rows)
+    got = q.q_compression_ratio(str(tmp_path)).to_pandas().sort_values("doc_id")
+    assert bool(got.iloc[0]["flag_repetitive"]) is True
+    assert bool(got.iloc[1]["flag_repetitive"]) is False
+    assert got.iloc[0]["ratio"] < 0.05 < got.iloc[1]["ratio"]
+    # byte accounting is real: compressed smaller than raw for the
+    # repetitive doc, raw_len matches the utf-8 length
+    assert got.iloc[0]["comp_len"] < got.iloc[0]["raw_len"] == 2000
