@@ -16055,6 +16055,379 @@ def q_compression_ratio(sf_dir: str):
     return _to_table(ds.map_batches(score, batch_format="pyarrow"))
 
 
+# --------------------------------------------------------------------------
+# local clustering coefficient — per-node LCC = 2·tri(v) / (deg(v)·
+# (deg(v)−1)) over the co-supply graph: reuses the size-gated triangle
+# counter (local numpy pass / six bucketed exchanges) and the
+# O(nodes)-row degree table, joined reduce-side with the tag-union
+# pattern (no driver-resident node map).  The float is ONE IEEE divide
+# of exact int64s, identical on both engines; the oracle is the
+# wedge-join triangle SQL extended per corner.
+# --------------------------------------------------------------------------
+
+_LCC_SCHEMA = pa.schema(
+    [
+        ("supp_node", pa.int64()),
+        ("deg", pa.int64()),
+        ("n_triangles", pa.int64()),
+        ("lcc", pa.float64()),
+    ]
+)
+
+
+def q_clustering_coeff(sf_dir: str):
+    edges = _cosupply_edges(sf_dir).materialize()
+    if edges.count() == 0:
+        return _LCC_SCHEMA.empty_table()
+    if (edges.size_bytes() or 0) <= _TRI_LOCAL_MAX_BYTES:
+        tri = _triangles_local(dd._collect(edges))
+    else:
+        tri = _triangles_distributed(edges)
+    degs = _node_degrees(edges)  # (node, deg), O(nodes) rows
+
+    # reduce-side merge: degree rows carry n_triangles = -1 sentinel,
+    # triangle rows deg = -1; one bucketed exchange on the node id
+    def tri_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": b.column("supp_node"),
+                "deg": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "nt": b.column("n_triangles"),
+            }
+        )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "deg": b.column("deg"),
+                "nt": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ray.data.from_arrow(tri).map_batches(
+        tri_rows, batch_format="pyarrow"
+    ).union(degs.map_batches(deg_rows, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        d = df[df["nt"] < 0][["node", "deg"]]
+        t = df[df["deg"] < 0][["node", "nt"]]
+        m = d.merge(t, on="node", how="left")
+        m["nt"] = m["nt"].fillna(0).astype(np.int64)
+        m = m[m["deg"] >= 2]
+        deg = m["deg"].to_numpy()
+        nt = m["nt"].to_numpy()
+        lcc = 2.0 * nt / (deg * (deg - 1))
+        return pa.table(
+            {
+                "supp_node": pa.array(m["node"].to_numpy(), pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+                "n_triangles": pa.array(nt, pa.int64()),
+                "lcc": pa.array(np.round(lcc, 6), pa.float64()),
+            }
+        )
+
+    return _to_table(_bucketed(tagged, "node", merge))
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_COSUPPLY_SQL_E},
+tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON b.u = a.v JOIN e c ON c.u = a.u AND c.v = b.v),
+pern AS (SELECT node, count(*) AS nt FROM
+         (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri) GROUP BY node),
+d AS (SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node)
+SELECT d.node AS supp_node, CAST(d.deg AS BIGINT) AS deg,
+       CAST(COALESCE(pern.nt, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * COALESCE(pern.nt, 0) / (d.deg * (d.deg - 1)), 6) AS lcc
+FROM d LEFT JOIN pern ON pern.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# k-core extraction (k = 3) — iterative peeling over the co-supply
+# graph: drop every node with degree < k, recompute, repeat to a fixed
+# point.  Size-gated like bfs_hops: small edge lists peel in one numpy
+# pass; the distributed path re-derives degrees with the existing
+# O(nodes)-row exchange per round and broadcasts only the per-round
+# REMOVED-node id array (ray.put → vectorized pc.is_in edge filter) —
+# total driver traffic is O(nodes removed) across all rounds, never
+# edges.  Rows-only (k-core needs iteration; no single SQL oracle) —
+# planted-clique + dist≡local pins in tests.
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_LOCAL_MAX_BYTES = 64 << 20
+_KCORE_MAX_ROUNDS = 64
+_KCORE_SCHEMA = pa.schema([("supp_node", pa.int64()), ("core_deg", pa.int64())])
+
+
+def _kcore_local(t: pa.Table, k: int) -> pa.Table:
+    u = t.column("u").to_numpy(zero_copy_only=False).copy()
+    v = t.column("v").to_numpy(zero_copy_only=False).copy()
+    while len(u):
+        nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+        drop = nodes[counts < k]
+        if not len(drop):
+            deg_of = dict(zip(nodes.tolist(), counts.tolist()))
+            out = sorted(deg_of.items())
+            return pa.table(
+                {
+                    "supp_node": pa.array([n for n, _ in out], pa.int64()),
+                    "core_deg": pa.array([d for _, d in out], pa.int64()),
+                }
+            )
+        keep = ~(np.isin(u, drop) | np.isin(v, drop))
+        u, v = u[keep], v[keep]
+    return _KCORE_SCHEMA.empty_table()
+
+
+def q_k_core(sf_dir: str, local_max_bytes: int = _KCORE_LOCAL_MAX_BYTES):
+    k = _KCORE_K
+    edges = _cosupply_edges(sf_dir).materialize()
+    if edges.count() == 0:
+        return _KCORE_SCHEMA.empty_table()
+    if (edges.size_bytes() or 0) <= local_max_bytes:
+        return _kcore_local(dd._collect(edges), k)
+
+    for _ in range(_KCORE_MAX_ROUNDS):
+        degs = _node_degrees(edges)
+        low = _to_table_s(
+            degs.filter(expr=f"deg < {k}"),
+            pa.schema([("node", pa.int64()), ("deg", pa.int64())]),
+        )
+        drop = low.column("node").to_numpy(zero_copy_only=False)
+        if len(drop) == 0:
+            break
+        drop_ref = ray.put(np.sort(drop))
+
+        def prune(b: pa.Table, drop_ref=drop_ref) -> pa.Table:
+            d = ray.get(drop_ref)
+            bad = pc.or_(
+                pc.is_in(b.column("u"), value_set=pa.array(d, pa.int64())),
+                pc.is_in(b.column("v"), value_set=pa.array(d, pa.int64())),
+            )
+            return b.filter(pc.invert(bad))
+
+        edges = edges.map_batches(prune, batch_format="pyarrow").materialize()
+        if edges.count() == 0:
+            return _KCORE_SCHEMA.empty_table()
+    else:
+        import warnings
+
+        warnings.warn(
+            f"k_core did not converge in {_KCORE_MAX_ROUNDS} rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+
+    final = _to_table_s(
+        _node_degrees(edges), pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    )
+    out = final.sort_by("node")
+    return pa.table(
+        {
+            "supp_node": out.column("node"),
+            "core_deg": out.column("deg"),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-table training — the tokenizer-training op for a pretrain
+# corpus, built the standard way (the way HF trainers do): ONE
+# distributed word-count exchange collapses the corpus to its bounded
+# (word, count) vocabulary, then the merge loop runs on that tiny
+# table (vocab ≪ corpus — the documented assumption, with the same
+# audible cap as unigram_logprob).  Pair counts weight by word count;
+# ties break (count desc, pair lexicographic asc) so the merge
+# sequence is deterministic.  Rows-only: BPE is iterative, no SQL.
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 50
+_BPE_MAX_VOCAB = 2_000_000
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = _BPE_MERGES):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text")), "[^a-z]+"
+        )
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    vocab = _to_table(
+        ds.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    schema = pa.schema(
+        [
+            ("rank", pa.int64()),
+            ("left", pa.string()),
+            ("right", pa.string()),
+            ("pair_count", pa.int64()),
+        ]
+    )
+    if vocab.num_rows == 0:
+        return schema.empty_table()
+    if vocab.num_rows > _BPE_MAX_VOCAB:
+        import warnings
+
+        warnings.warn(
+            f"bpe_train vocabulary has {vocab.num_rows} entries "
+            f"(> {_BPE_MAX_VOCAB}); driver merge loop is large — "
+            "apply a min-count floor upstream for web-scale corpora",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    words = [
+        (tuple(w), int(c))
+        for w, c in zip(
+            vocab.column("word").to_pylist(), vocab.column("cnt").to_pylist()
+        )
+    ]
+    ranks, lefts, rights, counts = [], [], [], []
+    for r in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, rgt), bc = best
+        ranks.append(r)
+        lefts.append(l)
+        rights.append(rgt)
+        counts.append(bc)
+        merged = l + rgt
+        new_words = []
+        for syms, c in words:
+            if len(syms) < 2:
+                new_words.append((syms, c))
+                continue
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((tuple(out), c))
+        words = new_words
+    return pa.table(
+        {
+            "rank": pa.array(ranks, pa.int64()),
+            "left": pa.array(lefts, pa.string()),
+            "right": pa.array(rights, pa.string()),
+            "pair_count": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# exact grouped trimmed mean (10% each tail) — the robust-statistics
+# sibling of winsorize, on the mann_whitney/spearman histogram shape:
+# a batch collapses to its distinct (lang, n_chars, count) rows, ONE
+# O(langs × distinct values)-row exchange, and the trim + mean fold
+# runs on the tiny histogram (exact integer sums; the final mean is
+# one IEEE divide identical on both engines).  Trim count n//10 is
+# integer on both sides — no float boundary.
+# --------------------------------------------------------------------------
+
+
+def q_trimmed_mean(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"lang": b["lang"].to_numpy(), "v": b["n_chars"].to_numpy()}
+            )
+            .groupby(["lang", "v"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "v": pa.array(g["v"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    hist_schema = pa.schema(
+        [("lang", pa.string()), ("v", pa.int64()), ("cnt", pa.int64())]
+    )
+    hist = _sum_partials(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "v"],
+        ["cnt"],
+        hist_schema,
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("n_kept", pa.int64()), ("trimmed_mean", pa.float64())]
+    )
+    if hist.empty:
+        return out_schema.empty_table()
+    langs, kept, means = [], [], []
+    for lang, g in hist.sort_values(["lang", "v"]).groupby("lang", sort=True):
+        v = g["v"].to_numpy()
+        c = g["cnt"].to_numpy()
+        n = int(c.sum())
+        trim = n // 10
+        # keep ranks (trim, n - trim] of the sorted multiset — exact
+        # per-value kept counts from the cumulative histogram
+        cum = np.cumsum(c)
+        lo_kept = np.minimum(c, np.maximum(0, cum - trim))
+        hi_cap = n - trim - np.concatenate([[0], cum[:-1]])
+        keep_c = np.minimum(lo_kept, np.maximum(0, hi_cap))
+        nk = int(keep_c.sum())
+        s = int((v * keep_c).sum())
+        langs.append(lang)
+        kept.append(nk)
+        means.append(round(s / nk, 6))
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_kept": pa.array(kept, pa.int64()),
+            "trimmed_mean": pa.array(means, pa.float64()),
+        }
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS trimmed_mean
+FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -16194,6 +16567,10 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "corr_matrix": q_corr_matrix,
     "compression_ratio": q_compression_ratio,
+    "clustering_coeff": q_clustering_coeff,
+    "k_core": q_k_core,
+    "bpe_train": q_bpe_train,
+    "trimmed_mean": q_trimmed_mean,
     "unigram_logprob": q_unigram_logprob,
     "lang_balance": q_lang_balance,
     "drawdown": q_drawdown,
@@ -16375,6 +16752,8 @@ ORACLES = {
     "fuzzy_join": SQL_FUZZY_JOIN,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "corr_matrix": SQL_CORR_MATRIX,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "lang_balance": SQL_LANG_BALANCE,
     "drawdown": SQL_DRAWDOWN,

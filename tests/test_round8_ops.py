@@ -184,3 +184,89 @@ def test_compression_ratio_flags_repetitive(tmp_path):
     # byte accounting is real: compressed smaller than raw for the
     # repetitive doc, raw_len matches the utf-8 length
     assert got.iloc[0]["comp_len"] < got.iloc[0]["raw_len"] == 2000
+
+
+def _write_lineitem_graph(tmp_path, part_suppliers):
+    """part_suppliers: {partkey: [suppkeys]} → minimal lineitem parquet
+    for the co-supply graph helpers (l_quantity within _TRI_QTY_MAX)."""
+    pk, sk = [], []
+    for p, supps in part_suppliers.items():
+        for s in supps:
+            pk.append(p)
+            sk.append(s)
+    t = pa.table(
+        {
+            "l_partkey": pa.array(pk, pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+            "l_quantity": pa.array([1.5] * len(pk), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+
+
+def test_clustering_coeff_planted_triangle(tmp_path):
+    # K3 on suppliers {1,2,3} (part 10) + pendant edge 3–4 (part 11)
+    _write_lineitem_graph(tmp_path, {10: [1, 2, 3], 11: [3, 4]})
+    got = (
+        q.q_clustering_coeff(str(tmp_path))
+        .to_pandas()
+        .sort_values("supp_node")
+        .reset_index(drop=True)
+    )
+    assert got["supp_node"].tolist() == [1, 2, 3]  # node 4 has deg 1
+    assert got["deg"].tolist() == [2, 2, 3]
+    assert got["n_triangles"].tolist() == [1, 1, 1]
+    assert got["lcc"].tolist() == [1.0, 1.0, round(2 / 6, 6)]
+    exp = _oracle(tmp_path, q.SQL_CLUSTERING_COEFF, tables=("lineitem",))
+    exp = exp.sort_values("supp_node").reset_index(drop=True)
+    for c in ("supp_node", "deg", "n_triangles", "lcc"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_k_core_planted_and_dist_matches_local(tmp_path):
+    # K4 on suppliers {1,2,3,4} + pendant 5 (attached to 4): the 3-core
+    # is exactly the K4, every member at core degree 3
+    _write_lineitem_graph(tmp_path, {20: [1, 2, 3, 4], 21: [4, 5]})
+    got = q.q_k_core(str(tmp_path)).to_pandas()
+    assert got["supp_node"].tolist() == [1, 2, 3, 4]
+    assert got["core_deg"].tolist() == [3, 3, 3, 3]
+    dist = q.q_k_core(str(tmp_path), local_max_bytes=0).to_pandas()
+    assert dist.sort_values("supp_node").values.tolist() == got.values.tolist()
+    # a pure star (no 3-core at all) → empty
+    _write_lineitem_graph(tmp_path, {30: [9, 10], 31: [9, 11], 32: [9, 12]})
+    assert q.q_k_core(str(tmp_path)).num_rows == 0
+
+
+def test_bpe_train_classic_corpus(tmp_path):
+    # the textbook BPE corpus: low×5 lower×2 newest×6 widest×3
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    _write_docs(tmp_path, [(1, text, "en", "src0")])
+    got = q.q_bpe_train(str(tmp_path), n_merges=3).to_pandas()
+    # hand-derived merge sequence with (count desc, pair asc) tiebreak:
+    # es(9) — ties st(9), lex smaller — then est(9), then lo(7) over ow(7)
+    assert list(map(tuple, got[["left", "right", "pair_count"]].values)) == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+    ]
+    assert got["rank"].tolist() == [0, 1, 2]
+
+
+def test_trimmed_mean_hand_case(tmp_path):
+    # en: lengths 1..10 → trim 1 each end → mean(2..9) = 5.5, kept 8
+    rows = [(i, "a" * i, "en", "src0") for i in range(1, 11)]
+    # fr: 7 tied-heavy values, n=7 → trim 0 → plain mean 35/7 = 5
+    rows += [
+        (100 + j, "b" * v, "fr", "src0")
+        for j, v in enumerate([1, 1, 1, 5, 9, 9, 9])
+    ]
+    _write_docs(tmp_path, rows)
+    got = q.q_trimmed_mean(str(tmp_path)).to_pandas().sort_values("lang")
+    assert got["lang"].tolist() == ["en", "fr"]
+    assert got["n_kept"].tolist() == [8, 7]
+    assert got["trimmed_mean"].tolist() == [5.5, 5.0]
+    exp = _oracle(tmp_path, q.SQL_TRIMMED_MEAN, tables=("documents",)).sort_values(
+        "lang"
+    )
+    for c in ("lang", "n_kept", "trimmed_mean"):
+        assert got[c].tolist() == exp[c].tolist(), c
