@@ -173,10 +173,30 @@ def main() -> None:
                 "turns": n_turns,
                 "turns_per_sec": round(n_turns / headline_sec, 1),
                 "headline_trials": trial_times,
+                # busy-loop CPU calibration (loops/2s): lets a reader
+                # normalize cross-run swings on this shared box — its
+                # deliverable CPU oscillates ~2-3× across hours
+                # (BASELINE.md variance note), so turns/s is only
+                # comparable between runs at a similar calibration
+                "cpu_calibration": _calibration(),
             }
         )
     )
     ray.shutdown()
+
+
+def _calibration() -> dict:
+    import multiprocessing as mp
+
+    out = {}
+    for procs in (1, NUM_CPUS):
+        with mp.Pool(procs) as p:
+            out[procs] = sum(p.map(_burn, range(procs)))
+    return {
+        "burn_1proc": out[1],
+        f"burn_{NUM_CPUS}proc_agg": out[NUM_CPUS],
+        "parallel_ratio": round(out[NUM_CPUS] / max(1, out[1]), 1),
+    }
 
 
 def _burn(_):
