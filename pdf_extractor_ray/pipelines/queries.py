@@ -15791,19 +15791,20 @@ def q_fuzzy_join(sf_dir: str):
             }
         )
 
-    def verify_block(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        ss = list(df["s"])
+    def verify_buckets(df: pd.DataFrame) -> pa.Table:
         out_a, out_b, out_s = [], [], []
-        for i in range(len(ids)):
-            si = ss[i]
-            for j in range(i + 1, len(ids)):
-                sim = jaro_winkler(si, ss[j])
-                if sim >= _FUZZY_THRESHOLD:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_s.append(sim)
+        for _, blk in df.groupby("bk", sort=False):
+            blk = blk.sort_values("doc_id")
+            ids = blk["doc_id"].to_numpy()
+            ss = list(blk["s"])
+            for i in range(len(ids)):
+                si = ss[i]
+                for j in range(i + 1, len(ids)):
+                    sim = jaro_winkler(si, ss[j])
+                    if sim >= _FUZZY_THRESHOLD:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_s.append(sim)
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),
@@ -15812,12 +15813,18 @@ def q_fuzzy_join(sf_dir: str):
             }
         )
 
-    out = (
-        ds.map_batches(keyed, batch_format="pandas")
-        .groupby("bk")
-        .map_groups(verify_block, batch_format="pandas")
+    # size-gated like every stat exchange: the keyed stream is only
+    # (bk, doc_id, 48-char prefix) — tiny relative to the corpus — so
+    # below _DRIVER_MERGE_MAX_ROWS the verify runs in-process (zero
+    # exchanges); above, ONE bucketed exchange on hashed bk
+    return _merge_partials(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "bk",
+        verify_buckets,
+        input_schema=pa.schema(
+            [("bk", pa.string()), ("doc_id", pa.int64()), ("s", pa.string())]
+        ),
     )
-    return _to_table(out)
 
 
 SQL_FUZZY_JOIN = f"""

@@ -270,3 +270,18 @@ def test_trimmed_mean_hand_case(tmp_path):
     )
     for c in ("lang", "n_kept", "trimmed_mean"):
         assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_fuzzy_join_distributed_matches_local(tmp_path, monkeypatch):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "en", "s"),
+        (2, "alpha beta gamma delta epsilom", "en", "s"),  # near-dup
+        (3, "alpha beta zzzzz yyyyy xxxxx", "en", "s"),
+        (4, "other words entirely here now", "en", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    local = q.q_fuzzy_join(str(tmp_path)).to_pandas()
+    assert local[["id_a", "id_b"]].values.tolist() == [[1, 2]]
+    monkeypatch.setattr(q, "_DRIVER_MERGE_MAX_ROWS", 0)  # force the exchange
+    dist = q.q_fuzzy_join(str(tmp_path)).to_pandas()
+    assert dist.values.tolist() == local.values.tolist()
