@@ -16435,6 +16435,282 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Rank-sum AUC — the classifier-quality-filter evaluation stat (how
+# well a score column separates a label, e.g. a fastText-style quality
+# score vs a "keep" label; here n_chars scoring lang='en').  The exact
+# Mann-Whitney construction on the VALUE HISTOGRAM instead of per-row
+# ranks: per-batch (value, pos, neg) counts → ONE summed exchange of
+# O(distinct values) rows → the tie-aware trapezoid fold
+# Σ pos_v·(cum_neg_below + neg_v/2) / (P·N) on the driver.  No global
+# sort, no per-row rank window — the shape that survives 10^12 rows
+# (distinct score values are bounded, rows are not).
+# --------------------------------------------------------------------------
+
+
+def q_auc_ranksum(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pos = pc.cast(pc.equal(b.column("lang"), "en"), pa.int64())
+        neg = pc.subtract(1, pos)
+        g = pa.table(
+            {"v": pc.cast(b.column("n_chars"), pa.int64()), "p": pos, "n": neg}
+        ).group_by(["v"]).aggregate([("p", "sum"), ("n", "sum")])
+        return pa.table(
+            {
+                "v": g.column("v"),
+                "p": g.column("p_sum"),
+                "n": g.column("n_sum"),
+            }
+        )
+
+    hist = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"],
+        ["p", "n"],
+        pa.schema([("v", pa.int64()), ("p", pa.int64()), ("n", pa.int64())]),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("n_pos", pa.int64()), ("n_neg", pa.int64()), ("auc", pa.float64())]
+    )
+    if hist.empty:
+        return out_schema.empty_table()
+    hist = hist.sort_values("v")
+    p = hist["p"].to_numpy(dtype=np.int64)
+    n = hist["n"].to_numpy(dtype=np.int64)
+    P, N = int(p.sum()), int(n.sum())
+    if P == 0 or N == 0:  # AUC undefined — 0 rows, same as the oracle
+        return out_schema.empty_table()
+    cum_n_below = np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.float64)
+    num = float((p * (cum_n_below + 0.5 * n)).sum())
+    return pa.table(
+        {
+            "n_pos": pa.array([P], pa.int64()),
+            "n_neg": pa.array([N], pa.int64()),
+            "auc": pa.array([round(num / (float(P) * float(N)), 6)], pa.float64()),
+        }
+    )
+
+
+SQL_AUC_RANKSUM = """
+WITH vc AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n
+            FROM documents GROUP BY 1),
+     cw AS (SELECT p, n, sum(n) OVER (ORDER BY v) - n AS cum_n FROM vc),
+     tot AS (SELECT CAST(sum(p) AS BIGINT) AS tp, CAST(sum(n) AS BIGINT) AS tn
+             FROM vc)
+SELECT tp AS n_pos, tn AS n_neg,
+       round(sum(p * (CAST(cum_n AS DOUBLE) + 0.5 * n))
+             / (CAST(tp AS DOUBLE) * tn), 6) AS auc
+FROM cw CROSS JOIN tot
+GROUP BY tp, tn
+HAVING tp > 0 AND tn > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Population stability index — the data-drift monitor between two
+# corpus slices (the stat a training-data pipeline alarms on when a
+# new crawl's length distribution shifts).  Top-2 sources by count
+# (ties: source asc, the ks_sources convention), n_chars binned at
+# width 50, Laplace-smoothed (c+1)/(t+B) over the union of observed
+# bins so ln() never sees a zero, PSI = Σ (p1−p2)·ln(p1/p2).  Same
+# 100-TB shape as ks_sources: one O(distinct bins) summed exchange.
+# --------------------------------------------------------------------------
+
+_PSI_BIN = 50
+
+
+def q_psi_drift(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = pc.divide(pc.cast(b.column("n_chars"), pa.int64()), _PSI_BIN)
+        g = pa.table({"source": b.column("source"), "bin": bins}).group_by(
+            ["source", "bin"]
+        ).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "bin": g.column("bin"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    vc = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "bin"],
+        ["c"],
+        pa.schema([("source", pa.string()), ("bin", pa.int64()), ("c", pa.int64())]),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("s1", pa.string()),
+            ("s2", pa.string()),
+            ("n1", pa.int64()),
+            ("n2", pa.int64()),
+            ("psi", pa.float64()),
+        ]
+    )
+    if vc.empty or vc["source"].nunique() < 2:
+        return out_schema.empty_table()
+    totals = (
+        vc.groupby("source")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "source"], ascending=[False, True])
+    )
+    s1, s2 = totals["source"].iloc[0], totals["source"].iloc[1]
+    n1, n2 = int(totals["c"].iloc[0]), int(totals["c"].iloc[1])
+    sub = vc[vc["source"].isin([s1, s2])]
+    piv = sub.pivot_table(
+        index="bin", columns="source", values="c", fill_value=0, aggfunc="sum"
+    )
+    c1 = piv[s1].to_numpy(dtype=np.int64) if s1 in piv else np.zeros(len(piv), np.int64)
+    c2 = piv[s2].to_numpy(dtype=np.int64) if s2 in piv else np.zeros(len(piv), np.int64)
+    nb = len(piv)
+    p1 = (c1 + 1.0) / (float(n1) + nb)
+    p2 = (c2 + 1.0) / (float(n2) + nb)
+    psi = float(((p1 - p2) * np.log(p1 / p2)).sum())
+    return pa.table(
+        {
+            "s1": pa.array([s1], pa.string()),
+            "s2": pa.array([s2], pa.string()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "psi": pa.array([round(psi, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH top2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (ORDER BY count(*) DESC, source) AS r
+              FROM documents GROUP BY 1),
+     s1 AS (SELECT source, n FROM top2 WHERE r = 1),
+     s2 AS (SELECT source, n FROM top2 WHERE r = 2),
+     b AS (SELECT n_chars // {_PSI_BIN} AS bin,
+                  CAST(sum(CASE WHEN source = (SELECT source FROM s1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN source = (SELECT source FROM s2)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM documents
+           WHERE source IN ((SELECT source FROM s1), (SELECT source FROM s2))
+           GROUP BY 1),
+     k AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM b)
+SELECT (SELECT source FROM s1) AS s1, (SELECT source FROM s2) AS s2,
+       (SELECT n FROM s1) AS n1, (SELECT n FROM s2) AS n2,
+       round(sum(((c1 + 1.0) / ((SELECT n FROM s1) + nb)
+                  - (c2 + 1.0) / ((SELECT n FROM s2) + nb))
+                 * ln(((c1 + 1.0) / ((SELECT n FROM s1) + nb))
+                      / ((c2 + 1.0) / ((SELECT n FROM s2) + nb)))), 6) AS psi
+FROM b CROSS JOIN k
+HAVING count(*) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between the language mixes of the top-2
+# sources — the bounded-symmetric drift stat (0 = identical mixes,
+# ln 2 = disjoint) used to compare corpus slices where KL blows up on
+# zeros.  Zero-count langs contribute 0 via the 0·ln(0/m)=0
+# convention (CASE in the oracle, mask here) — no smoothing needed
+# because the mixture m is nonzero wherever either side is.  One
+# O(sources × langs) summed exchange.
+# --------------------------------------------------------------------------
+
+
+def q_js_divergence(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    vc = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "lang"],
+        ["c"],
+        pa.schema([("source", pa.string()), ("lang", pa.string()), ("c", pa.int64())]),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("s1", pa.string()),
+            ("s2", pa.string()),
+            ("n1", pa.int64()),
+            ("n2", pa.int64()),
+            ("js", pa.float64()),
+        ]
+    )
+    if vc.empty or vc["source"].nunique() < 2:
+        return out_schema.empty_table()
+    totals = (
+        vc.groupby("source")["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["c", "source"], ascending=[False, True])
+    )
+    s1, s2 = totals["source"].iloc[0], totals["source"].iloc[1]
+    n1, n2 = int(totals["c"].iloc[0]), int(totals["c"].iloc[1])
+    sub = vc[vc["source"].isin([s1, s2])]
+    piv = sub.pivot_table(
+        index="lang", columns="source", values="c", fill_value=0, aggfunc="sum"
+    )
+    c1 = piv[s1].to_numpy(dtype=np.int64) if s1 in piv else np.zeros(len(piv), np.int64)
+    c2 = piv[s2].to_numpy(dtype=np.int64) if s2 in piv else np.zeros(len(piv), np.int64)
+    p = c1 / float(n1)
+    q_ = c2 / float(n2)
+    m = 0.5 * (p + q_)
+    t1 = np.where(p > 0, p * np.log(np.where(p > 0, p, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+    t2 = np.where(q_ > 0, q_ * np.log(np.where(q_ > 0, q_, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+    js = float(0.5 * t1.sum() + 0.5 * t2.sum())
+    return pa.table(
+        {
+            "s1": pa.array([s1], pa.string()),
+            "s2": pa.array([s2], pa.string()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "js": pa.array([round(js, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_JS_DIVERGENCE = """
+WITH top2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (ORDER BY count(*) DESC, source) AS r
+              FROM documents GROUP BY 1),
+     s1 AS (SELECT source, n FROM top2 WHERE r = 1),
+     s2 AS (SELECT source, n FROM top2 WHERE r = 2),
+     b AS (SELECT lang,
+                  CAST(sum(CASE WHEN source = (SELECT source FROM s1)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                  CAST(sum(CASE WHEN source = (SELECT source FROM s2)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS c2
+           FROM documents
+           WHERE source IN ((SELECT source FROM s1), (SELECT source FROM s2))
+           GROUP BY 1),
+     pq AS (SELECT c1 / CAST((SELECT n FROM s1) AS DOUBLE) AS p,
+                   c2 / CAST((SELECT n FROM s2) AS DOUBLE) AS q
+            FROM b)
+SELECT (SELECT source FROM s1) AS s1, (SELECT source FROM s2) AS s2,
+       (SELECT n FROM s1) AS n1, (SELECT n FROM s2) AS n2,
+       round(sum(0.5 * (CASE WHEN p > 0 THEN p * ln(p / (0.5 * (p + q)))
+                             ELSE 0 END)
+                 + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / (0.5 * (p + q)))
+                               ELSE 0 END)), 6) AS js
+FROM pq
+HAVING count(*) > 0
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -16635,6 +16911,9 @@ QUERIES = {
     "event_trigrams": q_event_trigrams,
     "winnow_decontaminate": q_winnow_decontaminate,
     "user_growth": q_user_growth,
+    "auc_ranksum": q_auc_ranksum,
+    "psi_drift": q_psi_drift,
+    "js_divergence": q_js_divergence,
 }
 
 ORACLES = {
@@ -16815,4 +17094,7 @@ ORACLES = {
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "winnow_decontaminate": SQL_WINNOW_DECONTAMINATE,
     "user_growth": SQL_USER_GROWTH,
+    "auc_ranksum": SQL_AUC_RANKSUM,
+    "psi_drift": SQL_PSI_DRIFT,
+    "js_divergence": SQL_JS_DIVERGENCE,
 }
