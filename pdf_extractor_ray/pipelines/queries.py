@@ -16711,6 +16711,584 @@ HAVING count(*) > 0
 """
 
 
+# --------------------------------------------------------------------------
+# quantile normalization across sources — map every document's length
+# onto the GLOBAL length distribution at the same within-source rank
+# position (the batch-effect-removal transform; here: per-source
+# length re-calibration before corpus mixing, so no source's crawler
+# truncation policy skews the mix).  Integer-exact end to end:
+# within-source MIN-rank r (ties share), target global rank
+# g = 1 + ((r−1)(N−1)) // (n_s−1), and "global value at rank g" is
+# invariant under tie order.  The (source, value) → normalized-value
+# mapping is computed once on the bounded (source, value, count) CDF
+# table with Python ints (no int64 overflow at any N), broadcast via
+# ray.put, and applied map-side — the wide data crosses NO shuffle.
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "source": b.column("source").to_numpy(zero_copy_only=False),
+                    "val": b.column("n_chars").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["source", "val"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "val": pa.array(g["val"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    cdf = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["source", "val"],
+            sum_cols=["cnt"],
+            schema=pa.schema(
+                [("source", pa.string()), ("val", pa.int64()), ("cnt", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["source", "val"])
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+            ("norm_chars", pa.int64()),
+        ]
+    )
+    if cdf.empty:
+        return out_schema.empty_table()
+
+    glob = cdf.groupby("val", sort=True)["cnt"].sum()
+    gvals = glob.index.to_numpy(dtype=np.int64)
+    gcum = np.cumsum(glob.to_numpy(dtype=np.int64))
+    N = int(gcum[-1])
+
+    lut: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for src, g in cdf.groupby("source", sort=False):
+        vals = g["val"].to_numpy(dtype=np.int64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        below = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        n_s = int(cnt.sum())
+        norm = np.empty(len(vals), dtype=np.int64)
+        for j in range(len(vals)):
+            r = int(below[j]) + 1  # min-rank: ties share
+            if n_s == 1:
+                gr = 1 + (N - 1) // 2
+            else:
+                gr = 1 + ((r - 1) * (N - 1)) // (n_s - 1)  # Python ints: no overflow
+            norm[j] = gvals[int(np.searchsorted(gcum, gr, side="left"))]
+        lut[src] = (vals, norm)
+    lref = ray.put(lut)
+
+    def norm_map(b: pa.Table) -> pa.Table:
+        m = ray.get(lref)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        out = np.zeros(len(nc), dtype=np.int64)
+        for s in pd.unique(src):
+            vals, norm = m[s]
+            mask = src == s
+            out[mask] = norm[np.searchsorted(vals, nc[mask])]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "n_chars": b.column("n_chars"),
+                "norm_chars": pa.array(out, pa.int64()),
+            }
+        )
+
+    ds2 = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    return _to_table(ds2.map_batches(norm_map, batch_format="pyarrow"))
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH r AS (SELECT doc_id, source, n_chars,
+                  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+                  count(*) OVER (PARTITION BY source) AS ns,
+                  count(*) OVER () AS n
+           FROM documents),
+     gv AS (SELECT n_chars AS gval,
+                   row_number() OVER (ORDER BY n_chars) AS gr
+            FROM documents)
+SELECT doc_id, source, n_chars, CAST(gval AS BIGINT) AS norm_chars
+FROM r JOIN gv ON gv.gr = CASE WHEN ns = 1 THEN 1 + (n - 1) // 2
+                               ELSE 1 + ((rk - 1) * (n - 1)) // (ns - 1) END
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton-curve) layout key — the locality-preserving sort a
+# lakehouse writer runs so range predicates on EITHER user_id or time
+# prune the same file set (Delta/Iceberg OPTIMIZE ZORDER analog).
+# The key interleaves the low 16 bits of user_id with the low 16 bits
+# of the event's epoch-minute — pure int64 bit arithmetic, identical
+# in numpy and the generated 32-term SQL expression.  Map-side key +
+# ONE distributed sort (the exchange IS the operator here: the whole
+# point is the physical output order); order-sensitive LIMIT verifies
+# the order itself, as in shuffle_export.
+# --------------------------------------------------------------------------
+
+_Z_SIDE_BITS = 16
+_Z_MASK = (1 << _Z_SIDE_BITS) - 1
+
+
+def _zorder_interleave(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Interleave the low 16 bits of x (even positions) and y (odd)."""
+    x = x.astype(np.uint64) & np.uint64(_Z_MASK)
+    y = y.astype(np.uint64) & np.uint64(_Z_MASK)
+    z = np.zeros(len(x), dtype=np.uint64)
+    for k in range(_Z_SIDE_BITS):
+        z |= ((x >> np.uint64(k)) & np.uint64(1)) << np.uint64(2 * k)
+        z |= ((y >> np.uint64(k)) & np.uint64(1)) << np.uint64(2 * k + 1)
+    return z.astype(np.int64)
+
+
+def q_zorder_layout(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts"])
+
+    def zmap(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        z = _zorder_interleave(uid, ts // 60_000_000)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "zkey": pa.array(z, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(zmap, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["zkey", "event_id"])
+        .limit(200)
+    )
+    return _to_table_s(
+        out,
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()), ("zkey", pa.int64())]
+        ),
+    )
+
+
+_Z_TERMS_SQL = " + ".join(
+    f"(((x >> {k}) & 1) << {2 * k}) + (((y >> {k}) & 1) << {2 * k + 1})"
+    for k in range(_Z_SIDE_BITS)
+)
+
+SQL_ZORDER_LAYOUT = f"""
+WITH b AS (SELECT event_id, user_id,
+                  user_id % 65536 AS x,
+                  (epoch_us(ts) // 60000000) % 65536 AS y
+           FROM events)
+SELECT event_id, user_id, CAST({_Z_TERMS_SQL} AS BIGINT) AS zkey
+FROM b ORDER BY zkey, event_id LIMIT 200
+"""
+
+
+# --------------------------------------------------------------------------
+# bigram log-probability score — the order-1 sibling of
+# q_unigram_logprob (the CCNet-style LM quality filter): pass 1
+# builds the corpus bigram table with the vocab combiner (adjacent
+# non-empty token pairs; the left marginal c1 = Σ_w2 c(w1,w2) falls
+# out of the same table, no second pass), pass 2 broadcasts the
+# sorted (composite-key, ln(c12/c1)) arrays once and scores each doc
+# map-side with searchsorted + segment means.  Bottom-k = the docs
+# whose word TRANSITIONS are most surprising — catches shuffled /
+# concatenated boilerplate that unigram stats miss.  Both engines
+# sort the ROUNDED score (unigram_logprob precedent).
+# --------------------------------------------------------------------------
+
+_BLP_BOTTOM_K = 25
+
+
+def _doc_bigrams(batch: pa.Table):
+    """(w1, w2, parent_doc_row) arrays of adjacent non-empty token
+    pairs per document row.  Interior empties cannot occur (greedy
+    `[^a-z]+` split), so pairing the non-empty stream within a parent
+    matches the oracle's zipped-slice pairing exactly."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+    flat = pc.list_flatten(toks)
+    keep = pc.not_equal(flat, "")
+    parents = pc.list_parent_indices(toks).filter(keep).to_numpy(zero_copy_only=False)
+    words = flat.filter(keep).to_numpy(zero_copy_only=False)
+    if len(words) < 2:
+        e = np.array([], dtype=object)
+        return e, e, np.array([], dtype=np.int64)
+    adj = parents[:-1] == parents[1:]
+    return words[:-1][adj], words[1:][adj], parents[:-1][adj]
+
+
+def q_bigram_logprob(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        w1, w2, _ = _doc_bigrams(batch)
+        g = (
+            pd.DataFrame({"w1": w1, "w2": w2})
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="c12")
+        )
+        return pa.table(
+            {
+                "w1": pa.array(g["w1"], pa.string()),
+                "w2": pa.array(g["w2"], pa.string()),
+                "c12": pa.array(g["c12"].to_numpy(), pa.int64()),
+            }
+        )
+
+    freq = _sum_partials(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        keys=["w1", "w2"],
+        sum_cols=["c12"],
+        schema=pa.schema(
+            [("w1", pa.string()), ("w2", pa.string()), ("c12", pa.int64())]
+        ),
+    ).to_pandas()
+    out_schema = pa.schema([("doc_id", pa.int64()), ("logprob", pa.float64())])
+    if freq.empty:
+        return out_schema.empty_table()
+    if len(freq) > _ULP_MAX_VOCAB:
+        import warnings
+
+        warnings.warn(
+            f"bigram_logprob table has {len(freq)} entries (> {_ULP_MAX_VOCAB}); "
+            "apply a min-count floor upstream for web-scale corpora",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    c1 = freq.groupby("w1")["c12"].transform("sum").to_numpy(dtype=np.float64)
+    key = (freq["w1"] + " " + freq["w2"]).to_numpy()
+    order = np.argsort(key)
+    key = key[order]
+    logp = np.log(freq["c12"].to_numpy(dtype=np.float64)[order] / c1[order])
+    vref = ray.put((key, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, lp = ray.get(vref)
+        w1, w2, par = _doc_bigrams(batch)
+        n_rows = batch.num_rows
+        sums = np.zeros(n_rows)
+        counts = np.zeros(n_rows)
+        if len(w1):
+            pk = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+            idx = np.searchsorted(k, pk)  # every pair is in-corpus
+            np.add.at(sums, par, lp[idx])
+            np.add.at(counts, par, 1.0)
+        has = counts > 0
+        mean = np.full(n_rows, np.nan)
+        mean[has] = sums[has] / counts[has]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "logprob": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        ).filter(pa.array(has))
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["logprob", "doc_id"])
+        .limit(_BLP_BOTTOM_K)
+    )
+    return _to_table_s(out, out_schema)
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS ws
+           FROM documents),
+     p AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+                  unnest(ws[2:len(ws)]) AS w2 FROM w),
+     p2 AS (SELECT doc_id, w1, w2 FROM p WHERE w1 <> '' AND w2 <> ''),
+     f AS (SELECT w1, w2, count(*) AS c12 FROM p2 GROUP BY 1, 2),
+     m AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1)
+SELECT doc_id, round(avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS logprob
+FROM p2 JOIN f USING (w1, w2) JOIN m USING (w1)
+GROUP BY doc_id ORDER BY logprob, doc_id LIMIT {_BLP_BOTTOM_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# hot-key skew report — the diagnostic this engine runs BEFORE picking
+# join salting / bucket counts: top-10 keys by total payload bytes.
+# Per-batch (key, rows, bytes) combiner; each _merge_partials bucket
+# emits only ITS top-10 (a key lives entirely in one bucket, so
+# per-bucket top-10 → global top-10 is exact) — the driver sees
+# O(buckets × 10) rows at any scale.
+# --------------------------------------------------------------------------
+
+_SKEW_TOP_N = 10
+_SKEW_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("n_events", pa.int64()), ("payload_bytes", pa.int64())]
+)
+
+
+def q_skew_report(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "nb": pc.binary_length(b.column("props"))
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(n_events=("nb", "size"), payload_bytes=("nb", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+                "payload_bytes": pa.array(g["payload_bytes"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("user_id", as_index=False)[["n_events", "payload_bytes"]].sum()
+        g = g.sort_values(
+            ["payload_bytes", "user_id"], ascending=[False, True]
+        ).head(_SKEW_TOP_N)
+        return pa.table(
+            {f.name: pa.array(g[f.name].to_numpy(), f.type) for f in _SKEW_SCHEMA}
+        )
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=_SKEW_SCHEMA,
+    )
+    df = (
+        merged.to_pandas()
+        .sort_values(["payload_bytes", "user_id"], ascending=[False, True])
+        .head(_SKEW_TOP_N)
+    )
+    return pa.table({f.name: pa.array(df[f.name].to_numpy(), f.type) for f in _SKEW_SCHEMA})
+
+
+SQL_SKEW_REPORT = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(strlen(props)) AS BIGINT) AS payload_bytes
+FROM events GROUP BY user_id
+ORDER BY payload_bytes DESC, user_id LIMIT {_SKEW_TOP_N}
+"""
+
+
+# --------------------------------------------------------------------------
+# distributed logistic regression (IRLS/Newton) — fit "is this doc
+# English?" from length + punctuation-density features.  Each of the
+# 4 rounds broadcasts β once and every batch emits ONE 13-float
+# partial row (the symmetric 3×3 normal matrix XᵀWX flattened, the
+# gradient Xᵀ(y−p), and n); the driver solves the 3×3 system — model
+# state crossing the exchange is O(iterations × blocks), never O(rows).
+# Rows-only: iterative float fitting has no ANSI-SQL twin; the
+# planted-separable recovery test pins correctness
+# (tests/test_round10_ops.py).
+# --------------------------------------------------------------------------
+
+_LOGREG_ITERS = 4
+
+
+def _logreg_features(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    n_chars = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = (
+        pc.count_substring_regex(batch.column("text"), r"[^A-Za-z0-9\s]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    x1 = n_chars / 1000.0
+    x2 = 100.0 * punct / np.maximum(n_chars, 1.0)
+    X = np.column_stack([np.ones(len(x1)), x1, x2])
+    y = (
+        pc.equal(batch.column("lang"), pa.scalar("en"))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    return X, y
+
+
+def q_logreg_irls(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text", "lang", "n_chars"])
+    beta = np.zeros(3)
+    n_total = 0.0
+    for _ in range(_LOGREG_ITERS):
+        bref = ray.put(beta.copy())
+
+        def part(batch: pa.Table, bref=bref) -> pa.Table:
+            X, y = _logreg_features(batch)
+            b = ray.get(bref)
+            p = 1.0 / (1.0 + np.exp(-np.clip(X @ b, -30, 30)))
+            w = p * (1.0 - p) + 1e-9
+            A = X.T @ (X * w[:, None])
+            g = X.T @ (y - p)
+            row = np.concatenate([A.ravel(), g, [float(len(y))]])
+            return pa.table({f"v{i}": pa.array([row[i]]) for i in range(13)})
+
+        tot = (
+            _to_table(ds.map_batches(part, batch_format="pyarrow"))
+            .to_pandas()
+            .sum()
+            .to_numpy()
+        )
+        if len(tot) != 13 or tot[12] == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "value": pa.array([], pa.float64())}
+            )
+        A = tot[:9].reshape(3, 3)
+        g = tot[9:12]
+        n_total = tot[12]
+        try:
+            beta = beta + np.linalg.solve(A, g)
+        except np.linalg.LinAlgError:
+            beta = beta + np.linalg.lstsq(A, g, rcond=None)[0]
+
+    bref = ray.put(beta.copy())
+
+    def acc_part(batch: pa.Table, bref=bref) -> pa.Table:
+        X, y = _logreg_features(batch)
+        b = ray.get(bref)
+        pred = (X @ b) > 0
+        return pa.table({"hit": pa.array([float((pred == (y > 0.5)).sum())])})
+
+    hits = float(
+        _to_table(ds.map_batches(acc_part, batch_format="pyarrow"))
+        .to_pandas()["hit"]
+        .sum()
+    )
+    return pa.table(
+        {
+            "term": pa.array(
+                ["intercept", "n_chars_k", "punct_per_100", "accuracy", "n"],
+                pa.string(),
+            ),
+            "value": pa.array(
+                [
+                    round(float(beta[0]), 6),
+                    round(float(beta[1]), 6),
+                    round(float(beta[2]), 6),
+                    round(hits / n_total, 6),
+                    float(n_total),
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE encode — apply q_bpe_train's rank-ordered merge table to the
+# corpus and report per-doc token counts (the tokenize step of a
+# pretraining pipeline; pairs with pack_sequences downstream).  The
+# merge table (≤n_merges rows) broadcasts once; each batch encodes
+# only its DISTINCT words (the same vocab ≪ corpus assumption as
+# bpe_train — encoded-word results are memoized per batch) and maps
+# counts back to docs with searchsorted + segment sums.  Rows-only:
+# the merge loop is iterative; char-mass conservation and the
+# no-merge identity are pinned in tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+
+
+def _bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard (GPT-2-style) BPE apply: repeatedly merge every
+    occurrence of the lowest-rank adjacent pair until none applies."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_pair = (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        l, rgt = best_pair
+        merged = l + rgt
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rgt:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q_bpe_encode(sf_dir: str):
+    merges = q_bpe_train(sf_dir)
+    ranks = {
+        (l, r): k
+        for k, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+    rref = ray.put(ranks)
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def enc(batch: pa.Table) -> pa.Table:
+        rk = ray.get(rref)
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        parents = (
+            pc.list_parent_indices(toks).filter(keep).to_numpy(zero_copy_only=False)
+        )
+        words = flat.filter(keep).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        wcnt = np.zeros(n_rows, dtype=np.int64)
+        tcnt = np.zeros(n_rows, dtype=np.int64)
+        if len(words):
+            uniq = np.unique(words.astype(str))
+            ntok = np.array(
+                [len(_bpe_encode_word(w, rk)) for w in uniq], dtype=np.int64
+            )
+            idx = np.searchsorted(uniq, words.astype(str))
+            np.add.at(wcnt, parents, 1)
+            np.add.at(tcnt, parents, ntok[idx])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(wcnt, pa.int64()),
+                "n_tokens": pa.array(tcnt, pa.int64()),
+            }
+        )
+
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return _to_table_s(
+        ds.map_batches(enc, batch_format="pyarrow").sort("doc_id"), out_schema
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -16912,6 +17490,12 @@ QUERIES = {
     "winnow_decontaminate": q_winnow_decontaminate,
     "user_growth": q_user_growth,
     "auc_ranksum": q_auc_ranksum,
+    "quantile_normalize": q_quantile_normalize,
+    "zorder_layout": q_zorder_layout,
+    "bigram_logprob": q_bigram_logprob,
+    "skew_report": q_skew_report,
+    "logreg_irls": q_logreg_irls,
+    "bpe_encode": q_bpe_encode,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -17095,6 +17679,10 @@ ORACLES = {
     "winnow_decontaminate": SQL_WINNOW_DECONTAMINATE,
     "user_growth": SQL_USER_GROWTH,
     "auc_ranksum": SQL_AUC_RANKSUM,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "skew_report": SQL_SKEW_REPORT,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

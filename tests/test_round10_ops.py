@@ -1,0 +1,120 @@
+"""Pins for the layout/normalization/ML batch: Z-order bit
+interleave round-trip, quantile-normalize single-source identity and
+hand-derived cross-source mapping, IRLS logistic regression on a
+planted separable corpus, and BPE-encode char-mass conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractor_ray.pipelines.queries import (
+    QUERIES,
+    _bpe_encode_word,
+    _zorder_interleave,
+)
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+
+def test_zorder_interleave_roundtrip():
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 1 << 16, size=1000).astype(np.int64)
+    y = rng.randint(0, 1 << 16, size=1000).astype(np.int64)
+    z = _zorder_interleave(x, y).astype(np.uint64)
+    # decode even bits -> x, odd bits -> y
+    dx = np.zeros(len(z), dtype=np.uint64)
+    dy = np.zeros(len(z), dtype=np.uint64)
+    for k in range(16):
+        dx |= ((z >> np.uint64(2 * k)) & np.uint64(1)) << np.uint64(k)
+        dy |= ((z >> np.uint64(2 * k + 1)) & np.uint64(1)) << np.uint64(k)
+    assert (dx.astype(np.int64) == x).all()
+    assert (dy.astype(np.int64) == y).all()
+    # locality sanity: equal inputs -> equal keys
+    assert _zorder_interleave(x, y)[0] == _zorder_interleave(x.copy(), y.copy())[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_normalize_single_source_identity(tmp_path):
+    """With one source the within-source rank IS the global rank, so
+    normalization must be the identity (including through ties)."""
+    rows = [(i, "x" * ln, "en", "s1") for i, ln in enumerate([5, 3, 3, 9, 1, 3])]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["quantile_normalize"](str(tmp_path)).to_pandas()
+    assert (got["norm_chars"] == got["n_chars"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_quantile_normalize_maps_small_source_onto_global(tmp_path):
+    """Hand-derived: source b has 2 docs (ranks 1, 2 of 2) -> global
+    ranks 1 and N; its min doc maps to the global min value, its max
+    doc to the global max value."""
+    rows = [
+        (1, "a" * 10, "en", "a"),
+        (2, "a" * 20, "en", "a"),
+        (3, "a" * 30, "en", "a"),
+        (4, "a" * 40, "en", "a"),
+        (5, "a" * 12, "en", "b"),  # rank 1 of 2 -> g = 1 -> 10
+        (6, "a" * 13, "en", "b"),  # rank 2 of 2 -> g = N=6 -> 40
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["quantile_normalize"](str(tmp_path)).to_pandas()
+    got = got.set_index("doc_id")["norm_chars"]
+    assert got[5] == 10
+    assert got[6] == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_logreg_recovers_planted_separation(tmp_path):
+    """Punctuation density perfectly separates en from fr -> IRLS must
+    classify the training set near-perfectly and weight punct negative."""
+    rows = []
+    for i in range(150):
+        rows.append((i, "clean words only here " * 4, "en", "s"))
+    for i in range(150, 300):
+        rows.append((i, "!!!??? ;;; !!! ??? ;;; " * 4, "fr", "s"))
+    _write_docs(tmp_path, rows)
+    got = QUERIES["logreg_irls"](str(tmp_path)).to_pandas().set_index("term")["value"]
+    assert got["accuracy"] >= 0.95
+    assert got["n"] == 300
+    assert got["punct_per_100"] < 0  # punctuation pushes away from 'en'
+
+
+def test_bpe_encode_word_properties():
+    # no merges -> character tokens
+    assert _bpe_encode_word("abc", {}) == ["a", "b", "c"]
+    # single merge applies to every occurrence
+    assert _bpe_encode_word("abab", {("a", "b"): 0}) == ["ab", "ab"]
+    # rank order decides: ("b","c") before ("a","b") on "abc"
+    assert _bpe_encode_word("abc", {("a", "b"): 1, ("b", "c"): 0}) == ["a", "bc"]
+    # char-mass conservation under a nontrivial cascade
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", "d"): 2}
+    for w in ["abcd", "dcba", "aabbccdd", "abcabc"]:
+        toks = _bpe_encode_word(w, ranks)
+        assert "".join(toks) == w
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_corpus_invariants():
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["bpe_encode"](sf).to_pandas()
+    assert len(got) > 0
+    # every word is >= 1 token; merges only ever REDUCE token count,
+    # so n_tokens is between n_words and the total char count
+    assert (got["n_tokens"] >= got["n_words"]).all()
+    nonempty = got[got["n_words"] > 0]
+    assert (nonempty["n_tokens"] > 0).all()
