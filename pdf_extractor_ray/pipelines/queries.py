@@ -17289,6 +17289,295 @@ def q_bpe_encode(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# data-quality audit — the constraint-validation sweep a lake runs
+# before admitting a batch: referential integrity (orphan orders),
+# domain ranges (quantity/discount), null/empty payloads, and a
+# derived-column consistency check (n_chars vs the text itself).
+# Four pruned-column scans, each a scalar count combiner; the
+# customer keyset broadcasts once via ray.put (the documented small-
+# dimension assumption — the anti_join_shuffle path is the fallback
+# when the dimension outgrows a worker heap).  Emits one fixed row
+# per check — O(checks), never O(rows), reaches the driver.
+# --------------------------------------------------------------------------
+
+
+def _scalar_count(ds: ray.data.Dataset, count_of) -> int:
+    """Sum of a per-batch violation counter (int64 end to end)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([int(count_of(b))], pa.int64())})
+
+    t = _to_table(ds.map_batches(part, batch_format="pyarrow"))
+    return int(t.column("n").to_pandas().sum()) if t.num_rows else 0
+
+
+def q_dq_checks(sf_dir: str):
+    cust = _read_pq(_t(sf_dir, "customer"), columns=["c_custkey"])
+    ckeys = np.sort(
+        _to_table(cust).column("c_custkey").to_numpy(zero_copy_only=False)
+    )
+    ckref = ray.put(ckeys)
+
+    def orphan(b: pa.Table) -> int:
+        keys = ray.get(ckref)
+        ok = pc.is_in(b.column("o_custkey"), value_set=pa.array(keys, pa.int64()))
+        return b.num_rows - int(pc.sum(pc.cast(ok, pa.int8())).as_py() or 0)
+
+    checks = [
+        (
+            "documents_nchars_mismatch",
+            _scalar_count(
+                _read_pq(_t(sf_dir, "documents"), columns=["text", "n_chars"]),
+                lambda b: int(
+                    pc.sum(
+                        pc.cast(
+                            pc.not_equal(
+                                pc.utf8_length(b.column("text")).cast(pa.int64()),
+                                b.column("n_chars"),
+                            ),
+                            pa.int8(),
+                        )
+                    ).as_py()
+                    or 0
+                ),
+            ),
+        ),
+        (
+            "events_null_props",
+            _scalar_count(
+                _read_pq(_t(sf_dir, "events"), columns=["props"]),
+                lambda b: int(
+                    pc.sum(
+                        pc.cast(
+                            pc.or_kleene(
+                                pc.is_null(b.column("props")),
+                                pc.equal(b.column("props"), ""),
+                            ),
+                            pa.int8(),
+                        )
+                    ).as_py()
+                    or 0
+                ),
+            ),
+        ),
+        (
+            "lineitem_discount_range",
+            _scalar_count(
+                _read_pq(_t(sf_dir, "lineitem"), columns=["l_discount"]),
+                lambda b: int(
+                    pc.sum(
+                        pc.cast(
+                            pc.or_(
+                                pc.less(b.column("l_discount"), 0.0),
+                                pc.greater(b.column("l_discount"), 1.0),
+                            ),
+                            pa.int8(),
+                        )
+                    ).as_py()
+                    or 0
+                ),
+            ),
+        ),
+        (
+            "lineitem_nonpositive_qty",
+            _scalar_count(
+                _read_pq(_t(sf_dir, "lineitem"), columns=["l_quantity"]),
+                lambda b: int(
+                    pc.sum(
+                        pc.cast(pc.less_equal(b.column("l_quantity"), 0.0), pa.int8())
+                    ).as_py()
+                    or 0
+                ),
+            ),
+        ),
+        (
+            "orders_orphan_custkey",
+            _scalar_count(
+                _read_pq(_t(sf_dir, "orders"), columns=["o_custkey"]), orphan
+            ),
+        ),
+    ]
+    return pa.table(
+        {
+            "dq_check": pa.array([c[0] for c in checks], pa.string()),
+            "n_violations": pa.array([c[1] for c in checks], pa.int64()),
+        }
+    )
+
+
+SQL_DQ_CHECKS = """
+SELECT 'documents_nchars_mismatch' AS dq_check,
+       CAST(count(*) FILTER (n_chars <> length(text)) AS BIGINT) AS n_violations
+FROM documents
+UNION ALL
+SELECT 'events_null_props',
+       CAST(count(*) FILTER (props IS NULL OR props = '') AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(count(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST(count(*) FILTER (l_quantity <= 0) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST(count(*) FILTER (o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT)
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# regex findall + explode — extract EVERY embedded integer from each
+# document (the multi-match sibling of props_extract's single-field
+# extract): maximal digit runs via one vectorized split-on-complement
+# pass (split_pattern_regex('[^0-9]+') ≡ regexp_extract_all('[0-9]+')
+# for maximal runs), Arrow-cast to int64, segment-summed back to the
+# doc.  Runs longer than 18 digits are excluded on BOTH engines (the
+# int64 bound); map-only, no exchange at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_extract_numbers(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(b.column("text"), "[^0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        keep = pc.and_(
+            pc.not_equal(flat, ""),
+            pc.less_equal(pc.utf8_length(flat), 18),
+        )
+        vals = pc.cast(flat.filter(keep), pa.int64()).to_numpy(zero_copy_only=False)
+        par = parents.filter(keep).to_numpy(zero_copy_only=False)
+        n_rows = b.num_rows
+        cnt = np.zeros(n_rows, dtype=np.int64)
+        tot = np.zeros(n_rows, dtype=np.int64)
+        if len(vals):
+            np.add.at(cnt, par, 1)
+            np.add.at(tot, par, vals)
+        has = cnt > 0
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_ints": pa.array(cnt, pa.int64()),
+                "sum_ints": pa.array(tot, pa.int64()),
+            }
+        ).filter(pa.array(has))
+
+    return _to_table_s(
+        ds.map_batches(part, batch_format="pyarrow"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_ints", pa.int64()), ("sum_ints", pa.int64())]
+        ),
+    )
+
+
+SQL_EXTRACT_NUMBERS = """
+WITH x AS (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+')) AS s
+           FROM documents),
+     y AS (SELECT doc_id, CAST(s AS BIGINT) AS v FROM x WHERE length(s) <= 18)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ints, CAST(sum(v) AS BIGINT) AS sum_ints
+FROM y GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# activity-grid hotspot detection — the density diagnostic over the
+# (user-bucket × day-of-week) grid: top-10 hottest cells plus an
+# exact-integer ≥2×-mean flag (cnt · n_cells ≥ 2 · total — no float
+# ever compares).  Day-of-week from pure integer epoch math
+# ((days+4) % 7, 1970-01-01 = Thursday) so neither engine's calendar
+# convention leaks in.  O(grid) crosses the exchange regardless of
+# rows.
+# --------------------------------------------------------------------------
+
+_HOTSPOT_BUCKETS = 64
+_HOTSPOT_TOP = 10
+
+
+def q_grid_hotspots(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ep = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "bucket": uid % _HOTSPOT_BUCKETS,
+                    "dow": (ep // 86_400_000_000 + 4) % 7,
+                }
+            )
+            .groupby(["bucket", "dow"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(), pa.int64()),
+                "dow": pa.array(g["dow"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    grid = _sum_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        keys=["bucket", "dow"],
+        sum_cols=["cnt"],
+        schema=pa.schema(
+            [("bucket", pa.int64()), ("dow", pa.int64()), ("cnt", pa.int64())]
+        ),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("bucket", pa.int64()),
+            ("dow", pa.int64()),
+            ("cnt", pa.int64()),
+            ("is_hot", pa.bool_()),
+        ]
+    )
+    if grid.empty:
+        return out_schema.empty_table()
+    total = int(grid["cnt"].sum())
+    nc = len(grid)
+    grid = grid.sort_values(
+        ["cnt", "bucket", "dow"], ascending=[False, True, True]
+    ).head(_HOTSPOT_TOP)
+    return pa.table(
+        {
+            "bucket": pa.array(grid["bucket"].to_numpy(), pa.int64()),
+            "dow": pa.array(grid["dow"].to_numpy(), pa.int64()),
+            "cnt": pa.array(grid["cnt"].to_numpy(), pa.int64()),
+            "is_hot": pa.array(
+                (grid["cnt"].to_numpy(dtype=np.int64) * nc >= 2 * total), pa.bool_()
+            ),
+        }
+    )
+
+
+SQL_GRID_HOTSPOTS = f"""
+WITH g AS (SELECT (user_id % {_HOTSPOT_BUCKETS}) AS bucket,
+                  ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS nc FROM g)
+SELECT bucket, dow, cnt, (cnt * nc >= 2 * total) AS is_hot
+FROM g CROSS JOIN t
+ORDER BY cnt DESC, bucket, dow LIMIT {_HOTSPOT_TOP}
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -17496,6 +17785,9 @@ QUERIES = {
     "skew_report": q_skew_report,
     "logreg_irls": q_logreg_irls,
     "bpe_encode": q_bpe_encode,
+    "dq_checks": q_dq_checks,
+    "extract_numbers": q_extract_numbers,
+    "grid_hotspots": q_grid_hotspots,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -17683,6 +17975,9 @@ ORACLES = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "bigram_logprob": SQL_BIGRAM_LOGPROB,
     "skew_report": SQL_SKEW_REPORT,
+    "dq_checks": SQL_DQ_CHECKS,
+    "extract_numbers": SQL_EXTRACT_NUMBERS,
+    "grid_hotspots": SQL_GRID_HOTSPOTS,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

@@ -109,6 +109,76 @@ def test_bpe_encode_word_properties():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_dq_checks_counts_planted_violations(tmp_path):
+    """A lake with one orphan order, one out-of-range discount, one
+    nonpositive quantity, one empty props and one n_chars lie must
+    report exactly one violation per check."""
+    import pandas as pd
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 2, 99], pa.int64())}),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_quantity": pa.array([1.0, 0.0, 5.0], pa.float64()),
+                "l_discount": pa.array([0.1, 0.2, 1.5], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    pq.write_table(
+        pa.table({"props": pa.array(["{}", "", "{}"], pa.string())}),
+        str(tmp_path / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "text": pa.array(["abc", "defg"], pa.string()),
+                "n_chars": pa.array([3, 99], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = (
+        QUERIES["dq_checks"](str(tmp_path))
+        .to_pandas()
+        .set_index("dq_check")["n_violations"]
+    )
+    assert got["documents_nchars_mismatch"] == 1
+    assert got["events_null_props"] == 1
+    assert got["lineitem_discount_range"] == 1
+    assert got["lineitem_nonpositive_qty"] == 1
+    assert got["orders_orphan_custkey"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extract_numbers_hand_derived(tmp_path):
+    rows = [
+        (1, "order 12 of 340 units", "en", "s"),
+        (2, "no digits here", "en", "s"),
+        (3, "007 bond", "en", "s"),
+        (4, "overflow 1234567890123456789 ignored, 5 kept", "en", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = (
+        QUERIES["extract_numbers"](str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(got.index) == [1, 3, 4]  # doc 2 has no integers
+    assert got.loc[1, "n_ints"] == 2 and got.loc[1, "sum_ints"] == 352
+    assert got.loc[3, "n_ints"] == 1 and got.loc[3, "sum_ints"] == 7
+    assert got.loc[4, "n_ints"] == 1 and got.loc[4, "sum_ints"] == 5  # 19-digit run dropped
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
