@@ -17578,6 +17578,291 @@ ORDER BY cnt DESC, bucket, dow LIMIT {_HOTSPOT_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# record highs — every event whose value strictly exceeds ALL
+# preceding events' values in (ts, event_id) order: the distributed
+# GLOBAL PREFIX-MAX primitive (the max sibling of running_total's
+# prefix sum, and the core of watermark/lateness tracking on ordered
+# streams).  Two bounded passes: per-1h-range max-cents partials →
+# driver exclusive running max over O(ranges) → one range-bucketed
+# exchange where each range resolves its events against
+# max(prior-range prefix, in-range shifted cummax).  Output is
+# O(log n) rows in expectation (records over exchangeable values).
+# --------------------------------------------------------------------------
+
+_REC_RANGE_US = 3_600_000_000  # 1 h ts ranges (the running_total grain)
+_REC_NEG_INF = -(2**62)
+
+
+def q_record_highs(sf_dir: str):
+    import zlib
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {"range": t.to_numpy(zero_copy_only=False) // _REC_RANGE_US,
+                 "cents": cents}
+            )
+            .groupby("range", sort=False)["cents"]
+            .max()
+            .reset_index(name="mx")
+        )
+        return pa.table(
+            {
+                "range": pa.array(g["range"].to_numpy(), pa.int64()),
+                "mx": pa.array(g["mx"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def merge_max(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("range", as_index=False)["mx"].max()
+        return pa.table(
+            {
+                "range": pa.array(g["range"].to_numpy(), pa.int64()),
+                "mx": pa.array(g["mx"].to_numpy(), pa.int64()),
+            }
+        )
+
+    rng_schema = pa.schema([("range", pa.int64()), ("mx", pa.int64())])
+    ranges = (
+        _merge_partials(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "range",
+            merge_max,
+            input_schema=rng_schema,
+        )
+        .to_pandas()
+        .sort_values("range")
+    )
+    out_schema = pa.schema([("event_id", pa.int64()), ("cents", pa.int64())])
+    if ranges.empty:
+        return out_schema.empty_table()
+    mx = ranges["mx"].to_numpy(dtype=np.int64)
+    prev = np.concatenate(
+        [[_REC_NEG_INF], np.maximum.accumulate(mx)[:-1]]
+    )  # exclusive prefix max per range
+    offsets = dict(zip(ranges["range"].to_numpy(), prev))
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        rng = pc.divide(t, _REC_RANGE_US)
+        bucket = pa.array(
+            [zlib.crc32(str(v).encode()) % _STAT_BUCKETS for v in rng.to_pylist()],
+            pa.int32(),
+        )
+        return (
+            batch.append_column("_ts_us", t)
+            .append_column("_range", rng)
+            .append_column("_bucket", bucket)
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["_range", "_ts_us", "event_id"], kind="mergesort")
+        cents = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        b = b.assign(_cents=cents)
+        grp = b.groupby("_range", sort=False)["_cents"]
+        within = grp.cummax().groupby(b["_range"].to_numpy()).shift(1)
+        within = within.fillna(float(_REC_NEG_INF)).to_numpy().astype(np.int64)
+        wm = np.maximum(within, b["_range"].map(offsets).to_numpy(dtype=np.int64))
+        rec = cents > wm
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy()[rec], pa.int64()),
+                "cents": pa.array(cents[rec], pa.int64()),
+            }
+        )
+
+    out = _to_table_s(
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas"),
+        out_schema,
+    )
+    return out.sort_by("event_id")
+
+
+SQL_RECORD_HIGHS = """
+WITH r AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                  max(CAST(round(value * 100) AS BIGINT))
+                    OVER (ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM events)
+SELECT event_id, cents FROM r
+WHERE prev_max IS NULL OR cents > prev_max
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# storage/compaction diagnostic — one row per table file with footer
+# metadata only (rows, row groups, compressed bytes, bytes/row): the
+# manifest scan a lakehouse runs to decide compaction and bucket
+# counts.  Footers are read in DISTRIBUTED tasks (never the data
+# pages); rows-only — file-level metadata is not a SQL view.
+# --------------------------------------------------------------------------
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+_STORAGE_SCHEMA = pa.schema(
+    [
+        ("tbl", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_row_groups", pa.int64()),
+        ("compressed_bytes", pa.int64()),
+        ("bytes_per_row", pa.int64()),
+    ]
+)
+
+
+def q_storage_stats(sf_dir: str):
+    items = [
+        {"tbl": t, "path": _t(sf_dir, t)}
+        for t in _ALL_TABLES
+        if os.path.exists(_t(sf_dir, t))
+    ]
+    if not items:
+        return _STORAGE_SCHEMA.empty_table()
+    ds = ray.data.from_items(items)
+
+    def stat(b: pa.Table) -> pa.Table:
+        names, rows, groups, comp = [], [], [], []
+        for tname, path in zip(
+            b.column("tbl").to_pylist(), b.column("path").to_pylist()
+        ):
+            md = pa.parquet.read_metadata(path)
+            names.append(tname)
+            rows.append(md.num_rows)
+            groups.append(md.num_row_groups)
+            comp.append(
+                sum(
+                    md.row_group(i).column(j).total_compressed_size
+                    for i in range(md.num_row_groups)
+                    for j in range(md.row_group(i).num_columns)
+                )
+            )
+        return pa.table(
+            {
+                "tbl": pa.array(names, pa.string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "n_row_groups": pa.array(groups, pa.int64()),
+                "compressed_bytes": pa.array(comp, pa.int64()),
+                "bytes_per_row": pa.array(
+                    [c // max(r, 1) for c, r in zip(comp, rows)], pa.int64()
+                ),
+            }
+        )
+
+    return _to_table_s(
+        ds.map_batches(stat, batch_format="pyarrow"), _STORAGE_SCHEMA
+    ).sort_by("tbl")
+
+
+# --------------------------------------------------------------------------
+# int8-quantized ANN — the memory-bandwidth scale path for similarity
+# search (4× smaller vectors, integer dot products): pass 1 collects
+# per-dimension |max| via O(dims × batches) partials, symmetric
+# scales s_d = amax_d/127 broadcast once; pass 2 quantizes each batch
+# in place and scores the int8 matmul, cutting to a per-batch top-k
+# partial before the per-query reduction.  Rows-only (approximate by
+# construction); recall ≥0.8 vs the float brute force is pinned in
+# tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+
+
+def q_embed_quantize(sf_dir: str):
+    from ..stages.similarity import vecs_to_numpy
+
+    qv = _query_vectors(sf_dir)
+    out_schema = pa.schema(
+        [("query_id", pa.int64()), ("vec_id", pa.int64()), ("qcos", pa.float64())]
+    )
+    if not qv:
+        return out_schema.empty_table()
+    ds = _read_pq(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def amax_partial(b: pa.Table) -> pa.Table:
+        v = np.abs(vecs_to_numpy(b.column("embedding"))).max(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(len(v)), pa.int64()),
+                "amax": pa.array(v, pa.float64()),
+            }
+        )
+
+    def merge_amax(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("dim", as_index=False)["amax"].max()
+        return pa.table(
+            {
+                "dim": pa.array(g["dim"].to_numpy(), pa.int64()),
+                "amax": pa.array(g["amax"].to_numpy(), pa.float64()),
+            }
+        )
+
+    am = (
+        _merge_partials(
+            ds.map_batches(amax_partial, batch_format="pyarrow"),
+            "dim",
+            merge_amax,
+            input_schema=pa.schema([("dim", pa.int64()), ("amax", pa.float64())]),
+        )
+        .to_pandas()
+        .sort_values("dim")
+    )
+    scale = np.maximum(am["amax"].to_numpy(), 1e-12) / 127.0
+
+    q_ids = sorted(qv)
+    qmat = np.asarray([qv[i] for i in q_ids], dtype=np.float64)
+    qq = np.clip(np.rint(qmat / scale), -127, 127).astype(np.int8)
+    bref = ray.put((np.asarray(q_ids, dtype=np.int64), qq, scale))
+
+    def score(b: pa.Table) -> pa.Table:
+        ids, qq8, sc = ray.get(bref)
+        v = vecs_to_numpy(b.column("embedding"))
+        v8 = np.clip(np.rint(v / sc), -127, 127).astype(np.int8)
+        dots = v8.astype(np.int32) @ qq8.astype(np.int32).T  # (n, q)
+        vn = np.sqrt((v8.astype(np.int64) ** 2).sum(axis=1))
+        qn = np.sqrt((qq8.astype(np.int64) ** 2).sum(axis=1))
+        cos = dots / np.maximum(vn[:, None] * qn[None, :], 1e-12)
+        vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+        parts = []
+        for qi in range(len(ids)):
+            order = np.lexsort((vid, -cos[:, qi]))[: _ANN_K]  # per-batch top-k cut
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(len(order), ids[qi]), pa.int64()
+                        ),
+                        "vec_id": pa.array(vid[order], pa.int64()),
+                        "qcos": pa.array(np.round(cos[order, qi], 6), pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["qcos", "vec_id"], ascending=[False, True]
+        ).head(_ANN_K)
+
+    out = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+    return _to_table_s(out, out_schema)
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -17788,6 +18073,9 @@ QUERIES = {
     "dq_checks": q_dq_checks,
     "extract_numbers": q_extract_numbers,
     "grid_hotspots": q_grid_hotspots,
+    "record_highs": q_record_highs,
+    "storage_stats": q_storage_stats,
+    "embed_quantize": q_embed_quantize,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -17978,6 +18266,7 @@ ORACLES = {
     "dq_checks": SQL_DQ_CHECKS,
     "extract_numbers": SQL_EXTRACT_NUMBERS,
     "grid_hotspots": SQL_GRID_HOTSPOTS,
+    "record_highs": SQL_RECORD_HIGHS,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

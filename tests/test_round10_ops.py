@@ -179,6 +179,58 @@ def test_extract_numbers_hand_derived(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_record_highs_hand_derived(tmp_path):
+    """Values 5, 3, 7, 7, 9 in ts order -> records at 5, 7, 9 (strict
+    inequality: the second 7 is NOT a record).  ts ties broken by
+    event_id; the cross-hour-range boundary is exercised by spacing
+    events 2 h apart so every event sits in its own prefix range."""
+    ts = pa.array(
+        [i * 7_200_000_000 for i in range(5)], pa.timestamp("us")
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "ts": ts,
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["view"] * 5, pa.string()),
+                "value": pa.array([0.05, 0.03, 0.07, 0.07, 0.09], pa.float64()),
+                "props": pa.array(["{}"] * 5, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["record_highs"](str(tmp_path)).to_pandas()
+    assert list(got["event_id"]) == [10, 12, 14]
+    assert list(got["cents"]) == [5, 7, 9]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_storage_stats_matches_footers():
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["storage_stats"](sf).to_pandas().set_index("tbl")
+    md = pq.read_metadata(f"{sf}/documents.parquet")
+    assert got.loc["documents", "n_rows"] == md.num_rows
+    assert (got["compressed_bytes"] > 0).all()
+    assert (got["bytes_per_row"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_quantize_recall_vs_brute_force():
+    """int8 symmetric quantization must keep >=0.8 recall@10 against
+    the float brute force on the real embeddings table."""
+    sf = "/root/testdata/sf0.01"
+    exact = QUERIES["ann_bruteforce"](sf).to_pandas()
+    quant = QUERIES["embed_quantize"](sf).to_pandas()
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        want = set(g["vec_id"])
+        have = set(quant[quant["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & have) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
