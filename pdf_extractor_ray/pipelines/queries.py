@@ -16979,20 +16979,31 @@ def q_bigram_logprob(sf_dir: str):
             stacklevel=2,
         )
     c1 = freq.groupby("w1")["c12"].transform("sum").to_numpy(dtype=np.float64)
-    key = (freq["w1"] + " " + freq["w2"]).to_numpy()
+    # integer pair keys: vocab-index each side once, key = i1·V + i2 —
+    # the int64 searchsorted replaces a 2×-concat string key whose
+    # per-element allocations dominated the 1M-doc scale run (44 s →
+    # see SCALE.md); V ≤ 2M keeps i1·V + i2 < 2^63
+    vocab = np.unique(np.concatenate([freq["w1"].to_numpy(), freq["w2"].to_numpy()]))
+    V = np.int64(len(vocab))
+    i1 = np.searchsorted(vocab, freq["w1"].to_numpy()).astype(np.int64)
+    i2 = np.searchsorted(vocab, freq["w2"].to_numpy()).astype(np.int64)
+    key = i1 * V + i2
     order = np.argsort(key)
     key = key[order]
     logp = np.log(freq["c12"].to_numpy(dtype=np.float64)[order] / c1[order])
-    vref = ray.put((key, logp))
+    vref = ray.put((vocab, V, key, logp))
 
     def score(batch: pa.Table) -> pa.Table:
-        k, lp = ray.get(vref)
+        voc, nv, k, lp = ray.get(vref)
         w1, w2, par = _doc_bigrams(batch)
         n_rows = batch.num_rows
         sums = np.zeros(n_rows)
         counts = np.zeros(n_rows)
         if len(w1):
-            pk = np.char.add(np.char.add(w1.astype(str), " "), w2.astype(str))
+            pk = (
+                np.searchsorted(voc, w1).astype(np.int64) * nv
+                + np.searchsorted(voc, w2).astype(np.int64)
+            )
             idx = np.searchsorted(k, pk)  # every pair is in-corpus
             np.add.at(sums, par, lp[idx])
             np.add.at(counts, par, 1.0)
@@ -17716,6 +17727,7 @@ _ALL_TABLES = (
 _STORAGE_SCHEMA = pa.schema(
     [
         ("tbl", pa.string()),
+        ("file", pa.string()),
         ("n_rows", pa.int64()),
         ("n_row_groups", pa.int64()),
         ("compressed_bytes", pa.int64()),
@@ -17725,22 +17737,27 @@ _STORAGE_SCHEMA = pa.schema(
 
 
 def q_storage_stats(sf_dir: str):
-    items = [
-        {"tbl": t, "path": _t(sf_dir, t)}
-        for t in _ALL_TABLES
-        if os.path.exists(_t(sf_dir, t))
-    ]
+    from ..sources.scan import parquet_files
+
+    items = []
+    for t in _ALL_TABLES:
+        p = _t(sf_dir, t)
+        if os.path.isdir(p):  # directory-form table: one row PER FILE
+            items += [{"tbl": t, "path": f} for f in parquet_files(p)]
+        elif os.path.exists(p):
+            items.append({"tbl": t, "path": p})
     if not items:
         return _STORAGE_SCHEMA.empty_table()
     ds = ray.data.from_items(items)
 
     def stat(b: pa.Table) -> pa.Table:
-        names, rows, groups, comp = [], [], [], []
+        names, files, rows, groups, comp = [], [], [], [], []
         for tname, path in zip(
             b.column("tbl").to_pylist(), b.column("path").to_pylist()
         ):
             md = pa.parquet.read_metadata(path)
             names.append(tname)
+            files.append(os.path.basename(path))
             rows.append(md.num_rows)
             groups.append(md.num_row_groups)
             comp.append(
@@ -17753,6 +17770,7 @@ def q_storage_stats(sf_dir: str):
         return pa.table(
             {
                 "tbl": pa.array(names, pa.string()),
+                "file": pa.array(files, pa.string()),
                 "n_rows": pa.array(rows, pa.int64()),
                 "n_row_groups": pa.array(groups, pa.int64()),
                 "compressed_bytes": pa.array(comp, pa.int64()),
@@ -17764,7 +17782,7 @@ def q_storage_stats(sf_dir: str):
 
     return _to_table_s(
         ds.map_batches(stat, batch_format="pyarrow"), _STORAGE_SCHEMA
-    ).sort_by("tbl")
+    ).sort_by([("tbl", "ascending"), ("file", "ascending")])
 
 
 # --------------------------------------------------------------------------
