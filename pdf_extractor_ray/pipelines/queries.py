@@ -17881,6 +17881,185 @@ def q_embed_quantize(sf_dir: str):
     return _to_table_s(out, out_schema)
 
 
+# --------------------------------------------------------------------------
+# OHLC candles — the classic streaming bar aggregate: per (event_type,
+# 6h window) open/high/low/close/count in exact integer cents.
+# Open/close are ARGMIN/ARGMAX by (ts, event_id) carried as candidate
+# triplets through the combiner (the first_last pattern widened to
+# four simultaneous reductions); one O(types × windows) exchange.
+# --------------------------------------------------------------------------
+
+_OHLC_WIN_US = 21_600_000_000  # 6 h
+
+
+def q_ohlc_candles(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"])
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("win", pa.int64()),
+            ("o_ts", pa.int64()),
+            ("o_eid", pa.int64()),
+            ("o_c", pa.int64()),
+            ("c_ts", pa.int64()),
+            ("c_eid", pa.int64()),
+            ("c_c", pa.int64()),
+            ("high", pa.int64()),
+            ("low", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+                "win": t // _OHLC_WIN_US,
+                "ts": t,
+                "eid": b.column("event_id").to_numpy(zero_copy_only=False),
+                "c": cents,
+            }
+        ).sort_values(["event_type", "win", "ts", "eid"], kind="mergesort")
+        g = df.groupby(["event_type", "win"], sort=False)
+        agg = pd.DataFrame(
+            {
+                "o_ts": g["ts"].first(),
+                "o_eid": g["eid"].first(),
+                "o_c": g["c"].first(),
+                "c_ts": g["ts"].last(),
+                "c_eid": g["eid"].last(),
+                "c_c": g["c"].last(),
+                "high": g["c"].max(),
+                "low": g["c"].min(),
+                "n": g["c"].size(),
+            }
+        ).reset_index()
+        return pa.table(
+            {f.name: pa.array(agg[f.name].to_numpy(), f.type) for f in part_schema}
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        bo = b.sort_values(["o_ts", "o_eid"], kind="mergesort")
+        go = bo.groupby(["event_type", "win"], sort=False)
+        bc = b.sort_values(["c_ts", "c_eid"], ascending=[False, False], kind="mergesort")
+        gc = bc.groupby(["event_type", "win"], sort=False)
+        g = b.groupby(["event_type", "win"], sort=False)
+        out = pd.DataFrame(
+            {
+                "open": go["o_c"].first(),
+                "high": g["high"].max(),
+                "low": g["low"].min(),
+                "close": gc["c_c"].first(),
+                "n": g["n"].sum(),
+            }
+        ).reset_index()
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "win": pa.array(out["win"].to_numpy(), pa.int64()),
+                "open": pa.array(out["open"].to_numpy(), pa.int64()),
+                "high": pa.array(out["high"].to_numpy(), pa.int64()),
+                "low": pa.array(out["low"].to_numpy(), pa.int64()),
+                "close": pa.array(out["close"].to_numpy(), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        per_bucket,
+        input_schema=part_schema,
+    )
+
+
+SQL_OHLC_CANDLES = f"""
+WITH w AS (SELECT event_type, epoch_us(ts) // {_OHLC_WIN_US} AS win,
+                  CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+           FROM events),
+     r AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type, win
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY event_type, win
+                                     ORDER BY ts DESC, event_id DESC) AS rnd
+           FROM w)
+SELECT event_type, win,
+       CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS open,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       CAST(max(CASE WHEN rnd = 1 THEN cents END) AS BIGINT) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# join-cardinality estimate — the optimizer statistic this engine's
+# own size-aware join gates want: |lineitem ⋈ orders on orderkey| =
+# Σ_k cA(k)·cB(k), computed EXACTLY from the two per-key count
+# combiner streams (O(keys) rows cross, never the data; per-bucket
+# product partials so the driver sees O(buckets)).  The CMS
+# inner-product ESTIMATE of the same quantity (min_d Σ_w A_d·B_d —
+# the sketch the gate would use when even O(keys) is too much) is
+# pinned within 5% in tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+
+
+def q_join_size_estimate(sf_dir: str):
+    part_schema = pa.schema(
+        [("k", pa.int64()), ("na", pa.int64()), ("nb", pa.int64())]
+    )
+
+    def side(path: str, key: str, col: str) -> ray.data.Dataset:
+        ds = _read_pq(path, columns=[key])
+
+        def part(b: pa.Table, key=key, col=col) -> pa.Table:
+            vc = b.column(key).value_counts()
+            n = pc.cast(vc.field("counts"), pa.int64())
+            z = pa.array(np.zeros(len(vc), np.int64), pa.int64())
+            return pa.table(
+                {
+                    "k": vc.field("values").cast(pa.int64()),
+                    "na": n if col == "na" else z,
+                    "nb": n if col == "nb" else z,
+                }
+            )
+
+        return ds.map_batches(part, batch_format="pyarrow")
+
+    partials = side(_t(sf_dir, "lineitem"), "l_orderkey", "na").union(
+        side(_t(sf_dir, "orders"), "o_orderkey", "nb")
+    )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("k", as_index=False)[["na", "nb"]].sum()
+        s = int((g["na"].to_numpy() * g["nb"].to_numpy()).sum())
+        return pa.table({"part": pa.array([s], pa.int64())})
+
+    parts = _merge_partials(partials, "k", per_bucket, input_schema=part_schema)
+    df = parts.to_pandas()
+    if df.empty or int(df["part"].sum()) == 0:
+        # empty join → SQL's sum() over zero rows: one NULL row
+        return pa.table({"join_rows": pa.array([None], pa.int64())})
+    return pa.table(
+        {"join_rows": pa.array([int(df["part"].sum())], pa.int64())}
+    )
+
+
+SQL_JOIN_SIZE_ESTIMATE = """
+WITH a AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1),
+     b AS (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1)
+SELECT CAST(sum(a.n * b.n) AS BIGINT) AS join_rows FROM a JOIN b USING (k)
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18094,6 +18273,8 @@ QUERIES = {
     "record_highs": q_record_highs,
     "storage_stats": q_storage_stats,
     "embed_quantize": q_embed_quantize,
+    "ohlc_candles": q_ohlc_candles,
+    "join_size_estimate": q_join_size_estimate,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -18285,6 +18466,8 @@ ORACLES = {
     "extract_numbers": SQL_EXTRACT_NUMBERS,
     "grid_hotspots": SQL_GRID_HOTSPOTS,
     "record_highs": SQL_RECORD_HIGHS,
+    "ohlc_candles": SQL_OHLC_CANDLES,
+    "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

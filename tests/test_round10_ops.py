@@ -231,6 +231,70 @@ def test_embed_quantize_recall_vs_brute_force():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ohlc_candles_hand_derived(tmp_path):
+    """One 6h window, values 5, 9, 2, 7 in ts order -> open=5, high=9,
+    low=2, close=7; a ts tie on the close is broken by event_id."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([0, 60_000_000, 120_000_000, 120_000_000],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["view"] * 4, pa.string()),
+                "value": pa.array([0.05, 0.09, 0.02, 0.07], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["ohlc_candles"](str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["open"], row["high"], row["low"], row["close"], row["n"]) == (
+        5, 9, 2, 7, 4,
+    )  # close = event_id 4 (ties at ts=120s break by event_id)
+
+
+def test_cms_inner_product_estimates_join_size():
+    """The CMS inner product (min_d Σ_w A_d·B_d) must estimate
+    Σ_k cA(k)·cB(k) within 5% on the real orderkey distributions —
+    the sketch q_join_size_estimate's docstring points to for the
+    beyond-O(keys) regime."""
+    import pyarrow.parquet as pqt
+
+    from pdf_extractor_ray.functions.sketches import (
+        cms_add,
+        cms_new,
+        hash_values,
+    )
+
+    lk = pqt.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet", columns=["l_orderkey"]
+    )["l_orderkey"].to_numpy()
+    ok = pqt.read_table(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"]
+    )["o_orderkey"].to_numpy()
+    # inner-product noise is ADDITIVE (~‖A‖₁·‖B‖₁/width per row, min
+    # over depth) — width must be sized to the product of stream
+    # masses, not the key cardinality: 6000·1500/65536 ≈ 137 ≈ 2%
+    a, b = cms_new(width=65536), cms_new(width=65536)
+    cms_add(a, hash_values(lk))
+    cms_add(b, hash_values(ok))
+    est = int(min((a[d] * b[d]).sum() for d in range(a.shape[0])))
+    import pandas as pd
+
+    exact = int(
+        pd.Series(lk).value_counts()
+        .mul(pd.Series(ok).value_counts(), fill_value=0)
+        .sum()
+    )
+    assert exact > 0
+    assert est >= exact  # CMS inner product never undercounts
+    assert est <= exact * 1.05
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
