@@ -18060,6 +18060,158 @@ SELECT CAST(sum(a.n * b.n) AS BIGINT) AS join_rows FROM a JOIN b USING (k)
 """
 
 
+# --------------------------------------------------------------------------
+# linear-interpolation gap fill — materialize each user's value series
+# on an hourly grid (the time-series regularization step before any
+# fixed-step model): for every consecutive event pair [t, t2) emit the
+# grid hours it half-open-covers, value = ((t2−h)·c + (h−t)·c2)/(t2−t).
+# Numerator/denominator are exact int64 on both engines, so the single
+# float divide is bit-identical; rounded to 6.  One user-bucketed
+# exchange; the variable-length hour expansion is a vectorized
+# repeat+arange, no per-segment Python.  Output is O(users × span
+# hours) — the GRID, not the events, bounds it.
+# --------------------------------------------------------------------------
+
+_INTERP_U = 3_600_000_000  # 1 h grid
+
+_INTERP_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("hour_us", pa.int64()), ("interp_cents", pa.float64())]
+)
+
+
+def q_interp_fill(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        c = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        u = b["user_id"].to_numpy()
+        if len(t) < 2:
+            return _INTERP_SCHEMA.empty_table()
+        same = (u[:-1] == u[1:]) & (t[1:] > t[:-1])
+        t1, t2 = t[:-1][same], t[1:][same]
+        c1, c2 = c[:-1][same], c[1:][same]
+        uu = u[:-1][same]
+        k0 = (t1 + _INTERP_U - 1) // _INTERP_U
+        k1 = (t2 + _INTERP_U - 1) // _INTERP_U - 1
+        cnt = np.maximum(k1 - k0 + 1, 0)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return _INTERP_SCHEMA.empty_table()
+        idx = np.repeat(np.arange(len(cnt)), cnt)
+        within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        h = (np.repeat(k0, cnt) + within) * _INTERP_U
+        T1, T2 = t1[idx], t2[idx]
+        num = (T2 - h) * c1[idx] + (h - T1) * c2[idx]
+        val = np.round(num / (T2 - T1).astype(np.float64), 6)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[idx], pa.int64()),
+                "hour_us": pa.array(h, pa.int64()),
+                "interp_cents": pa.array(val, pa.float64()),
+            }
+        )
+
+    return _to_table_s(_bucketed(ds, "user_id", per_bucket), _INTERP_SCHEMA)
+
+
+SQL_INTERP_FILL = f"""
+WITH b AS (SELECT user_id, epoch_us(ts) AS t, CAST(round(value*100) AS BIGINT) AS c,
+                  lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS t2,
+                  lead(CAST(round(value*100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c2
+           FROM events),
+     seg AS (SELECT * FROM b WHERE t2 IS NOT NULL AND t2 > t)
+SELECT user_id, k * {_INTERP_U} AS hour_us,
+       round(((t2 - k*{_INTERP_U}) * c + (k*{_INTERP_U} - t) * c2)
+             / CAST(t2 - t AS DOUBLE), 6) AS interp_cents
+FROM seg, unnest(generate_series((t + {_INTERP_U - 1}) // {_INTERP_U},
+                                 (t2 + {_INTERP_U - 1}) // {_INTERP_U} - 1)) AS u(k)
+"""
+
+
+# --------------------------------------------------------------------------
+# mass-coverage point — "how many documents (largest-first) carry half
+# the corpus chars": the concentration-curve statistic behind
+# curation decisions like 'the top N docs dominate the token budget'.
+# Computed from the bounded (value, count) histogram with Python-int
+# prefix sums and an exact in-tie-group crossing ceil division — no
+# global sort, no per-doc rank; O(distinct values) crosses the
+# exchange.
+# --------------------------------------------------------------------------
+
+
+def q_mass_coverage(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        vc = b.column("n_chars").value_counts()
+        return pa.table(
+            {
+                "val": vc.field("values").cast(pa.int64()),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    vc = (
+        _sum_partials(
+            ds.map_batches(part, batch_format="pyarrow"),
+            keys=["val"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("val", pa.int64()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("val", ascending=False)
+    )
+    if vc.empty:
+        return pa.table(
+            {
+                "n_docs": pa.array([None], pa.int64()),
+                "covered": pa.array([None], pa.int64()),
+                "total": pa.array([None], pa.int64()),
+            }
+        )
+    vals = vc["val"].to_numpy(dtype=np.int64)
+    cnts = vc["cnt"].to_numpy(dtype=np.int64)
+    tot = int((vals * cnts).sum())
+    cumb, nb = 0, 0
+    n_docs = covered = None
+    for v, cnt in zip(vals.tolist(), cnts.tolist()):
+        grp = v * cnt
+        if 2 * (cumb + grp) >= tot:
+            if v <= 0:  # zero-length docs: first one already "covers" a 0 total
+                k = 1
+            else:
+                k = (tot - 2 * cumb + 2 * v - 1) // (2 * v)
+                k = max(k, 1)
+            n_docs = nb + k
+            covered = cumb + k * max(v, 0)
+            break
+        cumb += grp
+        nb += cnt
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "covered": pa.array([covered], pa.int64()),
+            "total": pa.array([tot], pa.int64()),
+        }
+    )
+
+
+SQL_MASS_COVERAGE = """
+WITH o AS (SELECT n_chars,
+                  sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id) AS cum,
+                  row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+                  sum(n_chars) OVER () AS tot
+           FROM documents)
+SELECT CAST(min(rn) AS BIGINT) AS n_docs, CAST(min(cum) AS BIGINT) AS covered,
+       CAST(min(tot) AS BIGINT) AS total
+FROM o WHERE 2*cum >= tot
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18275,6 +18427,8 @@ QUERIES = {
     "embed_quantize": q_embed_quantize,
     "ohlc_candles": q_ohlc_candles,
     "join_size_estimate": q_join_size_estimate,
+    "interp_fill": q_interp_fill,
+    "mass_coverage": q_mass_coverage,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -18468,6 +18622,8 @@ ORACLES = {
     "record_highs": SQL_RECORD_HIGHS,
     "ohlc_candles": SQL_OHLC_CANDLES,
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
+    "interp_fill": SQL_INTERP_FILL,
+    "mass_coverage": SQL_MASS_COVERAGE,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

@@ -295,6 +295,49 @@ def test_cms_inner_product_estimates_join_size():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_interp_fill_hand_derived(tmp_path):
+    """User with events at t=0 (100¢) and t=2h (300¢): grid hours at
+    1h and 2h?  No — half-open [t, t2) excludes t2, and t=0 IS a grid
+    point, so hours 0h (100¢) and 1h (200¢ midpoint) are emitted."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([0, 7_200_000_000], pa.timestamp("us")),
+                "user_id": pa.array([7, 7], pa.int64()),
+                "event_type": pa.array(["view"] * 2, pa.string()),
+                "value": pa.array([1.00, 3.00], pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = (
+        QUERIES["interp_fill"](str(tmp_path))
+        .to_pandas()
+        .sort_values("hour_us")
+        .reset_index(drop=True)
+    )
+    assert list(got["hour_us"]) == [0, 3_600_000_000]
+    assert list(got["interp_cents"]) == [100.0, 200.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mass_coverage_hand_derived(tmp_path):
+    """Lengths 6, 2, 2, 2 (total 12): the largest doc alone covers 6
+    = half the mass -> n_docs 1, covered 6."""
+    rows = [
+        (1, "aaaaaa", "en", "s"),
+        (2, "bb", "en", "s"),
+        (3, "cc", "en", "s"),
+        (4, "dd", "en", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["mass_coverage"](str(tmp_path)).to_pandas()
+    assert list(got.iloc[0]) == [1, 6, 12]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
