@@ -18212,6 +18212,199 @@ FROM o WHERE 2*cum >= tot
 """
 
 
+# --------------------------------------------------------------------------
+# stickiness (avg-DAU / total-users) — the product-analytics engagement
+# ratio: batches collapse to distinct (user, day) pairs, ONE
+# user-bucketed exchange dedupes them (a user lives entirely in its
+# bucket, so per-bucket distinct pairs/users sum exactly); each bucket
+# emits per-day pair counts plus a user-count sentinel row — the
+# driver folds O(buckets × days) rows, never events.  The final ratio
+# is two IEEE divides written in the same order as the oracle.
+# --------------------------------------------------------------------------
+
+_STICKY_SCHEMA = pa.schema(
+    [("day", pa.int64()), ("pairs", pa.int64()), ("users", pa.int64())]
+)
+
+
+def q_stickiness(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "day": t // 86_400_000_000,
+                }
+            )
+            .drop_duplicates()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        d = b.drop_duplicates(["user_id", "day"])
+        per_day = d.groupby("day").size()
+        return pa.table(
+            {
+                "day": pa.array(
+                    np.concatenate([per_day.index.to_numpy(), [-1]]), pa.int64()
+                ),
+                "pairs": pa.array(
+                    np.concatenate([per_day.to_numpy(), [0]]), pa.int64()
+                ),
+                "users": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(per_day), np.int64), [d["user_id"].nunique()]]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64())]),
+    ).to_pandas()
+    real = folded[folded["day"] >= 0]
+    if real.empty:
+        # the oracle's group-less aggregate still emits its one row:
+        # (NULL, 0, 0, NULL) on an empty lake
+        return pa.table(
+            {
+                "user_days": pa.array([None], pa.int64()),
+                "n_days": pa.array([0], pa.int64()),
+                "total_users": pa.array([0], pa.int64()),
+                "stickiness": pa.array([None], pa.float64()),
+            }
+        )
+    user_days = int(real["pairs"].sum())
+    n_days = int(real["day"].nunique())
+    total_users = int(folded["users"].sum())
+    sticky = round(float(user_days) / n_days / total_users, 6)
+    return pa.table(
+        {
+            "user_days": pa.array([user_days], pa.int64()),
+            "n_days": pa.array([n_days], pa.int64()),
+            "total_users": pa.array([total_users], pa.int64()),
+            "stickiness": pa.array([sticky], pa.float64()),
+        }
+    )
+
+
+SQL_STICKINESS = """
+WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id
+           FROM events GROUP BY 1, 2),
+     per_day AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+     tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM events)
+SELECT CAST(sum(dau) AS BIGINT) AS user_days, CAST(count(*) AS BIGINT) AS n_days,
+       (SELECT mau FROM tot) AS total_users,
+       round(CAST(sum(dau) AS DOUBLE) / count(*) / (SELECT mau FROM tot), 6)
+         AS stickiness
+FROM per_day
+"""
+
+
+# --------------------------------------------------------------------------
+# rate-limit audit — burst detection over (user, minute) windows: how
+# many windows exceeded the 1-event/min budget, the total excess, and
+# the worst burst.  Per-batch (user, minute, cnt) partials; the final
+# three scalars reduce INSIDE each merge bucket, so the driver sees
+# O(buckets) rows even though distinct user-minutes approach event
+# count on bursty traffic.
+# --------------------------------------------------------------------------
+
+_RATE_BUDGET = 1  # events per user-minute
+
+
+def q_rate_limit_audit(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("minute", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "minute": t // 60_000_000,
+                }
+            )
+            .groupby(["user_id", "minute"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {f.name: pa.array(g[f.name].to_numpy(), f.type) for f in part_schema}
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby(["user_id", "minute"], as_index=False)["cnt"].sum()
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        over = c > _RATE_BUDGET
+        return pa.table(
+            {
+                "nv": pa.array([int(over.sum())], pa.int64()),
+                "excess": pa.array(
+                    [int((c[over] - _RATE_BUDGET).sum())], pa.int64()
+                ),
+                "mx": pa.array([int(c.max()) if len(c) else 0], pa.int64()),
+            }
+        )
+
+    folded = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=part_schema,
+    ).to_pandas()
+    if folded.empty or int(folded["mx"].max() if len(folded) else 0) == 0:
+        # group-less aggregate row on empty input: (0, 0, NULL)
+        return pa.table(
+            {
+                "n_violating_windows": pa.array([0], pa.int64()),
+                "excess_events": pa.array([0], pa.int64()),
+                "max_per_minute": pa.array([None], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "n_violating_windows": pa.array([int(folded["nv"].sum())], pa.int64()),
+            "excess_events": pa.array([int(folded["excess"].sum())], pa.int64()),
+            "max_per_minute": pa.array([int(folded["mx"].max())], pa.int64()),
+        }
+    )
+
+
+SQL_RATE_LIMIT_AUDIT = f"""
+WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT CAST(count(*) FILTER (cnt > {_RATE_BUDGET}) AS BIGINT)
+         AS n_violating_windows,
+       CAST(coalesce(sum(CASE WHEN cnt > {_RATE_BUDGET}
+                              THEN cnt - {_RATE_BUDGET} END), 0) AS BIGINT)
+         AS excess_events,
+       CAST(max(cnt) AS BIGINT) AS max_per_minute
+FROM m
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18429,6 +18622,8 @@ QUERIES = {
     "join_size_estimate": q_join_size_estimate,
     "interp_fill": q_interp_fill,
     "mass_coverage": q_mass_coverage,
+    "stickiness": q_stickiness,
+    "rate_limit_audit": q_rate_limit_audit,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -18624,6 +18819,8 @@ ORACLES = {
     "join_size_estimate": SQL_JOIN_SIZE_ESTIMATE,
     "interp_fill": SQL_INTERP_FILL,
     "mass_coverage": SQL_MASS_COVERAGE,
+    "stickiness": SQL_STICKINESS,
+    "rate_limit_audit": SQL_RATE_LIMIT_AUDIT,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
