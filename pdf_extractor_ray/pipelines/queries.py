@@ -18104,7 +18104,11 @@ def q_interp_fill(sf_dir: str):
         h = (np.repeat(k0, cnt) + within) * _INTERP_U
         T1, T2 = t1[idx], t2[idx]
         num = (T2 - h) * c1[idx] + (h - T1) * c2[idx]
-        val = np.round(num / (T2 - T1).astype(np.float64), 6)
+        v = num / (T2 - T1).astype(np.float64)
+        # DuckDB round(x, 6) is half-AWAY-from-zero; np.round is
+        # half-to-even — 5 of 10.5M rows at the 1M-event lake landed
+        # exactly on the boundary and split the engines (SCALE.md)
+        val = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "user_id": pa.array(uu[idx], pa.int64()),
