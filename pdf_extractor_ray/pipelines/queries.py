@@ -18409,6 +18409,154 @@ FROM m
 """
 
 
+# --------------------------------------------------------------------------
+# Bayesian-smoothed rate — the feature-engineering estimator for
+# sparse per-entity rates ((purchases + α) / (events + α + β),
+# Beta(1,19) prior): per-batch (user, purchases, n) integer partials,
+# per-bucket top-10 on the ROUNDED rate (both engines sort the same
+# rounded alias, so float ties resolve identically by user_id);
+# driver sees O(buckets × 10).
+# --------------------------------------------------------------------------
+
+_SRATE_TOP = 10
+
+_SRATE_PART_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("purchases", pa.int64()), ("n_events", pa.int64())]
+)
+
+
+def q_smoothed_rate(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "p": pc.equal(b.column("event_type"), "purchase")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby("user_id", sort=False)
+            .agg(purchases=("p", "sum"), n_events=("p", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {f.name: pa.array(g[f.name].to_numpy(), f.type) for f in _SRATE_PART_SCHEMA}
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("user_id", as_index=False)[["purchases", "n_events"]].sum()
+        srate = np.round(
+            (g["purchases"].to_numpy() + 1.0) / (g["n_events"].to_numpy() + 20.0), 6
+        )
+        g = g.assign(srate=srate).sort_values(
+            ["srate", "user_id"], ascending=[False, True]
+        ).head(_SRATE_TOP)
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "purchases": pa.array(g["purchases"].to_numpy(), pa.int64()),
+                "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+                "srate": pa.array(g["srate"].to_numpy(), pa.float64()),
+            }
+        )
+
+    merged = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id",
+        per_bucket,
+        input_schema=_SRATE_PART_SCHEMA,
+    ).to_pandas()
+    out = merged.sort_values(["srate", "user_id"], ascending=[False, True]).head(
+        _SRATE_TOP
+    )
+    return pa.table(
+        {
+            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+            "purchases": pa.array(out["purchases"].to_numpy(), pa.int64()),
+            "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+            "srate": pa.array(out["srate"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_SMOOTHED_RATE = f"""
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round((count(*) FILTER (event_type = 'purchase') + 1.0)
+             / (count(*) + 20.0), 6) AS srate
+FROM events GROUP BY user_id ORDER BY srate DESC, user_id LIMIT {_SRATE_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+# conversion latency — per user, first signup → first purchase AT OR
+# AFTER it; report converted-user count and the exact median latency
+# (quantile_disc convention: rank ⌈n/2⌉, the mad/percentiles
+# precedent).  Users resolve entirely inside their bucket; the driver
+# folds one latency per CONVERTED user — the same O(users) result
+# granularity as the sessionize/rfm family.
+# --------------------------------------------------------------------------
+
+
+def q_conversion_latency(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_type"])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        t = b["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        et = b["event_type"].to_numpy()
+        u = b["user_id"].to_numpy()
+        lat = []
+        sign = pd.DataFrame({"u": u[et == "signup"], "t": t[et == "signup"]})
+        if not len(sign):
+            return pa.table({"latency_us": pa.array([], pa.int64())})
+        s = sign.groupby("u")["t"].min()
+        pur = pd.DataFrame({"u": u[et == "purchase"], "t": t[et == "purchase"]})
+        if len(pur):
+            pur = pur.assign(ts0=pur["u"].map(s))
+            pur = pur[pur["ts0"].notna() & (pur["t"] >= pur["ts0"])]
+            conv = pur.groupby("u")["t"].min()
+            lat = (conv - s[conv.index]).to_numpy().astype(np.int64)
+        return pa.table({"latency_us": pa.array(lat, pa.int64())})
+
+    lats = _to_table_s(
+        _bucketed(ds, "user_id", per_bucket),
+        pa.schema([("latency_us", pa.int64())]),
+    )
+    arr = np.sort(lats.column("latency_us").to_numpy(zero_copy_only=False))
+    if len(arr) == 0:
+        return pa.table(
+            {
+                "n_converted": pa.array([0], pa.int64()),
+                "median_latency_us": pa.array([None], pa.int64()),
+            }
+        )
+    med = int(arr[(len(arr) + 1) // 2 - 1])
+    return pa.table(
+        {
+            "n_converted": pa.array([len(arr)], pa.int64()),
+            "median_latency_us": pa.array([med], pa.int64()),
+        }
+    )
+
+
+SQL_CONVERSION_LATENCY = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t_signup
+           FROM events WHERE event_type = 'signup' GROUP BY 1),
+     p AS (SELECT e.user_id, min(epoch_us(ts)) AS t_conv
+           FROM events e JOIN s USING (user_id)
+           WHERE event_type = 'purchase' AND epoch_us(ts) >= s.t_signup
+           GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(quantile_disc(p.t_conv - s.t_signup, 0.5) AS BIGINT)
+         AS median_latency_us
+FROM p JOIN s USING (user_id)
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18628,6 +18776,8 @@ QUERIES = {
     "mass_coverage": q_mass_coverage,
     "stickiness": q_stickiness,
     "rate_limit_audit": q_rate_limit_audit,
+    "smoothed_rate": q_smoothed_rate,
+    "conversion_latency": q_conversion_latency,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -18825,6 +18975,8 @@ ORACLES = {
     "mass_coverage": SQL_MASS_COVERAGE,
     "stickiness": SQL_STICKINESS,
     "rate_limit_audit": SQL_RATE_LIMIT_AUDIT,
+    "smoothed_rate": SQL_SMOOTHED_RATE,
+    "conversion_latency": SQL_CONVERSION_LATENCY,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
