@@ -18557,6 +18557,207 @@ FROM p JOIN s USING (user_id)
 """
 
 
+# --------------------------------------------------------------------------
+# association-rule metrics — confidence and lift for the qualifying
+# co-purchase pairs (completes the A-Priori pass of copurchase_pairs):
+# pair supports from the same bounded-basket pipeline, item supports
+# as a per-part count combiner, the basket total as one distinct-
+# orderkey dedup count; the ≤O(pairs) driver join computes
+# conf = sup/s₁ and lift = sup·N/(s₁·s₂) with the identical
+# int→double op order as the oracle.
+# --------------------------------------------------------------------------
+
+
+def q_basket_lift(sf_dir: str):
+    pairs = q_copurchase_pairs(sf_dir).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("p1", pa.int64()),
+            ("p2", pa.int64()),
+            ("support", pa.int64()),
+            ("confidence", pa.float64()),
+            ("lift", pa.float64()),
+        ]
+    )
+    if pairs.empty:
+        return out_schema.empty_table()
+
+    li = _read_pq(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+
+    def op_partial(b: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "o": b.column("l_orderkey").to_numpy(zero_copy_only=False),
+                "p": b.column("l_partkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "o": pa.array(f["o"].to_numpy(), pa.int64()),
+                "p": pa.array(f["p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        f = b.drop_duplicates(["o", "p"])
+        g = f.groupby("p").size().reset_index(name="s")
+        no = f["o"].nunique()
+        return pa.table(
+            {
+                "p": pa.array(
+                    np.concatenate([g["p"].to_numpy(), [-1]]), pa.int64()
+                ),
+                "s": pa.array(
+                    np.concatenate([g["s"].to_numpy(), [0]]), pa.int64()
+                ),
+                "no": pa.array(
+                    np.concatenate([np.zeros(len(g), np.int64), [no]]), pa.int64()
+                ),
+            }
+        )
+
+    # bucket on ORDERKEY: an order lives in one bucket, so per-bucket
+    # distinct-order counts sum exactly; per-part counts need a second
+    # fold (a part spans buckets) — the driver sums O(buckets × parts)
+    folded = (
+        _bucketed(
+            li.map_batches(op_partial, batch_format="pyarrow", zero_copy_batch=True),
+            "o",
+            per_bucket,
+        )
+    )
+    folded = _to_table_s(
+        folded,
+        pa.schema([("p", pa.int64()), ("s", pa.int64()), ("no", pa.int64())]),
+    ).to_pandas()
+    n_orders = int(folded["no"].sum())
+    item = folded[folded["p"] >= 0].groupby("p")["s"].sum()
+    s1 = pairs["p1"].map(item).to_numpy(dtype=np.int64)
+    s2 = pairs["p2"].map(item).to_numpy(dtype=np.int64)
+    sup = pairs["support"].to_numpy(dtype=np.int64)
+    conf = np.round(sup.astype(np.float64) / s1, 6)
+    lift = np.round(
+        sup.astype(np.float64) * float(n_orders) / (s1 * s2).astype(np.float64), 6
+    )
+    out = pairs.assign(confidence=conf, lift=lift).sort_values(
+        ["lift", "p1", "p2"], ascending=[False, True, True]
+    )
+    return pa.table(
+        {
+            "p1": pa.array(out["p1"].to_numpy(), pa.int64()),
+            "p2": pa.array(out["p2"].to_numpy(), pa.int64()),
+            "support": pa.array(out["support"].to_numpy(), pa.int64()),
+            "confidence": pa.array(out["confidence"].to_numpy(), pa.float64()),
+            "lift": pa.array(out["lift"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+SQL_BASKET_LIFT = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pr AS (SELECT a.p AS p1, c.p AS p2 FROM b a JOIN b c ON a.o = c.o AND a.p < c.p),
+sup AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+        FROM pr GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_SUPPORT}),
+item AS (SELECT p, CAST(count(*) AS BIGINT) AS s FROM b GROUP BY 1),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS total FROM b)
+SELECT p1, p2, support,
+       round(CAST(support AS DOUBLE) / ia.s, 6) AS confidence,
+       round(CAST(support AS DOUBLE) * total / CAST(ia.s * ib.s AS DOUBLE), 6)
+         AS lift
+FROM sup JOIN item ia ON ia.p = sup.p1 JOIN item ib ON ib.p = sup.p2 CROSS JOIN n
+ORDER BY lift DESC, p1, p2
+"""
+
+
+# --------------------------------------------------------------------------
+# degree assortativity — Pearson correlation of endpoint degrees over
+# the co-supply graph's directed edge pairs (both orientations, the
+# standard Newman r): degrees broadcast once (O(nodes), the documented
+# small-graph-state assumption — _attach_deg is the reduce-side
+# fallback), per-batch integer moment partials (Σx, Σxy, Σx², n),
+# driver closed form with Python ints so no product ever overflows.
+# --------------------------------------------------------------------------
+
+
+def q_degree_assortativity(sf_dir: str):
+    edges = _cosupply_edges(sf_dir).materialize()
+    out_empty = pa.table(
+        {
+            "n_edges": pa.array([0], pa.int64()),
+            "assortativity": pa.array([None], pa.float64()),
+        }
+    )
+    if edges.count() == 0:
+        return out_empty
+    degs = _to_table_s(
+        _node_degrees(edges), pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+    )
+    nodes = degs.column("node").to_numpy(zero_copy_only=False)
+    dd_ = degs.column("deg").to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes)
+    dref = ray.put((nodes[order], dd_[order]))
+
+    def moments(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(dref)
+        du = dg[np.searchsorted(nd, b.column("u").to_numpy(zero_copy_only=False))]
+        dv = dg[np.searchsorted(nd, b.column("v").to_numpy(zero_copy_only=False))]
+        return pa.table(
+            {
+                "n": pa.array([2 * len(du)], pa.int64()),
+                "sx": pa.array([int(du.sum() + dv.sum())], pa.int64()),
+                "sxy": pa.array([2 * int((du * dv).sum())], pa.int64()),
+                "sxx": pa.array([int((du * du).sum() + (dv * dv).sum())], pa.int64()),
+            }
+        )
+
+    t = _to_table(edges.map_batches(moments, batch_format="pyarrow")).to_pandas()
+    n = int(t["n"].sum())
+    sx = int(t["sx"].sum())
+    sxy = int(t["sxy"].sum())
+    sxx = int(t["sxx"].sum())
+    var = n * sxx - sx * sx  # symmetric: Σy ≡ Σx, Σy² ≡ Σx²
+    if n == 0 or var == 0:
+        # regular graph: defined n_edges, undefined correlation (the
+        # oracle's CASE emits NULL with the real edge count)
+        return pa.table(
+            {
+                "n_edges": pa.array([n // 2], pa.int64()),
+                "assortativity": pa.array([None], pa.float64()),
+            }
+        )
+    num = n * sxy - sx * sx
+    r = round(float(num) / (math.sqrt(float(var)) * math.sqrt(float(var))), 6)
+    return pa.table(
+        {
+            "n_edges": pa.array([n // 2], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH {_COSUPPLY_SQL_E},
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY node),
+p AS (SELECT du.deg AS x, dv.deg AS y
+      FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.deg, du.deg
+      FROM e JOIN d du ON du.node = e.u JOIN d dv ON dv.node = e.v),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM p)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CASE WHEN n = 0 OR n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL
+            ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+                       / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                          * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6)
+       END AS assortativity
+FROM s
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18778,6 +18979,8 @@ QUERIES = {
     "rate_limit_audit": q_rate_limit_audit,
     "smoothed_rate": q_smoothed_rate,
     "conversion_latency": q_conversion_latency,
+    "basket_lift": q_basket_lift,
+    "degree_assortativity": q_degree_assortativity,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -18977,6 +19180,8 @@ ORACLES = {
     "rate_limit_audit": SQL_RATE_LIMIT_AUDIT,
     "smoothed_rate": SQL_SMOOTHED_RATE,
     "conversion_latency": SQL_CONVERSION_LATENCY,
+    "basket_lift": SQL_BASKET_LIFT,
+    "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
