@@ -18758,6 +18758,227 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# peak concurrency — the interval sweep-line: each event holds a
+# 1-hour lease, peak = max over time of the running Σ(+1 at start,
+# −1 at end).  The prefix machinery of running_total/record_highs on
+# the DELTA stream: per-1h-range delta-sum partials → driver
+# exclusive prefix over O(ranges) → range-bucketed in-range cumsum;
+# each bucket emits (its max load, first time achieving it) and the
+# driver folds O(buckets).  Boundary ties process starts before ends
+# (ORDER BY t, d DESC — overlap-inclusive), identically in both
+# engines.
+# --------------------------------------------------------------------------
+
+_CONC_LEASE_US = 3_600_000_000
+
+
+def q_peak_concurrency(sf_dir: str):
+    import zlib
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts"])
+
+    def deltas(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([t, t + _CONC_LEASE_US]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(t), np.int64), -np.ones(len(t), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pts = ds.map_batches(deltas, batch_format="pyarrow").materialize()
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "range": b.column("t").to_numpy(zero_copy_only=False)
+                    // _CONC_LEASE_US,
+                    "d": b.column("d").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("range", sort=False)["d"]
+            .sum()
+            .reset_index(name="sd")
+        )
+        return pa.table(
+            {
+                "range": pa.array(g["range"].to_numpy(), pa.int64()),
+                "sd": pa.array(g["sd"].to_numpy(), pa.int64()),
+            }
+        )
+
+    sums = (
+        _sum_partials(
+            pts.map_batches(range_partial, batch_format="pyarrow"),
+            keys=["range"],
+            sum_cols=["sd"],
+            schema=pa.schema([("range", pa.int64()), ("sd", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("range")
+    )
+    if sums.empty:
+        return pa.table(
+            {
+                "peak": pa.array([None], pa.int64()),
+                "first_peak_t": pa.array([None], pa.int64()),
+            }
+        )
+    offsets = dict(
+        zip(
+            sums["range"].to_numpy(),
+            np.concatenate([[0], np.cumsum(sums["sd"].to_numpy())[:-1]]),
+        )
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        rng = pc.divide(b.column("t"), _CONC_LEASE_US)
+        bucket = pa.array(
+            [zlib.crc32(str(v).encode()) % _STAT_BUCKETS for v in rng.to_pylist()],
+            pa.int32(),
+        )
+        return b.append_column("_range", rng).append_column("_bucket", bucket)
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        b = b.sort_values(["_range", "t", "d"], ascending=[True, True, False],
+                          kind="mergesort")
+        cum = b.groupby("_range", sort=False)["d"].cumsum()
+        load = cum.to_numpy() + b["_range"].map(offsets).to_numpy()
+        mx = int(load.max())
+        at = int(b["t"].to_numpy()[load == mx].min())
+        return pa.table(
+            {
+                "mx": pa.array([mx], pa.int64()),
+                "at": pa.array([at], pa.int64()),
+            }
+        )
+
+    folded = _to_table_s(
+        pts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_STAT_BUCKETS)
+        .map_groups(per_bucket, batch_format="pandas"),
+        pa.schema([("mx", pa.int64()), ("at", pa.int64())]),
+    ).to_pandas()
+    peak = int(folded["mx"].max())
+    first_t = int(folded[folded["mx"] == peak]["at"].min())
+    return pa.table(
+        {
+            "peak": pa.array([peak], pa.int64()),
+            "first_peak_t": pa.array([first_t], pa.int64()),
+        }
+    )
+
+
+SQL_PEAK_CONCURRENCY = f"""
+WITH pts AS (SELECT epoch_us(ts) AS t, 1 AS d FROM events
+             UNION ALL SELECT epoch_us(ts) + {_CONC_LEASE_US}, -1 FROM events),
+r AS (SELECT t, d, sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING)
+             AS load
+      FROM pts)
+SELECT CAST(max(load) AS BIGINT) AS peak,
+       CAST(min(t) FILTER (load = (SELECT max(load) FROM r)) AS BIGINT)
+         AS first_peak_t
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# spell suggestion — top-3 nearest corpus-vocabulary words by edit
+# distance for a fixed query list (the fuzzy-search primitive):
+# vocabulary from ONE distinct-word combiner exchange (bounded — the
+# unigram assumption), then a VECTORIZED Wagner–Fischer DP that runs
+# all vocab words simultaneously as numpy columns — O(|q|·maxlen)
+# array ops total, no per-word Python loop.
+# --------------------------------------------------------------------------
+
+_SPELL_QUERIES = ("transfomer", "gradint", "atention")
+_SPELL_TOP = 3
+
+
+def _lev_to_vocab(q: str, mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Edit distances q ↔ every padded word row of ``mat`` at once."""
+    n, L = mat.shape
+    m = len(q)
+    prev = np.tile(np.arange(L + 1, dtype=np.int32)[:, None], (1, n))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        qc = ord(q[i - 1])
+        for j in range(1, L + 1):
+            sub = prev[j - 1] + (mat[:, j - 1] != qc)
+            cur[j] = np.minimum(np.minimum(prev[j] + 1, cur[j - 1] + 1), sub)
+        prev = cur
+    return prev[lens, np.arange(n)]
+
+
+def q_spell_suggest(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch.column("text")), "[^a-z]+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"word": flat.unique()})
+
+    def merge_words(b: pd.DataFrame) -> pa.Table:
+        return pa.table({"word": pa.array(b["word"].unique(), pa.string())})
+
+    vocab = _merge_partials(
+        ds.map_batches(vocab_partial, batch_format="pyarrow"),
+        "word",
+        merge_words,
+        input_schema=pa.schema([("word", pa.string())]),
+    )
+    out_schema = pa.schema(
+        [("qw", pa.string()), ("word", pa.string()), ("dist", pa.int64())]
+    )
+    words = np.sort(vocab.column("word").to_numpy(zero_copy_only=False).astype(str))
+    if len(words) == 0:
+        return out_schema.empty_table()
+    L = max(len(w) for w in words)
+    mat = np.zeros((len(words), L), dtype=np.int32)
+    lens = np.empty(len(words), dtype=np.int64)
+    for i, w in enumerate(words):  # vocab-bounded setup, not per-token
+        mat[i, : len(w)] = [ord(ch) for ch in w]
+        lens[i] = len(w)
+    rows_q, rows_w, rows_d = [], [], []
+    for q in _SPELL_QUERIES:
+        d = _lev_to_vocab(q, mat, lens)
+        top = np.lexsort((words, d))[:_SPELL_TOP]
+        rows_q += [q] * len(top)
+        rows_w += list(words[top])
+        rows_d += [int(x) for x in d[top]]
+    return pa.table(
+        {
+            "qw": pa.array(rows_q, pa.string()),
+            "word": pa.array(rows_w, pa.string()),
+            "dist": pa.array(rows_d, pa.int64()),
+        }
+    )
+
+
+SQL_SPELL_SUGGEST = f"""
+WITH w AS (SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+'))
+             AS word FROM documents),
+w2 AS (SELECT word FROM w WHERE word <> ''),
+q AS (SELECT unnest({list(_SPELL_QUERIES)!r}) AS qw),
+d AS (SELECT q.qw, w2.word, CAST(levenshtein(q.qw, w2.word) AS BIGINT) AS dist
+      FROM q CROSS JOIN w2),
+r AS (SELECT *, row_number() OVER (PARTITION BY qw ORDER BY dist, word) AS rk
+      FROM d)
+SELECT qw, word, dist FROM r WHERE rk <= {_SPELL_TOP}
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -18981,6 +19202,8 @@ QUERIES = {
     "conversion_latency": q_conversion_latency,
     "basket_lift": q_basket_lift,
     "degree_assortativity": q_degree_assortativity,
+    "peak_concurrency": q_peak_concurrency,
+    "spell_suggest": q_spell_suggest,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -19182,6 +19405,8 @@ ORACLES = {
     "conversion_latency": SQL_CONVERSION_LATENCY,
     "basket_lift": SQL_BASKET_LIFT,
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
+    "peak_concurrency": SQL_PEAK_CONCURRENCY,
+    "spell_suggest": SQL_SPELL_SUGGEST,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
