@@ -338,6 +338,46 @@ def test_mass_coverage_hand_derived(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_peak_concurrency_boundary_tie(tmp_path):
+    """Events at t=0 and t=1h with a 1h lease: the second START
+    processes before the first END at the shared boundary (overlap-
+    inclusive ORDER BY t, d DESC), so peak = 2 at exactly t=1h."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([0, 3_600_000_000], pa.timestamp("us")),
+                "user_id": pa.array([1, 2], pa.int64()),
+                "event_type": pa.array(["view"] * 2, pa.string()),
+                "value": pa.array([0.1, 0.2], pa.float64()),
+                "props": pa.array(["{}"] * 2, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["peak_concurrency"](str(tmp_path)).to_pandas()
+    assert got.iloc[0]["peak"] == 2
+    assert got.iloc[0]["first_peak_t"] == 3_600_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spell_suggest_finds_planted_neighbor(tmp_path):
+    rows = [(1, "the transformer gradient attention model", "en", "s")]
+    _write_docs(tmp_path, rows)
+    got = (
+        QUERIES["spell_suggest"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["qw", "dist", "word"])
+        .groupby("qw")
+        .first()
+    )
+    assert got.loc["transfomer", "word"] == "transformer"
+    assert got.loc["transfomer", "dist"] == 1
+    assert got.loc["gradint", "word"] == "gradient"
+    assert got.loc["atention", "word"] == "attention"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
