@@ -18979,6 +18979,164 @@ SELECT qw, word, dist FROM r WHERE rk <= {_SPELL_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+# time-decay engagement — exponential half-life recency weighting
+# (1-day half-life) in PURE INTEGER arithmetic: weight = 2²⁰ >> Δdays
+# (0 beyond 20 days — the fixed-point floor), so the decayed sum is
+# summation-order-proof and bit-identical across engines — the
+# float-exp formulation differs in the last ulp between libm builds,
+# which a ×1e12 round can flip (why this op avoids exp entirely).
+# Two passes: global max-ts scalar, then per-(type) integer partials.
+# --------------------------------------------------------------------------
+
+_DECAY_ONE = 1 << 20
+_DECAY_MAX_D = 20
+
+
+def q_decay_engagement(sf_dir: str):
+    ds0 = _read_pq(_t(sf_dir, "events"), columns=["ts"])
+
+    def tmax_part(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"m": pa.array([pc.max(t).as_py()], pa.int64())})
+
+    mt = _to_table(ds0.map_batches(tmax_part, batch_format="pyarrow")).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("decayed_x2_20", pa.int64()),
+        ]
+    )
+    if mt.empty or mt["m"].isna().all():
+        return out_schema.empty_table()
+    tmax = int(mt["m"].max())
+
+    ds = _read_pq(_t(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = (tmax - t) // 86_400_000_000
+        w = np.where(d <= _DECAY_MAX_D, _DECAY_ONE >> np.minimum(d, _DECAY_MAX_D), 0)
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "dec": cents * w,
+                }
+            )
+            .groupby("event_type", sort=False)
+            .agg(n=("dec", "size"), dec=("dec", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+                "dec": pa.array(g["dec"].to_numpy(), pa.int64()),
+            }
+        )
+
+    out = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        sum_cols=["n", "dec"],
+        schema=pa.schema(
+            [("event_type", pa.string()), ("n", pa.int64()), ("dec", pa.int64())]
+        ),
+    )
+    return pa.table(
+        {
+            "event_type": out.column("event_type"),
+            "n": out.column("n"),
+            "decayed_x2_20": out.column("dec"),
+        }
+    )
+
+
+SQL_DECAY_ENGAGEMENT = f"""
+WITH T AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN (tmax - epoch_us(ts)) // 86400000000 <= {_DECAY_MAX_D}
+                     THEN CAST(round(value * 100) AS BIGINT)
+                          * ({_DECAY_ONE} >> CAST((tmax - epoch_us(ts))
+                                                  // 86400000000 AS INT))
+                     ELSE 0 END) AS BIGINT) AS decayed_x2_20
+FROM events CROSS JOIN T GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# order-free table checksum — the cross-engine content-equality audit
+# a migration runs after copying a table: per-doc Horner hash
+# h = fold((acc·31 + codepoint) mod 2³¹) over the text, table
+# checksum = Σh (order-free, so any partitioning/retry produces the
+# same value).  The per-batch fold is vectorized POSITION-wise over
+# UTF-32 codepoints (O(maxlen) array ops per batch, no per-doc
+# Python); the oracle reproduces the identical fold with
+# list_reduce over ord(chars).
+# --------------------------------------------------------------------------
+
+_CKSUM_MOD = 1 << 31
+
+
+def q_table_checksum(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        n = len(texts)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        codes = np.frombuffer(
+            "".join(texts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        acc = np.zeros(n, dtype=np.int64)
+        maxlen = int(lens.max()) if n else 0
+        for j in range(maxlen):
+            act = lens > j
+            acc[act] = (acc[act] * 31 + codes[offs[act] + j]) % _CKSUM_MOD
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([int(acc.sum())], pa.int64()),
+            }
+        )
+
+    t = _to_table(ds.map_batches(partial, batch_format="pyarrow")).to_pandas()
+    if t.empty:
+        return pa.table(
+            {
+                "n_docs": pa.array([0], pa.int64()),
+                "checksum": pa.array([0], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(t["n"].sum())], pa.int64()),
+            "checksum": pa.array([int(t["s"].sum())], pa.int64()),
+        }
+    )
+
+
+SQL_TABLE_CHECKSUM = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(text, ''),
+                                       x -> CAST(ord(x) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % {_CKSUM_MOD})), 0) AS BIGINT) AS checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -19204,6 +19362,8 @@ QUERIES = {
     "degree_assortativity": q_degree_assortativity,
     "peak_concurrency": q_peak_concurrency,
     "spell_suggest": q_spell_suggest,
+    "decay_engagement": q_decay_engagement,
+    "table_checksum": q_table_checksum,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -19407,6 +19567,8 @@ ORACLES = {
     "degree_assortativity": SQL_DEGREE_ASSORTATIVITY,
     "peak_concurrency": SQL_PEAK_CONCURRENCY,
     "spell_suggest": SQL_SPELL_SUGGEST,
+    "decay_engagement": SQL_DECAY_ENGAGEMENT,
+    "table_checksum": SQL_TABLE_CHECKSUM,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
