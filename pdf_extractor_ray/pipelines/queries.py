@@ -19137,6 +19137,228 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# weighted median — quantity-weighted median price per returnflag:
+# the (flag, cents, Σqty) weighted value-count exchange (O(distinct
+# prices), the percentile_rank/dup_count granularity — the binned
+# two-pass refinement is the beyond-O(distinct) path), then an exact
+# integer crossing scan: wmedian = min cents with 2·cum ≥ tot.
+# --------------------------------------------------------------------------
+
+
+def q_weighted_median(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "flag": b.column("l_returnflag").to_numpy(zero_copy_only=False),
+                    "cents": np.rint(
+                        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64),
+                    "w": b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["flag", "cents"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "flag": pa.array(g["flag"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+                "w": pa.array(g["w"].to_numpy(), pa.int64()),
+            }
+        )
+
+    vc = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["flag", "cents"],
+            sum_cols=["w"],
+            schema=pa.schema(
+                [("flag", pa.string()), ("cents", pa.int64()), ("w", pa.int64())]
+            ),
+        )
+        .to_pandas()
+        .sort_values(["flag", "cents"])
+    )
+    out_schema = pa.schema([("flag", pa.string()), ("wmedian", pa.int64())])
+    if vc.empty:
+        return out_schema.empty_table()
+    flags, meds = [], []
+    for flag, g in vc.groupby("flag", sort=True):
+        w = g["w"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(w)
+        tot = int(cum[-1])
+        idx = int(np.searchsorted(2 * cum, tot, side="left"))
+        flags.append(flag)
+        meds.append(int(g["cents"].to_numpy()[idx]))
+    return pa.table(
+        {
+            "flag": pa.array(flags, pa.string()),
+            "wmedian": pa.array(meds, pa.int64()),
+        }
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH g AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+c AS (SELECT *, sum(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot FROM g)
+SELECT flag, CAST(min(cents) FILTER (2*cum >= tot) AS BIGINT) AS wmedian
+FROM c GROUP BY flag
+"""
+
+
+# --------------------------------------------------------------------------
+# robust outlier counts — MAD fences (|x − median| > 5·MAD, all
+# integer cents so the fence compare never touches a float): two
+# composed passes of the exact bounded order-statistic machinery (the
+# q_mad construction, on events), then one counting pass against the
+# broadcast (median, MAD) table.
+# --------------------------------------------------------------------------
+
+
+def q_robust_outliers(sf_dir: str):
+    def cents_of(b: pa.Table) -> np.ndarray:
+        return np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+
+    def ds_factory():
+        return _read_pq(_t(sf_dir, "events"), columns=["event_type", "value"])
+
+    med_stats = _grouped_order_stats(
+        ds_factory,
+        "event_type",
+        cents_of,
+        lambda n: {"m": int(np.ceil(0.5 * n))},
+    )
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_outliers", pa.int64()), ("n", pa.int64())]
+    )
+    if not med_stats:
+        return out_schema.empty_table()
+    med = {k: info["stats"]["m"][0] for k, info in med_stats.items()}
+
+    def dev_of(b: pa.Table) -> np.ndarray:
+        et = pd.Series(b.column("event_type").to_numpy(zero_copy_only=False))
+        return np.abs(cents_of(b) - et.map(med).to_numpy()).astype(np.int64)
+
+    mad_stats = _grouped_order_stats(
+        ds_factory,
+        "event_type",
+        dev_of,
+        lambda n: {"m": int(np.ceil(0.5 * n))},
+    )
+    mad = {k: info["stats"]["m"][0] for k, info in mad_stats.items()}
+
+    def count_part(b: pa.Table) -> pa.Table:
+        et = pd.Series(b.column("event_type").to_numpy(zero_copy_only=False))
+        dev = np.abs(cents_of(b) - et.map(med).to_numpy())
+        fence = 5 * et.map(mad).to_numpy()
+        g = (
+            pd.DataFrame({"event_type": et.to_numpy(), "out": (dev > fence)})
+            .groupby("event_type", sort=False)
+            .agg(n_outliers=("out", "sum"), n=("out", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_outliers": pa.array(
+                    g["n_outliers"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _sum_partials(
+        ds_factory().map_batches(count_part, batch_format="pyarrow"),
+        keys=["event_type"],
+        sum_cols=["n_outliers", "n"],
+        schema=out_schema,
+    )
+
+
+SQL_ROBUST_OUTLIERS = """
+WITH m AS (SELECT event_type,
+                  quantile_disc(CAST(round(value*100) AS BIGINT), 0.5) AS med
+           FROM events GROUP BY 1),
+d AS (SELECT e.event_type,
+             abs(CAST(round(value*100) AS BIGINT) - m.med) AS dev
+      FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM d GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) FILTER (abs(CAST(round(value*100) AS BIGINT) - m.med)
+                             > 5 * md.mad) AS BIGINT) AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM events e JOIN m USING (event_type) JOIN md USING (event_type)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-table entity linkage — how many event users also appear as
+# order customers (the reconciliation count a warehouse runs after
+# joining fact tables from two systems): per-side distinct-key
+# combiner exchanges (O(entities) each, the user-level result
+# granularity of sessionize/rfm), intersection via one sorted-array
+# pass driver-side.
+# --------------------------------------------------------------------------
+
+
+def _distinct_int_col(path: str, col: str) -> np.ndarray:
+    ds = _read_pq(path, columns=[col])
+
+    def part(b: pa.Table) -> pa.Table:
+        return pa.table({"k": b.column(col).unique().cast(pa.int64())})
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        return pa.table({"k": pa.array(b["k"].unique(), pa.int64())})
+
+    t = _merge_partials(
+        ds.map_batches(part, batch_format="pyarrow"),
+        "k",
+        per_bucket,
+        input_schema=pa.schema([("k", pa.int64())]),
+    )
+    return np.sort(t.column("k").to_numpy(zero_copy_only=False))
+
+
+def q_entity_overlap(sf_dir: str):
+    eu = _distinct_int_col(_t(sf_dir, "events"), "user_id")
+    ck = _distinct_int_col(_t(sf_dir, "orders"), "o_custkey")
+    both = np.intersect1d(eu, ck, assume_unique=True)
+    return pa.table(
+        {
+            "n_event_users": pa.array([len(eu)], pa.int64()),
+            "n_order_custs": pa.array([len(ck)], pa.int64()),
+            "n_both": pa.array([len(both)], pa.int64()),
+        }
+    )
+
+
+SQL_ENTITY_OVERLAP = """
+WITH eu AS (SELECT DISTINCT user_id FROM events),
+     ck AS (SELECT DISTINCT o_custkey AS user_id FROM orders)
+SELECT CAST((SELECT count(*) FROM eu) AS BIGINT) AS n_event_users,
+       CAST((SELECT count(*) FROM ck) AS BIGINT) AS n_order_custs,
+       CAST((SELECT count(*) FROM eu JOIN ck USING (user_id)) AS BIGINT) AS n_both
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -19364,6 +19586,9 @@ QUERIES = {
     "spell_suggest": q_spell_suggest,
     "decay_engagement": q_decay_engagement,
     "table_checksum": q_table_checksum,
+    "weighted_median": q_weighted_median,
+    "robust_outliers": q_robust_outliers,
+    "entity_overlap": q_entity_overlap,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -19569,6 +19794,9 @@ ORACLES = {
     "spell_suggest": SQL_SPELL_SUGGEST,
     "decay_engagement": SQL_DECAY_ENGAGEMENT,
     "table_checksum": SQL_TABLE_CHECKSUM,
+    "weighted_median": SQL_WEIGHTED_MEDIAN,
+    "robust_outliers": SQL_ROBUST_OUTLIERS,
+    "entity_overlap": SQL_ENTITY_OVERLAP,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
