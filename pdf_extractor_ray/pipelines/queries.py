@@ -19359,6 +19359,229 @@ SELECT CAST((SELECT count(*) FROM eu) AS BIGINT) AS n_event_users,
 """
 
 
+# --------------------------------------------------------------------------
+# Simpson diversity — the ecology/corpus-mix concentration index per
+# source, in its UNBIASED form D = 1 − Σc(c−1)/(n(n−1)) so the
+# numerator is pure integer (one O(sources × langs) count exchange,
+# one int÷int divide per source).
+# --------------------------------------------------------------------------
+
+
+def q_simpson_diversity(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source": g.column("source"),
+                "lang": g.column("lang"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    vc = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["source", "lang"],
+        sum_cols=["c"],
+        schema=pa.schema(
+            [("source", pa.string()), ("lang", pa.string()), ("c", pa.int64())]
+        ),
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n", pa.int64()), ("simpson", pa.float64())]
+    )
+    if vc.empty:
+        return out_schema.empty_table()
+    rows = []
+    for src, g in vc.groupby("source", sort=True):
+        c = g["c"].to_numpy(dtype=np.int64)
+        n = int(c.sum())
+        if n <= 1:
+            continue
+        ss = int((c * (c - 1)).sum())
+        rows.append((src, n, round(1.0 - float(ss) / (n * (n - 1)), 6)))
+    if not rows:
+        return out_schema.empty_table()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "simpson": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c*(c-1)) AS BIGINT) AS ss FROM c GROUP BY 1)
+SELECT source, n, round(1.0 - CAST(ss AS DOUBLE)/(n*(n-1)), 6) AS simpson
+FROM t WHERE n > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# median with order-statistic confidence band — the distribution-free
+# binomial CI on the median (ranks (n+1)/2 ∓ 0.98√n, the 95% normal
+# approximation): values at the three EXACT ranks come from one
+# (value, count) exchange + a cumulative scan; the rank indices are
+# derived from the same correctly-rounded sqrt on both engines, so
+# they agree as integers.
+# --------------------------------------------------------------------------
+
+
+def q_median_ci(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "val": pa.array(v, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["val"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("val", pa.int64()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("val")
+    )
+    if vc.empty:
+        return pa.table(
+            {
+                "median": pa.array([None], pa.int64()),
+                "ci_lo": pa.array([None], pa.int64()),
+                "ci_hi": pa.array([None], pa.int64()),
+            }
+        )
+    vals = vc["val"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(vc["cnt"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+
+    def at_rank(r: int):
+        if r < 1 or r > n:
+            return None
+        return int(vals[int(np.searchsorted(cum, r, side="left"))])
+
+    med = at_rank((n + 1) // 2)
+    lo = at_rank(int(math.floor((n + 1) / 2.0 - 0.98 * math.sqrt(float(n)))))
+    hi = at_rank(int(math.ceil((n + 1) / 2.0 + 0.98 * math.sqrt(float(n)))))
+    return pa.table(
+        {
+            "median": pa.array([med], pa.int64()),
+            "ci_lo": pa.array([lo], pa.int64()),
+            "ci_hi": pa.array([hi], pa.int64()),
+        }
+    )
+
+
+SQL_MEDIAN_CI = """
+WITH v AS (SELECT CAST(round(value*100) AS BIGINT) AS c FROM events),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+      FROM v)
+SELECT CAST(max(CASE WHEN rn = (n+1)//2 THEN c END) AS BIGINT) AS median,
+       CAST(max(CASE WHEN rn = CAST(floor((n+1)/2.0
+                     - 0.98*sqrt(CAST(n AS DOUBLE))) AS BIGINT) THEN c END)
+            AS BIGINT) AS ci_lo,
+       CAST(max(CASE WHEN rn = CAST(ceil((n+1)/2.0
+                     + 0.98*sqrt(CAST(n AS DOUBLE))) AS BIGINT) THEN c END)
+            AS BIGINT) AS ci_hi
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# data freshness — per-stream staleness vs the lake's watermark (the
+# SLA monitor a warehouse runs per ingested source): per-type
+# (max ts, count) combiner, global max from the same tiny table,
+# staleness in exact µs.
+# --------------------------------------------------------------------------
+
+
+def q_data_freshness(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["event_type", "ts"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("mx", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "t": t,
+                }
+            )
+            .groupby("event_type", sort=False)["t"]
+            .agg(["max", "size"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "mx": pa.array(g["max"].to_numpy(), pa.int64()),
+                "n": pa.array(g["size"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("event_type", as_index=False).agg(
+            mx=("mx", "max"), n=("n", "sum")
+        )
+        return pa.table(
+            {f.name: pa.array(g[f.name].to_numpy(), f.type) for f in part_schema}
+        )
+
+    folded = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "event_type",
+        per_bucket,
+        input_schema=part_schema,
+    ).to_pandas()
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("staleness_us", pa.int64()), ("n", pa.int64())]
+    )
+    if folded.empty:
+        return out_schema.empty_table()
+    g = folded.groupby("event_type", as_index=False).agg(
+        mx=("mx", "max"), n=("n", "sum")
+    )
+    wm = int(g["mx"].max())
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "staleness_us": pa.array(wm - g["mx"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_DATA_FRESHNESS = """
+WITH g AS (SELECT max(epoch_us(ts)) AS m FROM events)
+SELECT event_type,
+       CAST((SELECT m FROM g) - max(epoch_us(ts)) AS BIGINT) AS staleness_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -19589,6 +19812,9 @@ QUERIES = {
     "weighted_median": q_weighted_median,
     "robust_outliers": q_robust_outliers,
     "entity_overlap": q_entity_overlap,
+    "simpson_diversity": q_simpson_diversity,
+    "median_ci": q_median_ci,
+    "data_freshness": q_data_freshness,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -19797,6 +20023,9 @@ ORACLES = {
     "weighted_median": SQL_WEIGHTED_MEDIAN,
     "robust_outliers": SQL_ROBUST_OUTLIERS,
     "entity_overlap": SQL_ENTITY_OVERLAP,
+    "simpson_diversity": SQL_SIMPSON_DIVERSITY,
+    "median_ci": SQL_MEDIAN_CI,
+    "data_freshness": SQL_DATA_FRESHNESS,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }
