@@ -19582,6 +19582,195 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# new-vs-returning split — the daily acquisition/retention mix: ONE
+# user-bucketed exchange over distinct (user, day) pairs resolves each
+# user's first day in-bucket; per-(day, is_new) integer partials sum
+# in a tiny second exchange.  O(users × active-days) crosses as
+# distinct pairs, never raw events.
+# --------------------------------------------------------------------------
+
+
+def q_new_vs_returning(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "day": t // 86_400_000_000,
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        d = b.drop_duplicates(["user_id", "day"])
+        d0 = d.groupby("user_id")["day"].transform("min")
+        g = (
+            pd.DataFrame({"day": d["day"].to_numpy(), "new": (d["day"] == d0)})
+            .groupby("day", sort=False)
+            .agg(new_users=("new", "sum"), total=("new", "size"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "day": pa.array(g["day"].to_numpy(), pa.int64()),
+                "new_users": pa.array(
+                    g["new_users"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "returning_users": pa.array(
+                    (g["total"] - g["new_users"]).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = _bucketed(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_bucket
+    )
+    out_schema = pa.schema(
+        [
+            ("day", pa.int64()),
+            ("new_users", pa.int64()),
+            ("returning_users", pa.int64()),
+        ]
+    )
+    return _sum_partials(
+        folded,
+        keys=["day"],
+        sum_cols=["new_users", "returning_users"],
+        schema=out_schema,
+    )
+
+
+SQL_NEW_VS_RETURNING = """
+WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS d0
+           FROM events GROUP BY 1),
+d AS (SELECT epoch_us(ts) // 86400000000 AS day, e.user_id
+      FROM events e GROUP BY 1, 2)
+SELECT day, CAST(count(*) FILTER (day = f.d0) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (day > f.d0) AS BIGINT) AS returning_users
+FROM d JOIN f USING (user_id) GROUP BY day
+"""
+
+
+# --------------------------------------------------------------------------
+# equi-depth decile boundaries — the histogram statistic an optimizer
+# collects per column (values at ranks ⌈k·n/10⌉): one (value, count)
+# exchange + a cumulative scan, exact at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_value_deciles(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "orders"), columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.rint(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        v, c = np.unique(cents, return_counts=True)
+        return pa.table(
+            {
+                "val": pa.array(v, pa.int64()),
+                "cnt": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vc = (
+        _sum_partials(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["val"],
+            sum_cols=["cnt"],
+            schema=pa.schema([("val", pa.int64()), ("cnt", pa.int64())]),
+        )
+        .to_pandas()
+        .sort_values("val")
+    )
+    out_schema = pa.schema([("decile", pa.int64()), ("boundary", pa.int64())])
+    if vc.empty:
+        return out_schema.empty_table()
+    vals = vc["val"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(vc["cnt"].to_numpy(dtype=np.int64))
+    n = int(cum[-1])
+    ks, bs = [], []
+    for k in range(1, 10):
+        r = -(-k * n // 10)  # ceil(k·n/10), pure ints
+        ks.append(k)
+        bs.append(int(vals[int(np.searchsorted(cum, r, side="left"))]))
+    return pa.table(
+        {
+            "decile": pa.array(ks, pa.int64()),
+            "boundary": pa.array(bs, pa.int64()),
+        }
+    )
+
+
+SQL_VALUE_DECILES = """
+WITH v AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n
+      FROM v),
+k AS (SELECT unnest(generate_series(1, 9)) AS decile)
+SELECT decile, CAST(max(CASE WHEN rn = -((-decile * n) // 10) THEN c END)
+                    AS BIGINT) AS boundary
+FROM r CROSS JOIN k GROUP BY decile
+HAVING max(CASE WHEN rn = -((-decile * n) // 10) THEN c END) IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------------
+# compaction plan — first-fit-decreasing bin packing of the lake's
+# part files into ≤64 MB merge groups (what OPTIMIZE does before
+# rewriting): runs on storage_stats' distributed footer scan, the
+# planner itself is a deterministic driver fold over O(files)
+# metadata rows.  Rows-only (file layout is not a SQL view);
+# cap/coverage invariants pinned in tests/test_round10_ops.py.
+# --------------------------------------------------------------------------
+
+_COMPACT_CAP = 64 << 20
+
+
+def q_compaction_plan(sf_dir: str):
+    stats = q_storage_stats(sf_dir).to_pandas()
+    out_schema = pa.schema(
+        [
+            ("group_id", pa.int64()),
+            ("n_files", pa.int64()),
+            ("group_bytes", pa.int64()),
+        ]
+    )
+    if stats.empty:
+        return out_schema.empty_table()
+    # first-fit-decreasing, deterministic: size desc then (tbl, file)
+    stats = stats.sort_values(
+        ["compressed_bytes", "tbl", "file"], ascending=[False, True, True]
+    )
+    groups: list[tuple[int, int]] = []  # (n_files, bytes)
+    for sz in stats["compressed_bytes"].to_numpy(dtype=np.int64):
+        placed = False
+        for i, (nf, gb) in enumerate(groups):
+            if gb + int(sz) <= _COMPACT_CAP:
+                groups[i] = (nf + 1, gb + int(sz))
+                placed = True
+                break
+        if not placed:
+            groups.append((1, int(sz)))
+    return pa.table(
+        {
+            "group_id": pa.array(np.arange(len(groups)), pa.int64()),
+            "n_files": pa.array([g[0] for g in groups], pa.int64()),
+            "group_bytes": pa.array([g[1] for g in groups], pa.int64()),
+        }
+    )
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -19815,6 +20004,9 @@ QUERIES = {
     "simpson_diversity": q_simpson_diversity,
     "median_ci": q_median_ci,
     "data_freshness": q_data_freshness,
+    "new_vs_returning": q_new_vs_returning,
+    "value_deciles": q_value_deciles,
+    "compaction_plan": q_compaction_plan,
     "psi_drift": q_psi_drift,
     "js_divergence": q_js_divergence,
 }
@@ -20026,6 +20218,8 @@ ORACLES = {
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "median_ci": SQL_MEDIAN_CI,
     "data_freshness": SQL_DATA_FRESHNESS,
+    "new_vs_returning": SQL_NEW_VS_RETURNING,
+    "value_deciles": SQL_VALUE_DECILES,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
 }

@@ -378,6 +378,21 @@ def test_spell_suggest_finds_planted_neighbor(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_compaction_plan_invariants():
+    """Every file lands in exactly one group, no group exceeds the
+    64 MB cap unless it is a single oversized file, and bytes are
+    conserved."""
+    sf = "/root/testdata/sf0.01"
+    stats = QUERIES["storage_stats"](sf).to_pandas()
+    plan = QUERIES["compaction_plan"](sf).to_pandas()
+    assert plan["n_files"].sum() == len(stats)
+    assert plan["group_bytes"].sum() == stats["compressed_bytes"].sum()
+    cap = 64 << 20
+    over = plan[plan["group_bytes"] > cap]
+    assert (over["n_files"] == 1).all()  # only single oversized files exceed
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_bpe_encode_corpus_invariants():
     sf = "/root/testdata/sf0.001"
     got = QUERIES["bpe_encode"](sf).to_pandas()
