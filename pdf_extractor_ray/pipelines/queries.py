@@ -19771,6 +19771,664 @@ def q_compaction_plan(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Weighted single-source shortest path — bounded Bellman-Ford over the
+# co-supply graph; complements q_bfs_hops (hop metric) with an integer
+# edge-weight metric.  Semantics on BOTH engines: min total weight
+# over walks of ≤ _SSSP_ROUNDS edges from the min node id (bounded
+# rounds make the result exact and partitioning-independent).  Rounds
+# are frontier relaxations (semi-naive: a node whose best dist did not
+# improve cannot improve a neighbor — same result, O(frontier)
+# messages); below _SSSP_LOCAL_MAX_BYTES the materialized edge list is
+# solved with a vectorized np.minimum.at relaxation loop instead of
+# paying per-round executor overhead.
+# --------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 5
+_SSSP_LOCAL_MAX_BYTES = 64 << 20
+_SSSP_SENT = np.int64(1) << 62
+
+
+def _sssp_local(edge_tbl: pa.Table, rounds: int) -> pa.Table:
+    a = edge_tbl.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = edge_tbl.column("nbr").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = edge_tbl.column("wt").to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia, ib = np.searchsorted(nodes, a), np.searchsorted(nodes, b)
+    src = np.concatenate([ia, ib])
+    dst = np.concatenate([ib, ia])
+    wt = np.concatenate([w, w])
+    dist = np.full(len(nodes), _SSSP_SENT, dtype=np.int64)
+    dist[0] = 0  # nodes sorted → index 0 is the min node id
+    for _ in range(rounds):
+        nd = dist.copy()
+        np.minimum.at(nd, dst, dist[src] + wt)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    reached = dist < _SSSP_SENT
+    return pa.table(
+        {
+            "node": pa.array(nodes[reached], pa.int64()),
+            "dist": pa.array(dist[reached], pa.int64()),
+        }
+    )
+
+
+def q_sssp_weighted(
+    sf_dir: str,
+    local_max_bytes: int = _SSSP_LOCAL_MAX_BYTES,
+    rounds: int = _SSSP_ROUNDS,
+):
+    import pyarrow.dataset as pads
+
+    li = _read_pq(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+        filter=pads.field("l_quantity") <= 2.0,
+    )
+
+    def edges(b: pa.Table) -> pa.Table:
+        f = (
+            pd.DataFrame(
+                {
+                    "node": b.column("l_suppkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    "nbr": b.column("l_partkey")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    + _GRAPH_PART_OFFSET,
+                    "wt": b.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                }
+            )
+            .groupby(["node", "nbr"], sort=False, as_index=False)["wt"]
+            .min()  # per-batch combiner: multi-edges collapse to min weight
+        )
+        return pa.table(
+            {
+                "node": pa.array(f["node"].to_numpy(), pa.int64()),
+                "nbr": pa.array(f["nbr"].to_numpy(), pa.int64()),
+                "wt": pa.array(f["wt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    sssp_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    edge_ds = li.map_batches(edges, batch_format="pyarrow").materialize()
+    if edge_ds.count() == 0:
+        return sssp_schema.empty_table()
+    if (edge_ds.size_bytes() or 0) <= local_max_bytes:
+        # duplicate (node,nbr) across batches is fine: min relaxation
+        # is idempotent over multi-edges
+        return _sssp_local(_to_table(edge_ds), rounds)
+
+    # distributed regime: per-round reduce-side exchanges (BFS pattern,
+    # messages carry dist+wt); edges re-shipped per round is the
+    # documented big-graph cost — the local path absorbs everything
+    # under local_max_bytes.
+    both = edge_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("node").combine_chunks(), t.column("nbr").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t.column("nbr").combine_chunks(), t.column("node").combine_chunks()]
+                ),
+                "wt": pa.concat_arrays(
+                    [t.column("wt").combine_chunks(), t.column("wt").combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    mins = both.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.min(t.column("node")).as_py()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    src_id = int(pc.min(_to_table(mins).column("m")).as_py())
+    dist = ray.data.from_arrow(
+        pa.table({"node": pa.array([src_id], pa.int64()), "dist": pa.array([0], pa.int64())})
+    ).materialize()
+    frontier = dist
+
+    def front_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "nbr": pa.nulls(t.num_rows, pa.int64()),
+                "wt": pa.nulls(t.num_rows, pa.int64()),
+                "d": t.column("dist"),
+                "_src": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def edge_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "nbr": t.column("nbr"),
+                "wt": t.column("wt"),
+                "d": pa.nulls(t.num_rows, pa.int64()),
+                "_src": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def relax(df: pd.DataFrame) -> pa.Table:
+        f = df[df["_src"] == 0][["_k", "d"]]
+        e = df[df["_src"] == 1][["_k", "nbr", "wt"]]
+        if f.empty or e.empty:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "dist": pa.array([], pa.int64())}
+            )
+        m = e.merge(f, on="_k")
+        out = (
+            m.assign(nd=m["d"].astype(np.int64) + m["wt"].astype(np.int64))
+            .groupby("nbr", sort=False, as_index=False)["nd"]
+            .min()
+        )
+        return pa.table(
+            {
+                "node": pa.array(out["nbr"].to_numpy().astype(np.int64), pa.int64()),
+                "dist": pa.array(out["nd"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    for _ in range(rounds):
+        msgs = _bucketed(
+            frontier.map_batches(front_keyed, batch_format="pyarrow").union(
+                both.map_batches(edge_keyed, batch_format="pyarrow")
+            ),
+            "_k",
+            relax,
+        )
+        prev = dist
+        dist = (
+            prev.union(msgs)
+            .groupby("node")
+            .min("dist")
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "dist": t.column("min(dist)")}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # frontier = nodes whose best dist improved this round (anti-join
+        # against the previous dist on (node, dist) via a bucketed merge)
+        def improved(df: pd.DataFrame) -> pa.Table:
+            new = df[df["_src"] == 0][["_k", "d"]]
+            old = df[df["_src"] == 1][["_k", "d"]]
+            m = new.merge(old, on=["_k", "d"], how="left", indicator=True)
+            m = m[m["_merge"] == "left_only"]
+            return pa.table(
+                {
+                    "node": pa.array(m["_k"].to_numpy().astype(np.int64), pa.int64()),
+                    "dist": pa.array(m["d"].to_numpy().astype(np.int64), pa.int64()),
+                }
+            )
+
+        def new_keyed(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_k": t.column("node"),
+                    "d": t.column("dist"),
+                    "_src": pa.array(np.zeros(t.num_rows, np.int8)),
+                }
+            )
+
+        def old_keyed(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_k": t.column("node"),
+                    "d": t.column("dist"),
+                    "_src": pa.array(np.ones(t.num_rows, np.int8)),
+                }
+            )
+
+        frontier = _bucketed(
+            dist.map_batches(new_keyed, batch_format="pyarrow").union(
+                prev.map_batches(old_keyed, batch_format="pyarrow")
+            ),
+            "_k",
+            improved,
+        ).materialize()
+        if frontier.count() == 0:
+            break
+    return _to_table(dist)
+
+
+SQL_SSSP_WEIGHTED = f"""
+WITH RECURSIVE
+e AS (SELECT CAST(l_suppkey AS BIGINT) AS a,
+             CAST(l_partkey + {_GRAPH_PART_OFFSET} AS BIGINT) AS b,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM lineitem WHERE l_quantity <= 2
+      GROUP BY 1, 2),
+u AS (SELECT a, b, w FROM e UNION ALL SELECT b, a, w FROM e),
+src AS (SELECT min(a) AS s FROM u),
+walk(node, dist, d) AS (
+  SELECT s, CAST(0 AS BIGINT), 0 FROM src WHERE s IS NOT NULL
+  UNION
+  SELECT u.b, walk.dist + u.w, walk.d + 1 FROM walk JOIN u ON u.a = walk.node
+  WHERE walk.d < {_SSSP_ROUNDS})
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# Holt linear-trend smoothing (double exponential) per user over the
+# ordered event stream — an order-sensitive recurrence SQL windows
+# cannot express (oracle: recursive CTE).  Engine shape: user-bucketed
+# exchange, then the fold runs vectorized ACROSS users round-by-round
+# (loop length = max events per user, each step one numpy op over all
+# users in the bucket) — never a Python loop over rows.  Expression
+# order matches the SQL exactly so float64 results are bit-identical
+# before the final round().
+# --------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def _rank_matrix(df: pd.DataFrame, col: str):
+    """(users, max_rank) float64 matrix of ``col`` values by per-user
+    event rank (NaN-padded), plus the sorted unique user ids."""
+    uid, uidx = np.unique(df["user_id"].to_numpy(), return_inverse=True)
+    rn = df.groupby("user_id", sort=False).cumcount().to_numpy()
+    vals = np.full((len(uid), int(rn.max()) + 1 if len(rn) else 1), np.nan)
+    vals[uidx, rn] = df[col].to_numpy()
+    return uid, vals
+
+
+_HOLT_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("level", pa.float64()), ("trend", pa.float64())]
+)
+
+
+def q_holt_linear(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _HOLT_SCHEMA.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid, vals = _rank_matrix(df, "value")
+        lvl = vals[:, 0].copy()  # rank 0 always exists for present users
+        trd = np.zeros(len(uid))
+        a, b2 = _HOLT_ALPHA, _HOLT_BETA
+        for r in range(1, vals.shape[1]):
+            v = vals[:, r]
+            m = ~np.isnan(v)
+            ln = a * v[m] + (1.0 - a) * (lvl[m] + trd[m])
+            trd[m] = b2 * (ln - lvl[m]) + (1.0 - b2) * trd[m]
+            lvl[m] = ln
+        return pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+                "level": pa.array(np.round(lvl, 6), pa.float64()),
+                "trend": pa.array(np.round(trd, 6), pa.float64()),
+            }
+        )
+
+    return _merge_partials(
+        ds,
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+SQL_HOLT_LINEAR = f"""
+WITH RECURSIVE
+x AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+n AS (SELECT user_id, max(rn) AS mx FROM x GROUP BY user_id),
+rec(user_id, rn, l, t) AS (
+  SELECT user_id, 1, value, CAST(0.0 AS DOUBLE) FROM x WHERE rn = 1
+  UNION ALL
+  SELECT x.user_id, x.rn,
+         {_HOLT_ALPHA} * x.value + {1.0 - _HOLT_ALPHA} * (r.l + r.t),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * x.value
+                          + {1.0 - _HOLT_ALPHA} * (r.l + r.t)) - r.l)
+           + {1.0 - _HOLT_BETA} * r.t
+  FROM rec r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+SELECT r.user_id AS user_id, round(r.l, 6) AS level, round(r.t, 6) AS trend
+FROM rec r JOIN n ON n.user_id = r.user_id AND r.rn = n.mx
+"""
+
+
+# --------------------------------------------------------------------------
+# Capped running balance — the canonical order-sensitive stateful fold
+# plain SQL windows cannot express (clamping makes each step depend on
+# the clamped previous state): per user, balance starts at 0, each
+# event adds (value − 50) and the result is clamped into [0, 500];
+# outputs the final balance and how many events hit a clamp.  Oracle:
+# recursive CTE.  Same vectorized-across-users round loop as Holt.
+# --------------------------------------------------------------------------
+
+_CAP_DRAIN, _CAP_MAX = 50.0, 500.0
+
+_CAPSUM_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("balance", pa.float64()), ("n_clamped", pa.int64())]
+)
+
+
+def q_capped_running_sum(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _CAPSUM_SCHEMA.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        uid, vals = _rank_matrix(df, "value")
+        bal = np.zeros(len(uid))
+        clamps = np.zeros(len(uid), dtype=np.int64)
+        for r in range(vals.shape[1]):
+            v = vals[:, r]
+            m = ~np.isnan(v)
+            raw = bal[m] + (v[m] - _CAP_DRAIN)
+            clamps[m] += (raw < 0.0) | (raw > _CAP_MAX)
+            bal[m] = np.minimum(np.maximum(raw, 0.0), _CAP_MAX)
+        return pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+                "balance": pa.array(np.round(bal, 6), pa.float64()),
+                "n_clamped": pa.array(clamps, pa.int64()),
+            }
+        )
+
+    return _merge_partials(
+        ds,
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_id", pa.int64()),
+                ("value", pa.float64()),
+            ]
+        ),
+    )
+
+
+SQL_CAPPED_RUNNING_SUM = f"""
+WITH RECURSIVE
+x AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+n AS (SELECT user_id, max(rn) AS mx FROM x GROUP BY user_id),
+rec(user_id, rn, bal, clamps) AS (
+  SELECT user_id, 1,
+         least(greatest(CAST(0.0 AS DOUBLE) + (value - {_CAP_DRAIN}),
+                        CAST(0.0 AS DOUBLE)), CAST({_CAP_MAX} AS DOUBLE)),
+         CASE WHEN CAST(0.0 AS DOUBLE) + (value - {_CAP_DRAIN}) < 0.0
+                OR CAST(0.0 AS DOUBLE) + (value - {_CAP_DRAIN}) > {_CAP_MAX}
+              THEN 1 ELSE 0 END
+  FROM x WHERE rn = 1
+  UNION ALL
+  SELECT x.user_id, x.rn,
+         least(greatest(r.bal + (x.value - {_CAP_DRAIN}),
+                        CAST(0.0 AS DOUBLE)), CAST({_CAP_MAX} AS DOUBLE)),
+         r.clamps + CASE WHEN r.bal + (x.value - {_CAP_DRAIN}) < 0.0
+                           OR r.bal + (x.value - {_CAP_DRAIN}) > {_CAP_MAX}
+                         THEN 1 ELSE 0 END
+  FROM rec r JOIN x ON x.user_id = r.user_id AND x.rn = r.rn + 1)
+SELECT r.user_id AS user_id, round(r.bal, 6) AS balance,
+       CAST(r.clamps AS BIGINT) AS n_clamped
+FROM rec r JOIN n ON n.user_id = r.user_id AND r.rn = n.mx
+"""
+
+
+# --------------------------------------------------------------------------
+# Anagram classes per language — groups the (bounded) vocabulary by
+# sorted-letter signature and reports, per language, how many classes
+# hold ≥2 distinct words and the largest class.  Scale shape: the
+# per-batch combiner dedups (sig, lang, word) so the sig-bucketed
+# exchange moves O(distinct vocabulary), never O(corpus); the final
+# class→language rollup is over O(classes) rows.
+# --------------------------------------------------------------------------
+
+_ANAGRAM_MIN_LEN = 4
+
+_ANAGRAM_SCHEMA = pa.schema(
+    [("sig", pa.string()), ("lang", pa.string()), ("word", pa.string())]
+)
+
+
+def q_anagram_groups(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b.column("text")), "[^a-z]+")
+        lang = b.column("lang")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        langs_rep = np.repeat(lang.to_numpy(zero_copy_only=False), counts)
+        words = flat.to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": langs_rep, "word": words}).drop_duplicates()
+        df = df[df["word"].str.len() >= _ANAGRAM_MIN_LEN]
+        # signature per UNIQUE word only — vocabulary-bounded work
+        uw = pd.unique(df["word"])
+        sigs = {w: "".join(sorted(w)) for w in uw}
+        df = df.assign(sig=df["word"].map(sigs))
+        return pa.table(
+            {
+                "sig": pa.array(df["sig"], pa.string()),
+                "lang": pa.array(df["lang"], pa.string()),
+                "word": pa.array(df["word"], pa.string()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.schema(
+                [("lang", pa.string()), ("sig", pa.string()), ("nw", pa.int64())]
+            ).empty_table()
+        g = (
+            df.drop_duplicates(["sig", "lang", "word"])
+            .groupby(["lang", "sig"], sort=False)["word"]
+            .nunique()
+            .reset_index(name="nw")
+        )
+        g = g[g["nw"] >= 2]
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "sig": pa.array(g["sig"], pa.string()),
+                "nw": pa.array(g["nw"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    classes = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="sig",
+        per_bucket=per_bucket,
+        input_schema=_ANAGRAM_SCHEMA,
+    )
+    out_schema = pa.schema(
+        [("lang", pa.string()), ("n_classes", pa.int64()), ("max_class", pa.int64())]
+    )
+    cdf = (classes if isinstance(classes, pa.Table) else classes).to_pandas()
+    if cdf.empty:
+        return out_schema.empty_table()
+    fin = cdf.groupby("lang", sort=False).agg(
+        n_classes=("sig", "size"), max_class=("nw", "max")
+    )
+    fin = fin.reset_index()
+    return pa.table(
+        {
+            "lang": pa.array(fin["lang"], pa.string()),
+            "n_classes": pa.array(fin["n_classes"].to_numpy().astype(np.int64), pa.int64()),
+            "max_class": pa.array(fin["max_class"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_ANAGRAM_GROUPS = f"""
+WITH w AS (
+  SELECT DISTINCT lang, word FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE length(word) >= {_ANAGRAM_MIN_LEN}),
+s AS (SELECT lang, word,
+             array_to_string(list_sort(regexp_extract_all(word, '[a-z]')), '') AS sig
+      FROM w),
+c AS (SELECT lang, sig, count(DISTINCT word) AS nw FROM s
+      GROUP BY lang, sig HAVING count(DISTINCT word) >= 2)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_classes, CAST(max(nw) AS BIGINT) AS max_class
+FROM c GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Multi-feature OLS via the normal equations — n_chars regressed on
+# [1, word_count, vowel_count] over all documents.  Every cross moment
+# is an EXACT int64 sum (the per-batch combiner emits one 10-moment
+# row), so the single tiny exchange is summation-order-proof; both
+# engines then solve the identical 3×3 Cramer expressions on exact
+# int→double conversions (all moments ≪ 2^53 at test scales; the
+# docstring bound at 100 TB is Σ n_chars² < 2^63).  Oracle: the same
+# moments in SQL (HUGEINT-safe, cast at use) + the same Cramer text.
+# --------------------------------------------------------------------------
+
+_OLS_SCHEMA = pa.schema(
+    [
+        ("n_docs", pa.int64()),
+        ("beta0", pa.float64()),
+        ("beta1", pa.float64()),
+        ("beta2", pa.float64()),
+        ("r2", pa.float64()),
+    ]
+)
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> float:
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def q_ols_multi(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["text", "n_chars"])
+
+    _m_cols = ["n", "sx", "sz", "sxx", "szz", "sxz", "sy", "sxy", "szy", "syy"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = (
+            pc.list_value_length(pc.split_pattern(b.column("text"), " "))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        z = (
+            pc.utf8_length(
+                pc.replace_substring_regex(
+                    pc.utf8_lower(b.column("text")), "[^aeiou]", ""
+                )
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        y = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [
+            len(y),
+            int(x.sum()),
+            int(z.sum()),
+            int((x * x).sum()),
+            int((z * z).sum()),
+            int((x * z).sum()),
+            int(y.sum()),
+            int((x * y).sum()),
+            int((z * y).sum()),
+            int((y * y).sum()),
+        ]
+        t = {"_g": pa.array([0], pa.int64())}
+        t.update({c: pa.array([v], pa.int64()) for c, v in zip(_m_cols, vals)})
+        return pa.table(t)
+
+    moment_schema = pa.schema(
+        [("_g", pa.int64())] + [(c, pa.int64()) for c in _m_cols]
+    )
+    merged = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["_g"],
+        sum_cols=_m_cols,
+        schema=moment_schema,
+    )
+    mt = merged if isinstance(merged, pa.Table) else merged
+    if mt.num_rows == 0 or mt.column("n")[0].as_py() == 0:
+        return _OLS_SCHEMA.empty_table()
+    n, sx, sz, sxx, szz, sxz, sy, sxy, szy, syy = (
+        float(mt.column(c)[0].as_py()) for c in _m_cols
+    )
+    det = _det3(n, sx, sz, sx, sxx, sxz, sz, sxz, szz)
+    d0 = _det3(sy, sx, sz, sxy, sxx, sxz, szy, sxz, szz)
+    d1 = _det3(n, sy, sz, sx, sxy, sxz, sz, szy, szz)
+    d2 = _det3(n, sx, sy, sx, sxx, sxy, sz, sxz, szy)
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = syy - (b0 * sy + b1 * sxy + b2 * szy)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n)], pa.int64()),
+            "beta0": pa.array([round(b0, 6)], pa.float64()),
+            "beta1": pa.array([round(b1, 6)], pa.float64()),
+            "beta2": pa.array([round(b2, 6)], pa.float64()),
+            "r2": pa.array([round(r2, 6)], pa.float64()),
+        }
+    )
+
+
+SQL_OLS_MULTI = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS sx,
+         SUM(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)) AS sz,
+         SUM(CAST(len(str_split(text, ' ')) AS BIGINT)
+             * CAST(len(str_split(text, ' ')) AS BIGINT)) AS sxx,
+         SUM(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)
+             * CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)) AS szz,
+         SUM(CAST(len(str_split(text, ' ')) AS BIGINT)
+             * CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)) AS sxz,
+         SUM(CAST(n_chars AS BIGINT)) AS sy,
+         SUM(CAST(len(str_split(text, ' ')) AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxy,
+         SUM(CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) AS BIGINT)
+             * CAST(n_chars AS BIGINT)) AS szy,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS syy
+  FROM documents HAVING count(*) > 0),
+d AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx, CAST(sz AS DOUBLE) AS sz,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(szz AS DOUBLE) AS szz,
+             CAST(sxz AS DOUBLE) AS sxz, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(szy AS DOUBLE) AS szy,
+             CAST(syy AS DOUBLE) AS syy
+      FROM m),
+dets AS (SELECT n, sy, sxy, szy, syy,
+  n*(sxx*szz - sxz*sxz) - sx*(sx*szz - sxz*sz) + sz*(sx*sxz - sxx*sz) AS det,
+  sy*(sxx*szz - sxz*sxz) - sx*(sxy*szz - sxz*szy) + sz*(sxy*sxz - sxx*szy) AS d0,
+  n*(sxy*szz - sxz*szy) - sy*(sx*szz - sxz*sz) + sz*(sx*szy - sxy*sz) AS d1,
+  n*(sxx*szy - sxy*sxz) - sx*(sx*szy - sxy*sz) + sy*(sx*sxz - sxx*sz) AS d2
+  FROM d),
+beta AS (SELECT n, sy, sxy, szy, syy,
+                d0/det AS b0, d1/det AS b1, d2/det AS b2 FROM dets)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+       round(1.0 - (syy - (b0*sy + b1*sxy + b2*szy)) / (syy - sy*sy/n), 6) AS r2
+FROM beta
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -19868,6 +20526,11 @@ QUERIES = {
     "dedup_normalized": q_dedup_normalized,
     "exists_join": q_exists_join,
     "ship_priority": q_ship_priority,
+    "sssp_weighted": q_sssp_weighted,
+    "holt_linear": q_holt_linear,
+    "capped_running_sum": q_capped_running_sum,
+    "anagram_groups": q_anagram_groups,
+    "ols_multi": q_ols_multi,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -20222,4 +20885,9 @@ ORACLES = {
     "value_deciles": SQL_VALUE_DECILES,
     "psi_drift": SQL_PSI_DRIFT,
     "js_divergence": SQL_JS_DIVERGENCE,
+    "sssp_weighted": SQL_SSSP_WEIGHTED,
+    "holt_linear": SQL_HOLT_LINEAR,
+    "capped_running_sum": SQL_CAPPED_RUNNING_SUM,
+    "anagram_groups": SQL_ANAGRAM_GROUPS,
+    "ols_multi": SQL_OLS_MULTI,
 }

@@ -1,0 +1,137 @@
+"""Pins for the fold/graph/algebra batch: weighted SSSP distributed ≡
+local, Holt linear fold hand-derivation, capped running-sum clamp
+accounting, anagram-class detection, and exact-recovery OLS on a
+planted linear law."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pdf_extractor_ray.pipelines.queries import (
+    QUERIES,
+    q_sssp_weighted,
+)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, value)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def _write_docs(tmp_path, rows, n_chars=None):
+    """rows: (doc_id, text, lang, source)."""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array(
+                    n_chars if n_chars is not None else [len(r[1]) for r in rows],
+                    pa.int64(),
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sssp_distributed_matches_local():
+    """Forcing local_max_bytes=0 exercises the per-round exchange
+    regime; bounded-round Bellman-Ford must be partitioning-proof."""
+    sf = "/root/testdata/sf0.001"
+    local = q_sssp_weighted(sf).to_pandas().sort_values("node").reset_index(drop=True)
+    dist = (
+        q_sssp_weighted(sf, local_max_bytes=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
+    assert (local["dist"] >= 0).all()
+    assert local["dist"].min() == 0  # the source itself
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_holt_linear_hand_derived(tmp_path):
+    """alpha=0.5, beta=0.3 over values 10, 20:
+    l1=10, t1=0; l2=.5*20+.5*10=15, t2=.3*5=1.5."""
+    _write_events(tmp_path, [(1, 0, 7, 10.0), (2, 1_000_000, 7, 20.0)])
+    got = QUERIES["holt_linear"](str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["level"] == 15.0
+    assert got.iloc[0]["trend"] == 1.5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_capped_running_sum_clamps(tmp_path):
+    """Deltas are value-50: +250, +400 (clamps at 500), -50+... wait:
+    values 300, 450, 0 → deltas +250, +400, -50: bal 250 → 500
+    (clamped, raw 650) → 450.  One clamp."""
+    _write_events(
+        tmp_path,
+        [(1, 0, 3, 300.0), (2, 1, 3, 450.0), (3, 2, 3, 0.0)],
+    )
+    got = QUERIES["capped_running_sum"](str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["balance"] == 450.0
+    assert got.iloc[0]["n_clamped"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anagram_groups_planted(tmp_path):
+    rows = [
+        (1, "listen silent enlist stone notes", "en", "s"),
+        (2, "tones other words here", "en", "s"),
+        (3, "unrelated vocabulary", "de", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["anagram_groups"](str(tmp_path)).to_pandas().set_index("lang")
+    # en: {listen,silent,enlist} and {stone,notes,tones} → 2 classes, max 3
+    assert got.loc["en", "n_classes"] == 2
+    assert got.loc["en", "max_class"] == 3
+    assert "de" not in got.index
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ols_multi_recovers_planted_law(tmp_path):
+    """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
+    rng = np.random.RandomState(11)
+    rows, ys = [], []
+    for i in range(30):
+        nw = int(rng.randint(1, 12))
+        words = []
+        for _ in range(nw):
+            n = int(rng.randint(2, 9))
+            words.append(
+                "".join(rng.choice(list("abcdefgiou"), size=n))
+            )
+        text = " ".join(words)
+        wc = len(text.split(" "))
+        vw = sum(text.count(c) for c in "aeiou")
+        rows.append((i, text, "en", "s"))
+        ys.append(7 + 3 * wc + 2 * vw)
+    _write_docs(tmp_path, rows, n_chars=ys)
+    got = QUERIES["ols_multi"](str(tmp_path)).to_pandas()
+    assert got.iloc[0]["n_docs"] == 30
+    assert abs(got.iloc[0]["beta0"] - 7.0) < 1e-4
+    assert abs(got.iloc[0]["beta1"] - 3.0) < 1e-4
+    assert abs(got.iloc[0]["beta2"] - 2.0) < 1e-4
+    assert abs(got.iloc[0]["r2"] - 1.0) < 1e-9
