@@ -20032,6 +20032,14 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node
 # before the final round().
 # --------------------------------------------------------------------------
 
+def _round6_away(v: np.ndarray) -> np.ndarray:
+    """round(x, 6) with SQL semantics — half AWAY from zero (np.round
+    is half-to-even; the 1-in-~2M boundary split is the documented
+    `interp_fill` big-lake lesson)."""
+    v = np.asarray(v, dtype=np.float64)
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
 _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
 
 
@@ -20070,8 +20078,8 @@ def q_holt_linear(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(uid.astype(np.int64), pa.int64()),
-                "level": pa.array(np.round(lvl, 6), pa.float64()),
-                "trend": pa.array(np.round(trd, 6), pa.float64()),
+                "level": pa.array(_round6_away(lvl), pa.float64()),
+                "trend": pa.array(_round6_away(trd), pa.float64()),
             }
         )
 
@@ -20145,7 +20153,7 @@ def q_capped_running_sum(sf_dir: str):
         return pa.table(
             {
                 "user_id": pa.array(uid.astype(np.int64), pa.int64()),
-                "balance": pa.array(np.round(bal, 6), pa.float64()),
+                "balance": pa.array(_round6_away(bal), pa.float64()),
                 "n_clamped": pa.array(clamps, pa.int64()),
             }
         )
@@ -20383,10 +20391,10 @@ def q_ols_multi(sf_dir: str):
     return pa.table(
         {
             "n_docs": pa.array([int(n)], pa.int64()),
-            "beta0": pa.array([round(b0, 6)], pa.float64()),
-            "beta1": pa.array([round(b1, 6)], pa.float64()),
-            "beta2": pa.array([round(b2, 6)], pa.float64()),
-            "r2": pa.array([round(r2, 6)], pa.float64()),
+            "beta0": pa.array(_round6_away([b0]), pa.float64()),
+            "beta1": pa.array(_round6_away([b1]), pa.float64()),
+            "beta2": pa.array(_round6_away([b2]), pa.float64()),
+            "r2": pa.array(_round6_away([r2]), pa.float64()),
         }
     )
 
@@ -20426,6 +20434,261 @@ SELECT CAST(n AS BIGINT) AS n_docs,
        round(b0, 6) AS beta0, round(b1, 6) AS beta1, round(b2, 6) AS beta2,
        round(1.0 - (syy - (b0*sy + b1*sxy + b2*szy)) / (syy - sy*sy/n), 6) AS r2
 FROM beta
+"""
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution of the event-type transition chain —
+# bounded power iteration in EXACT integer fixed-point, so the result
+# is bit-identical across engines and partitionings with no float
+# summation-order hazard: mass starts at SCALE//k per state and each
+# step moves floor(p_i·c_ij / r_i) units along every edge (integer
+# terms are summation-order-proof; the floor leak is part of the
+# spec).  The transition counts come from the q_transitions exchange
+# (O(event-type²) rows); the 20-round iteration runs on the driver
+# over a k×k matrix (k = distinct event types, bounded).  Oracle: the
+# SAME spec as 20 unrolled CTEs with // integer division.
+# --------------------------------------------------------------------------
+
+_MARKOV_ITERS = 20
+_MARKOV_SCALE = 10**9
+
+
+def q_markov_stationary(sf_dir: str):
+    counts = q_transitions(sf_dir)
+    states = sorted(
+        _read_pq(_t(sf_dir, "events"), columns=["event_type"]).unique("event_type")
+    )
+    out_schema = pa.schema([("state", pa.string()), ("mass", pa.int64())])
+    if not states:
+        return out_schema.empty_table()
+    c: dict[tuple[str, str], int] = {}
+    r: dict[str, int] = {}
+    for i, j, n in zip(
+        counts.column("from_type").to_pylist(),
+        counts.column("to_type").to_pylist(),
+        counts.column("n").to_pylist(),
+    ):
+        c[(i, j)] = c.get((i, j), 0) + int(n)
+        r[i] = r.get(i, 0) + int(n)
+    p = {s: _MARKOV_SCALE // len(states) for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt: dict[str, int] = {}
+        for (i, j), cnt in c.items():
+            if i in p:
+                nxt[j] = nxt.get(j, 0) + (p[i] * cnt) // r[i]
+        p = nxt
+    out = sorted(p.items())
+    return pa.table(
+        {
+            "state": pa.array([s for s, _ in out], pa.string()),
+            "mass": pa.array([v for _, v in out], pa.int64()),
+        }
+    )
+
+
+def _markov_sql() -> str:
+    head = f"""
+WITH seq AS (SELECT event_type AS to_type,
+                    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS from_type
+             FROM events),
+c AS (SELECT from_type AS i, to_type AS j, CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT i, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY i),
+s AS (SELECT DISTINCT event_type AS state FROM events),
+p0 AS (SELECT state,
+              CAST({_MARKOV_SCALE} AS BIGINT) // (SELECT count(*) FROM s) AS v
+       FROM s)"""
+    steps = [
+        f""",
+p{t} AS (SELECT c.j AS state, CAST(SUM((p{t - 1}.v * c.cnt) // r.tot) AS BIGINT) AS v
+         FROM p{t - 1} JOIN c ON c.i = p{t - 1}.state JOIN r ON r.i = p{t - 1}.state
+         GROUP BY c.j)"""
+        for t in range(1, _MARKOV_ITERS + 1)
+    ]
+    return head + "".join(steps) + f"\nSELECT state, v AS mass FROM p{_MARKOV_ITERS}"
+
+
+SQL_MARKOV_STATIONARY = _markov_sql()
+
+
+# --------------------------------------------------------------------------
+# Longest common prefix of all document texts per language — the
+# classic algebraic-reduction trick: LCP(set) = LCP(lexicographic
+# min, max), so the whole operator is a per-batch (lang, min, max)
+# combiner + an O(langs) exchange + one commonprefix per group on the
+# driver.  String comparison is codepoint order on both engines
+# (UTF-8 byte order ≡ codepoint order).
+# --------------------------------------------------------------------------
+
+_LCP_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("a", pa.string()), ("b", pa.string())]
+)
+
+
+def q_group_lcp(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "lang": b.column("lang").to_numpy(zero_copy_only=False),
+                    "text": b.column("text").to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby("lang", sort=False)["text"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "a": pa.array(g["min"], pa.string()),
+                "b": pa.array(g["max"], pa.string()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return _LCP_SCHEMA.empty_table()
+        g = (
+            df.groupby("lang", sort=False)
+            .agg(a=("a", "min"), b=("b", "max"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "a": pa.array(g["a"], pa.string()),
+                "b": pa.array(g["b"], pa.string()),
+            }
+        )
+
+    mm = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="lang",
+        per_bucket=per_bucket,
+        input_schema=_LCP_SCHEMA,
+    )
+    import os.path as _osp
+
+    langs = mm.column("lang").to_pylist()
+    lcps = [
+        len(_osp.commonprefix([a, b]))
+        for a, b in zip(mm.column("a").to_pylist(), mm.column("b").to_pylist())
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "lcp_len": pa.array(lcps, pa.int64()),
+        }
+    )
+
+
+SQL_GROUP_LCP = """
+WITH mm AS (SELECT lang, min(text) AS a, max(text) AS b FROM documents GROUP BY lang),
+ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+hit AS (SELECT mm.lang AS lang, max(i) AS lcp FROM mm JOIN ser
+        ON i <= least(length(a), length(b))
+        AND substr(a, 1, i) = substr(b, 1, i) GROUP BY mm.lang)
+SELECT mm.lang AS lang, CAST(coalesce(hit.lcp, 0) AS BIGINT) AS lcp_len
+FROM mm LEFT JOIN hit ON hit.lang = mm.lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Strict 3-step funnel — first 'view', first 'click' STRICTLY after
+# it, first 'purchase' strictly after that click; counts users
+# reaching each stage.  The strictly-after chain makes the stage
+# times non-combinable per batch, so the shape is the ewma one: the
+# exchange moves PROJECTED narrow rows (user_id, ts, 2-bit stage) —
+# never text/props — and each user resolves vectorized in its bucket.
+# --------------------------------------------------------------------------
+
+_F3_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("event_type", pa.string())]
+)
+
+
+def q_funnel3_strict(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read_pq(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["view", "click", "purchase"]),
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table(
+                {
+                    "n_view": pa.array([0], pa.int64()),
+                    "n_click": pa.array([0], pa.int64()),
+                    "n_purchase": pa.array([0], pa.int64()),
+                }
+            )
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(), "ts": ts, "et": df["event_type"]}
+        )
+        v = (
+            df[df["et"] == "view"]
+            .groupby("user_id", sort=False, as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "tv"})
+        )
+        c = df[df["et"] == "click"].merge(v, on="user_id")
+        c = (
+            c[c["ts"] > c["tv"]]
+            .groupby("user_id", sort=False, as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "tc"})
+        )
+        p = df[df["et"] == "purchase"].merge(c, on="user_id")
+        p = (
+            p[p["ts"] > p["tc"]]
+            .groupby("user_id", sort=False, as_index=False)["ts"]
+            .min()
+        )
+        return pa.table(
+            {
+                "n_view": pa.array([len(v)], pa.int64()),
+                "n_click": pa.array([len(c)], pa.int64()),
+                "n_purchase": pa.array([len(p)], pa.int64()),
+            }
+        )
+
+    per_bucket_counts = _merge_partials(
+        ds, key="user_id", per_bucket=per_bucket, input_schema=_F3_SCHEMA
+    )
+    # bucket partials are additive (users are bucket-disjoint)
+    t = per_bucket_counts
+    return pa.table(
+        {
+            "n_view": pa.array([pc.sum(t.column("n_view")).as_py() or 0], pa.int64()),
+            "n_click": pa.array([pc.sum(t.column("n_click")).as_py() or 0], pa.int64()),
+            "n_purchase": pa.array(
+                [pc.sum(t.column("n_purchase")).as_py() or 0], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_FUNNEL3_STRICT = """
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id AS user_id, min(e.ts) AS tc FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+p AS (SELECT e.user_id AS user_id, min(e.ts) AS tp FROM events e
+      JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
 """
 
 
@@ -20531,6 +20794,9 @@ QUERIES = {
     "capped_running_sum": q_capped_running_sum,
     "anagram_groups": q_anagram_groups,
     "ols_multi": q_ols_multi,
+    "markov_stationary": q_markov_stationary,
+    "group_lcp": q_group_lcp,
+    "funnel3_strict": q_funnel3_strict,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -20890,4 +21156,7 @@ ORACLES = {
     "capped_running_sum": SQL_CAPPED_RUNNING_SUM,
     "anagram_groups": SQL_ANAGRAM_GROUPS,
     "ols_multi": SQL_OLS_MULTI,
+    "markov_stationary": SQL_MARKOV_STATIONARY,
+    "group_lcp": SQL_GROUP_LCP,
+    "funnel3_strict": SQL_FUNNEL3_STRICT,
 }

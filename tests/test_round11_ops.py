@@ -111,6 +111,78 @@ def test_anagram_groups_planted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_markov_stationary_absorbing_chain(tmp_path):
+    """a→b, b→b: all mass drains into the absorbing state b (up to
+    the spec'd integer-floor leak)."""
+    rows = []
+    eid = 0
+    for u in range(3):
+        for i, et in enumerate(["a", "b", "b", "b"]):
+            rows.append((eid, i * 1_000_000, u, et))
+            eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["markov_stationary"](str(tmp_path)).to_pandas().set_index("state")
+    assert "a" not in got.index  # no edges INTO a → mass 0 after round 1
+    assert got.loc["b", "mass"] == 10**9  # 500M (from a) + 500M (from b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_group_lcp_planted_prefix(tmp_path):
+    rows = [
+        (1, "common prefix alpha", "en", "s"),
+        (2, "common prefix beta", "en", "s"),
+        (3, "common prefab", "en", "s"),
+        (4, "zzz", "de", "s"),
+        (5, "aaa", "de", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["group_lcp"](str(tmp_path)).to_pandas().set_index("lang")
+    assert got.loc["en", "lcp_len"] == len("common pref")
+    assert got.loc["de", "lcp_len"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel3_strict_ordering(tmp_path):
+    """User 1 does view→click→purchase (counts at every stage);
+    user 2's click precedes the view (stops at view); user 3 has a
+    purchase between view and click (purchase must NOT count)."""
+    rows = [
+        (1, 0, 1, "view"), (2, 1, 1, "click"), (3, 2, 1, "purchase"),
+        (4, 0, 2, "click"), (5, 1, 2, "view"),
+        (6, 0, 3, "view"), (7, 1, 3, "purchase"), (8, 2, 3, "click"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["funnel3_strict"](str(tmp_path)).to_pandas()
+    assert got.iloc[0]["n_view"] == 3
+    assert got.iloc[0]["n_click"] == 2  # users 1 and 3
+    assert got.iloc[0]["n_purchase"] == 1  # only user 1
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
