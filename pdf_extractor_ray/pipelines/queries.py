@@ -20456,9 +20456,9 @@ _MARKOV_SCALE = 10**9
 
 def q_markov_stationary(sf_dir: str):
     counts = q_transitions(sf_dir)
-    states = sorted(
-        _read_pq(_t(sf_dir, "events"), columns=["event_type"]).unique("event_type")
-    )
+    # Dataset.unique returns None on a fully-empty dataset
+    uniq = _read_pq(_t(sf_dir, "events"), columns=["event_type"]).unique("event_type")
+    states = sorted(uniq or [])
     out_schema = pa.schema([("state", pa.string()), ("mass", pa.int64())])
     if not states:
         return out_schema.empty_table()
