@@ -20692,6 +20692,201 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+# --------------------------------------------------------------------------
+# Event-type runs (gaps-and-islands) — per user: number of maximal
+# same-type runs, the longest run, and its type (lexicographic min on
+# ties).  The user-bucketed exchange ships only (user_id, ts,
+# event_id, event_type); in-bucket the island ids are one vectorized
+# boundary-cumsum.  Oracle: the classic rn − rn_per_type island key.
+# --------------------------------------------------------------------------
+
+_RUNS_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()),
+        ("event_type", pa.string()),
+    ]
+)
+
+
+def q_type_runs(sf_dir: str):
+    ds = _read_pq(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_runs", pa.int64()),
+                ("longest_run", pa.int64()),
+                ("longest_type", pa.string()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        new_run = np.ones(len(df), dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        run_id = np.cumsum(new_run) - 1
+        runs = pd.DataFrame(
+            {"user_id": uid, "event_type": et, "run_id": run_id}
+        ).groupby("run_id", sort=False).agg(
+            user_id=("user_id", "first"),
+            event_type=("event_type", "first"),
+            length=("run_id", "size"),
+        )
+        agg = runs.groupby("user_id", sort=False).agg(
+            n_runs=("length", "size"), longest_run=("length", "max")
+        )
+        m = runs.merge(agg, on="user_id")
+        m = m[m["length"] == m["longest_run"]]
+        top = (
+            m.groupby("user_id", sort=False)
+            .agg(
+                n_runs=("n_runs", "first"),
+                longest_run=("longest_run", "first"),
+                longest_type=("event_type", "min"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"].to_numpy(), pa.int64()),
+                "n_runs": pa.array(top["n_runs"].to_numpy().astype(np.int64), pa.int64()),
+                "longest_run": pa.array(
+                    top["longest_run"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "longest_type": pa.array(top["longest_type"], pa.string()),
+            }
+        )
+
+    return _merge_partials(
+        ds, key="user_id", per_bucket=per_bucket, input_schema=_RUNS_SCHEMA
+    )
+
+
+SQL_TYPE_RUNS = """
+WITH x AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS rt
+           FROM events),
+runs AS (SELECT user_id, event_type, count(*) AS len
+         FROM x GROUP BY user_id, event_type, rn - rt),
+agg AS (SELECT user_id, count(*) AS n_runs, max(len) AS longest
+        FROM runs GROUP BY user_id)
+SELECT a.user_id AS user_id, CAST(a.n_runs AS BIGINT) AS n_runs,
+       CAST(a.longest AS BIGINT) AS longest_run,
+       min(r.event_type) AS longest_type
+FROM agg a JOIN runs r ON r.user_id = a.user_id AND r.len = a.longest
+GROUP BY a.user_id, a.n_runs, a.longest
+"""
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution — for every purchase, the number of
+# the same user's clicks in the strict 7-day window before it and the
+# per-touch weight as an INTEGER ppm (1000000 // k): no float sums
+# cross any boundary, so the result is partitioning- and
+# engine-exact.  Shape: user-bucketed exchange of projected narrow
+# rows; in-bucket, ONE vectorized two-sided searchsorted per user
+# answers all of that user's purchases at once.
+# --------------------------------------------------------------------------
+
+_MTA_WIN_US = 7 * 24 * 3600 * 1_000_000
+
+_MTA_IN_SCHEMA = pa.schema(
+    [
+        ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")),
+        ("event_id", pa.int64()),
+        ("event_type", pa.string()),
+    ]
+)
+
+
+def q_multitouch_attribution(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = _read_pq(
+        _t(sf_dir, "events"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+        filter=pads.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("n_touches", pa.int64()),
+                ("weight_ppm", pa.int64()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "ts": ts,
+                "event_id": df["event_id"].to_numpy(),
+                "et": df["event_type"].to_numpy(),
+            }
+        ).sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out_eid, out_uid, out_k = [], [], []
+        for u, g in df.groupby("user_id", sort=False):
+            cts = g.loc[g["et"] == "click", "ts"].to_numpy()
+            p = g[g["et"] == "purchase"]
+            if not len(p) or not len(cts):
+                continue
+            pts = p["ts"].to_numpy()
+            k = np.searchsorted(cts, pts, "left") - np.searchsorted(
+                cts, pts - _MTA_WIN_US, "left"
+            )
+            keep = k > 0
+            out_eid.append(p["event_id"].to_numpy()[keep])
+            out_uid.append(np.full(int(keep.sum()), u, dtype=np.int64))
+            out_k.append(k[keep])
+        if not out_eid:
+            return out_schema.empty_table()
+        eid = np.concatenate(out_eid).astype(np.int64)
+        uid = np.concatenate(out_uid)
+        kk = np.concatenate(out_k).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "n_touches": pa.array(kk, pa.int64()),
+                "weight_ppm": pa.array(1_000_000 // kk, pa.int64()),
+            }
+        )
+
+    return _merge_partials(
+        ds, key="user_id", per_bucket=per_bucket, input_schema=_MTA_IN_SCHEMA
+    )
+
+
+SQL_MULTITOUCH_ATTRIBUTION = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+k AS (SELECT p.event_id AS event_id, p.user_id AS user_id,
+             CAST(count(*) AS BIGINT) AS n_touches
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts < p.ts
+       AND epoch_us(c.ts) >= epoch_us(p.ts) - {_MTA_WIN_US}
+      GROUP BY p.event_id, p.user_id)
+SELECT event_id, user_id, n_touches,
+       CAST(1000000 // n_touches AS BIGINT) AS weight_ppm
+FROM k
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -20797,6 +20992,8 @@ QUERIES = {
     "markov_stationary": q_markov_stationary,
     "group_lcp": q_group_lcp,
     "funnel3_strict": q_funnel3_strict,
+    "type_runs": q_type_runs,
+    "multitouch_attribution": q_multitouch_attribution,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -21159,4 +21356,6 @@ ORACLES = {
     "markov_stationary": SQL_MARKOV_STATIONARY,
     "group_lcp": SQL_GROUP_LCP,
     "funnel3_strict": SQL_FUNNEL3_STRICT,
+    "type_runs": SQL_TYPE_RUNS,
+    "multitouch_attribution": SQL_MULTITOUCH_ATTRIBUTION,
 }

@@ -182,6 +182,64 @@ def test_funnel3_strict_ordering(tmp_path):
     assert got.iloc[0]["n_purchase"] == 1  # only user 1
 
 
+def _write_event_rows(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_type_runs_islands(tmp_path):
+    """a a b a a a → 3 runs, longest 3 ('a'); tie case: a a b b →
+    2 runs, longest 2, lexicographic min type 'a'."""
+    rows = [(i, i, 1, t) for i, t in enumerate(["a", "a", "b", "a", "a", "a"])]
+    rows += [(10 + i, i, 2, t) for i, t in enumerate(["a", "a", "b", "b"])]
+    _write_event_rows(tmp_path, rows)
+    got = QUERIES["type_runs"](str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "n_runs"] == 3
+    assert got.loc[1, "longest_run"] == 3
+    assert got.loc[1, "longest_type"] == "a"
+    assert got.loc[2, "n_runs"] == 2
+    assert got.loc[2, "longest_run"] == 2
+    assert got.loc[2, "longest_type"] == "a"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multitouch_attribution_window(tmp_path):
+    """3 clicks before the purchase, one outside the 7-day window and
+    one at exactly t_p (strictly-before excludes it) → k=1... then a
+    second purchase sees 2 in-window clicks → weight 500000 ppm."""
+    day = 24 * 3600 * 1_000_000
+    rows = [
+        (1, 0, 5, "click"),            # 9 days before p1 — outside window
+        (2, 8 * day, 5, "click"),      # 1 day before p1 — counts
+        (3, 9 * day, 5, "purchase"),   # p1: k=1
+        (4, 9 * day, 5, "click"),      # at p2-window, before p2
+        (5, 10 * day, 5, "purchase"),  # p2: clicks at 8d,9d in (3d,10d) → k=2
+    ]
+    _write_event_rows(tmp_path, rows)
+    got = (
+        QUERIES["multitouch_attribution"](str(tmp_path))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert got.loc[3, "n_touches"] == 1
+    assert got.loc[3, "weight_ppm"] == 1_000_000
+    assert got.loc[5, "n_touches"] == 2
+    assert got.loc[5, "weight_ppm"] == 500_000
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
