@@ -20045,12 +20045,24 @@ _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
 
 def _rank_matrix(df: pd.DataFrame, col: str):
     """(users, max_rank) float64 matrix of ``col`` values by per-user
-    event rank (NaN-padded), plus the sorted unique user ids."""
+    event rank, with users ordered by DESCENDING event count so that
+    at round r exactly the first ``n_active[r]`` rows are live — the
+    fold loops then slice a prefix instead of re-masking NaNs every
+    round (a pure indexing change; the arithmetic stream per user is
+    identical).  Returns (user_ids, matrix, n_active)."""
     uid, uidx = np.unique(df["user_id"].to_numpy(), return_inverse=True)
     rn = df.groupby("user_id", sort=False).cumcount().to_numpy()
-    vals = np.full((len(uid), int(rn.max()) + 1 if len(rn) else 1), np.nan)
-    vals[uidx, rn] = df[col].to_numpy()
-    return uid, vals
+    counts = np.bincount(uidx, minlength=len(uid))
+    order = np.argsort(-counts, kind="stable")  # most events first
+    rank_of = np.empty(len(uid), dtype=np.int64)
+    rank_of[order] = np.arange(len(uid))
+    max_rn = int(rn.max()) + 1 if len(rn) else 1
+    vals = np.full((len(uid), max_rn), np.nan)
+    vals[rank_of[uidx], rn] = df[col].to_numpy()
+    # n_active[r] = how many users have ≥ r+1 events (prefix length)
+    sorted_counts = counts[order]
+    n_active = np.searchsorted(-sorted_counts, -(np.arange(max_rn) + 1), "right")
+    return uid[order], vals, n_active
 
 
 _HOLT_SCHEMA = pa.schema(
@@ -20065,16 +20077,16 @@ def q_holt_linear(sf_dir: str):
         if df.empty:
             return _HOLT_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts", "event_id"])
-        uid, vals = _rank_matrix(df, "value")
+        uid, vals, n_active = _rank_matrix(df, "value")
         lvl = vals[:, 0].copy()  # rank 0 always exists for present users
         trd = np.zeros(len(uid))
         a, b2 = _HOLT_ALPHA, _HOLT_BETA
         for r in range(1, vals.shape[1]):
-            v = vals[:, r]
-            m = ~np.isnan(v)
-            ln = a * v[m] + (1.0 - a) * (lvl[m] + trd[m])
-            trd[m] = b2 * (ln - lvl[m]) + (1.0 - b2) * trd[m]
-            lvl[m] = ln
+            m = n_active[r]  # users with ≥ r+1 events are the prefix
+            v = vals[:m, r]
+            ln = a * v + (1.0 - a) * (lvl[:m] + trd[:m])
+            trd[:m] = b2 * (ln - lvl[:m]) + (1.0 - b2) * trd[:m]
+            lvl[:m] = ln
         return pa.table(
             {
                 "user_id": pa.array(uid.astype(np.int64), pa.int64()),
@@ -20141,15 +20153,14 @@ def q_capped_running_sum(sf_dir: str):
         if df.empty:
             return _CAPSUM_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts", "event_id"])
-        uid, vals = _rank_matrix(df, "value")
+        uid, vals, n_active = _rank_matrix(df, "value")
         bal = np.zeros(len(uid))
         clamps = np.zeros(len(uid), dtype=np.int64)
         for r in range(vals.shape[1]):
-            v = vals[:, r]
-            m = ~np.isnan(v)
-            raw = bal[m] + (v[m] - _CAP_DRAIN)
-            clamps[m] += (raw < 0.0) | (raw > _CAP_MAX)
-            bal[m] = np.minimum(np.maximum(raw, 0.0), _CAP_MAX)
+            m = n_active[r]
+            raw = bal[:m] + (vals[:m, r] - _CAP_DRAIN)
+            clamps[:m] += (raw < 0.0) | (raw > _CAP_MAX)
+            bal[:m] = np.minimum(np.maximum(raw, 0.0), _CAP_MAX)
         return pa.table(
             {
                 "user_id": pa.array(uid.astype(np.int64), pa.int64()),
