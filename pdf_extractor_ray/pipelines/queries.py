@@ -20898,6 +20898,174 @@ FROM k
 """
 
 
+# --------------------------------------------------------------------------
+# EXACT heavy hitters — users contributing ≥ 1/200 of all events;
+# the oracled anchor for the sketch-based `heavy_hitters` (CMS, no
+# oracle): per-batch count combiner → O(users) exchange → integer
+# threshold filter.  Both engines use integer // so the threshold is
+# tie-exact.
+# --------------------------------------------------------------------------
+
+_HH_DENOM = 200
+
+
+def q_heavy_hitters_exact(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            b.column("user_id").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u.astype(np.int64), pa.int64()),
+                "n_events": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
+    merged = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        sum_cols=["n_events"],
+        schema=schema,
+    )
+    total = int(pc.sum(merged.column("n_events")).as_py() or 0)
+    thresh = total // _HH_DENOM
+    mask = pc.greater_equal(merged.column("n_events"), pa.scalar(thresh))
+    return merged.filter(mask)
+
+
+SQL_HEAVY_HITTERS_EXACT = f"""
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING count(*) >= (SELECT count(*) FROM events) // {_HH_DENOM}
+"""
+
+
+# --------------------------------------------------------------------------
+# Hierarchical top-k — the top-10 users by lifetime spend (exact
+# integer cents) with each one's top-3 days.  Per-batch (user, day)
+# cent combiner; the user-keyed exchange resolves each user's total
+# and top-3 days IN its bucket (≤3 rows + 1 total per user cross to
+# the driver — O(users), never O(user-days)); the global top-10 cut
+# happens on that small table.  Ordering ties: (cents DESC, day ASC)
+# within user, (total DESC, user_id ASC) across — identical on both
+# engines, integers end to end.
+# --------------------------------------------------------------------------
+
+_DAY_US = 24 * 3600 * 1_000_000
+
+_TKJ_PART_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("day_us", pa.int64()), ("cents", pa.int64())]
+)
+
+
+def q_topk_join(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = (ts.astype(np.int64) // _DAY_US) * _DAY_US
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "day_us": day,
+                    "cents": cents,
+                }
+            )
+            .groupby(["user_id", "day_us"], sort=False, as_index=False)["cents"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "day_us": pa.array(g["day_us"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("total_cents", pa.int64()),
+                ("day_us", pa.int64()),
+                ("day_cents", pa.int64()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        d = df.groupby(["user_id", "day_us"], sort=False, as_index=False)[
+            "cents"
+        ].sum()
+        tot = d.groupby("user_id", sort=False)["cents"].sum().rename("total_cents")
+        d = d.merge(tot, on="user_id")
+        d = d.sort_values(
+            ["user_id", "cents", "day_us"], ascending=[True, False, True]
+        )
+        top3 = d.groupby("user_id", sort=False).head(3)
+        return pa.table(
+            {
+                "user_id": pa.array(top3["user_id"].to_numpy(), pa.int64()),
+                "total_cents": pa.array(top3["total_cents"].to_numpy(), pa.int64()),
+                "day_us": pa.array(top3["day_us"].to_numpy(), pa.int64()),
+                "day_cents": pa.array(top3["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    per_user = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=_TKJ_PART_SCHEMA,
+    )
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("day_us", pa.int64()),
+            ("day_cents", pa.int64()),
+        ]
+    )
+    if per_user.num_rows == 0:
+        return out_schema.empty_table()
+    pdf = per_user.to_pandas()
+    totals = pdf[["user_id", "total_cents"]].drop_duplicates()
+    top10 = totals.sort_values(
+        ["total_cents", "user_id"], ascending=[False, True]
+    ).head(10)
+    keep = pdf[pdf["user_id"].isin(top10["user_id"])]
+    return pa.table(
+        {
+            "user_id": pa.array(keep["user_id"].to_numpy(), pa.int64()),
+            "total_cents": pa.array(keep["total_cents"].to_numpy(), pa.int64()),
+            "day_us": pa.array(keep["day_us"].to_numpy(), pa.int64()),
+            "day_cents": pa.array(keep["day_cents"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+SQL_TOPK_JOIN = f"""
+WITH d AS (SELECT user_id,
+                  (epoch_us(ts) // {_DAY_US}) * {_DAY_US} AS day_us,
+                  SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+           FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(SUM(cents) AS BIGINT) AS total_cents FROM d GROUP BY 1),
+top AS (SELECT user_id, total_cents FROM u
+        ORDER BY total_cents DESC, user_id LIMIT 10)
+SELECT t.user_id AS user_id, t.total_cents AS total_cents,
+       d.day_us AS day_us, CAST(d.cents AS BIGINT) AS day_cents
+FROM top t JOIN d ON d.user_id = t.user_id
+QUALIFY row_number() OVER (PARTITION BY t.user_id
+                           ORDER BY d.cents DESC, d.day_us) <= 3
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -21005,6 +21173,8 @@ QUERIES = {
     "funnel3_strict": q_funnel3_strict,
     "type_runs": q_type_runs,
     "multitouch_attribution": q_multitouch_attribution,
+    "heavy_hitters_exact": q_heavy_hitters_exact,
+    "topk_join": q_topk_join,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -21369,4 +21539,6 @@ ORACLES = {
     "funnel3_strict": SQL_FUNNEL3_STRICT,
     "type_runs": SQL_TYPE_RUNS,
     "multitouch_attribution": SQL_MULTITOUCH_ATTRIBUTION,
+    "heavy_hitters_exact": SQL_HEAVY_HITTERS_EXACT,
+    "topk_join": SQL_TOPK_JOIN,
 }

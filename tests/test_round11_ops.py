@@ -241,6 +241,52 @@ def test_multitouch_attribution_window(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_heavy_hitters_exact_threshold(tmp_path):
+    """400 events total → threshold 2; user 1 has 3 events (in),
+    user 2 has 1 (out), filler users have 2 each (boundary — in)."""
+    rows = [(i, i, 1, "view") for i in range(3)]
+    rows.append((3, 3, 2, "view"))
+    rows += [(4 + i, 4 + i, 10 + i // 2, "view") for i in range(396)]
+    _write_event_rows(tmp_path, rows)
+    got = QUERIES["heavy_hitters_exact"](str(tmp_path)).to_pandas()
+    got = got.set_index("user_id")
+    assert 1 in got.index and got.loc[1, "n_events"] == 3
+    assert 2 not in got.index
+    assert (got.drop(index=1)["n_events"] == 2).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_topk_join_hierarchy(tmp_path):
+    """One dominant user with 4 active days keeps only its best 3."""
+    day = 24 * 3600 * 1_000_000
+    rows, vals = [], []
+    for d in range(4):  # user 1: day spends 10, 20, 30, 40
+        rows.append((d, d * day, 1, "view"))
+        vals.append(10.0 * (d + 1))
+    rows.append((10, 0, 2, "view"))
+    vals.append(1.0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array(vals, pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = QUERIES["topk_join"](str(tmp_path)).to_pandas()
+    u1 = got[got["user_id"] == 1].sort_values("day_cents", ascending=False)
+    assert len(u1) == 3  # best 3 of 4 days
+    assert u1["day_cents"].tolist() == [4000, 3000, 2000]
+    assert (u1["total_cents"] == 10000).all()
+    assert got[got["user_id"] == 2]["day_cents"].tolist() == [100]
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
