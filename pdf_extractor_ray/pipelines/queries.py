@@ -20227,28 +20227,53 @@ _ANAGRAM_SCHEMA = pa.schema(
     [("sig", pa.string()), ("lang", pa.string()), ("word", pa.string())]
 )
 
+# worker-persistent signature cache (ST1-style module state): the
+# vocabulary is bounded, so after the first few batches every word is
+# a dict hit and no sorting happens at all
+_ANAGRAM_SIG_CACHE: dict[str, str] = {}
+
+
+def _anagram_sigs(words: np.ndarray) -> list[str]:
+    """Sorted-letter signature per word — vectorized byte-matrix sort
+    for the cache misses (ascii lowercase input; NUL padding sorts
+    first and is stripped, so the result equals ''.join(sorted(w)))."""
+    cache = _ANAGRAM_SIG_CACHE
+    miss = [w for w in words if w not in cache]
+    if miss:
+        arr = np.array(miss, dtype="S")  # fixed-width, NUL-padded
+        mat = np.sort(arr.view(np.uint8).reshape(len(miss), -1), axis=1)
+        for w, row in zip(miss, mat.view(f"S{mat.shape[1]}").ravel()):
+            cache[w] = row.lstrip(b"\0").decode()
+        if len(cache) > 4_000_000:  # bound worker memory on hostile vocab
+            cache.clear()
+    return [cache[w] for w in words]
+
 
 def q_anagram_groups(sf_dir: str):
     ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
+        # Arrow-native tokenize → explode → distinct (C++ hash agg);
+        # Python touches only the UNIQUE words (vocabulary-bounded),
+        # with signatures cached across batches in worker state
         toks = pc.split_pattern_regex(pc.utf8_lower(b.column("text")), "[^a-z]+")
-        lang = b.column("lang")
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(toks)
-        langs_rep = np.repeat(lang.to_numpy(zero_copy_only=False), counts)
-        words = flat.to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"lang": langs_rep, "word": words}).drop_duplicates()
-        df = df[df["word"].str.len() >= _ANAGRAM_MIN_LEN]
-        # signature per UNIQUE word only — vocabulary-bounded work
-        uw = pd.unique(df["word"])
-        sigs = {w: "".join(sorted(w)) for w in uw}
-        df = df.assign(sig=df["word"].map(sigs))
+        parent = pc.list_parent_indices(toks)
+        t = pa.table(
+            {"lang": pc.take(b.column("lang"), parent).combine_chunks(), "word": flat}
+        )
+        t = t.filter(
+            pc.greater_equal(pc.utf8_length(t.column("word")), _ANAGRAM_MIN_LEN)
+        )
+        t = t.group_by(["lang", "word"]).aggregate([])
+        words = t.column("word").to_pylist()
+        uw = list(dict.fromkeys(words))
+        sigs = dict(zip(uw, _anagram_sigs(uw)))
         return pa.table(
             {
-                "sig": pa.array(df["sig"], pa.string()),
-                "lang": pa.array(df["lang"], pa.string()),
-                "word": pa.array(df["word"], pa.string()),
+                "sig": pa.array([sigs[w] for w in words], pa.string()),
+                "lang": t.column("lang"),
+                "word": t.column("word"),
             }
         )
 
@@ -20841,38 +20866,52 @@ def q_multitouch_attribution(sf_dir: str):
         )
         if df.empty:
             return out_schema.empty_table()
+        # merge-based window counting, fully vectorized across users:
+        # interleave click rows (+1) with two probe rows per purchase
+        # (at tp and tp−W); after a (user, ts, probe-before-click)
+        # sort, a per-user running click count read at the probes gives
+        # #(ts < tp) − #(ts < tp−W) = clicks in [tp−W, tp) exactly —
+        # probes sort before clicks at equal ts, so the tp−W boundary
+        # click is included and the tp one excluded, matching the SQL.
         ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame(
-            {
-                "user_id": df["user_id"].to_numpy(),
-                "ts": ts,
-                "event_id": df["event_id"].to_numpy(),
-                "et": df["event_type"].to_numpy(),
-            }
-        ).sort_values(["user_id", "ts", "event_id"], kind="stable")
-        out_eid, out_uid, out_k = [], [], []
-        for u, g in df.groupby("user_id", sort=False):
-            cts = g.loc[g["et"] == "click", "ts"].to_numpy()
-            p = g[g["et"] == "purchase"]
-            if not len(p) or not len(cts):
-                continue
-            pts = p["ts"].to_numpy()
-            k = np.searchsorted(cts, pts, "left") - np.searchsorted(
-                cts, pts - _MTA_WIN_US, "left"
-            )
-            keep = k > 0
-            out_eid.append(p["event_id"].to_numpy()[keep])
-            out_uid.append(np.full(int(keep.sum()), u, dtype=np.int64))
-            out_k.append(k[keep])
-        if not out_eid:
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        is_click = (df["event_type"] == "click").to_numpy()
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        n_p = int(is_p.sum())
+        if n_p == 0 or not is_click.any():
             return out_schema.empty_table()
-        eid = np.concatenate(out_eid).astype(np.int64)
-        uid = np.concatenate(out_uid)
-        kk = np.concatenate(out_k).astype(np.int64)
+        pu, pt, pe = uid[is_p], ts[is_p], eid[is_p]
+        mu = np.concatenate([uid[is_click], pu, pu])
+        mt = np.concatenate([ts[is_click], pt, pt - _MTA_WIN_US])
+        kind = np.concatenate(  # 1 = click, 0 = probe (sorts first on ties)
+            [
+                np.ones(int(is_click.sum()), np.int8),
+                np.zeros(2 * n_p, np.int8),
+            ]
+        )
+        probe_id = np.concatenate(
+            [np.full(int(is_click.sum()), -1), np.arange(n_p), np.arange(n_p) + n_p]
+        )
+        order = np.lexsort((kind, mt, mu))
+        cum = np.cumsum(kind[order] == 1)
+        # per-user base: clicks counted before this user's first row
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = mu[order][1:] != mu[order][:-1]
+        cum_before = np.concatenate([[0], cum[:-1]])
+        base = np.maximum.accumulate(np.where(first, cum_before, 0))
+        per_user_cum = cum - base
+        pid = probe_id[order]
+        probes = pid >= 0
+        vals = np.empty(2 * n_p, dtype=np.int64)
+        vals[pid[probes]] = per_user_cum[probes]
+        k = vals[:n_p] - vals[n_p:]
+        keep = k > 0
+        kk = k[keep]
         return pa.table(
             {
-                "event_id": pa.array(eid, pa.int64()),
-                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(pe[keep].astype(np.int64), pa.int64()),
+                "user_id": pa.array(pu[keep].astype(np.int64), pa.int64()),
                 "n_touches": pa.array(kk, pa.int64()),
                 "weight_ppm": pa.array(1_000_000 // kk, pa.int64()),
             }
