@@ -20043,26 +20043,29 @@ def _round6_away(v: np.ndarray) -> np.ndarray:
 _HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
 
 
-def _rank_matrix(df: pd.DataFrame, col: str):
-    """(users, max_rank) float64 matrix of ``col`` values by per-user
-    event rank, with users ordered by DESCENDING event count so that
-    at round r exactly the first ``n_active[r]`` rows are live — the
-    fold loops then slice a prefix instead of re-masking NaNs every
-    round (a pure indexing change; the arithmetic stream per user is
-    identical).  Returns (user_ids, matrix, n_active)."""
+def _rank_flat(df: pd.DataFrame, col: str):
+    """Flat per-user-rank layout for vectorized-across-users folds:
+    values sorted by (count-DESC user, event rank), so at round r the
+    live users are the prefix ``n_active[r]`` and their r-th values
+    are the gather ``flat[starts[:n_active[r]] + r]``.  O(total
+    events) memory — no (users × max_rank) matrix, so a single
+    mega-user (skew) costs its own rows, not a dense row for every
+    other user in the bucket.  Returns (user_ids, flat, starts,
+    n_active)."""
     uid, uidx = np.unique(df["user_id"].to_numpy(), return_inverse=True)
     rn = df.groupby("user_id", sort=False).cumcount().to_numpy()
     counts = np.bincount(uidx, minlength=len(uid))
     order = np.argsort(-counts, kind="stable")  # most events first
     rank_of = np.empty(len(uid), dtype=np.int64)
     rank_of[order] = np.arange(len(uid))
-    max_rn = int(rn.max()) + 1 if len(rn) else 1
-    vals = np.full((len(uid), max_rn), np.nan)
-    vals[rank_of[uidx], rn] = df[col].to_numpy()
-    # n_active[r] = how many users have ≥ r+1 events (prefix length)
     sorted_counts = counts[order]
+    starts = np.concatenate([[0], np.cumsum(sorted_counts[:-1])])
+    flat = np.empty(len(df))
+    flat[starts[rank_of[uidx]] + rn] = df[col].to_numpy()
+    max_rn = int(sorted_counts[0]) if len(sorted_counts) else 1
+    # n_active[r] = how many users have ≥ r+1 events (prefix length)
     n_active = np.searchsorted(-sorted_counts, -(np.arange(max_rn) + 1), "right")
-    return uid[order], vals, n_active
+    return uid[order], flat, starts, n_active
 
 
 _HOLT_SCHEMA = pa.schema(
@@ -20077,13 +20080,13 @@ def q_holt_linear(sf_dir: str):
         if df.empty:
             return _HOLT_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts", "event_id"])
-        uid, vals, n_active = _rank_matrix(df, "value")
-        lvl = vals[:, 0].copy()  # rank 0 always exists for present users
+        uid, flat, starts, n_active = _rank_flat(df, "value")
+        lvl = flat[starts].copy()  # rank 0 always exists for present users
         trd = np.zeros(len(uid))
         a, b2 = _HOLT_ALPHA, _HOLT_BETA
-        for r in range(1, vals.shape[1]):
+        for r in range(1, len(n_active)):
             m = n_active[r]  # users with ≥ r+1 events are the prefix
-            v = vals[:m, r]
+            v = flat[starts[:m] + r]
             ln = a * v + (1.0 - a) * (lvl[:m] + trd[:m])
             trd[:m] = b2 * (ln - lvl[:m]) + (1.0 - b2) * trd[:m]
             lvl[:m] = ln
@@ -20153,12 +20156,12 @@ def q_capped_running_sum(sf_dir: str):
         if df.empty:
             return _CAPSUM_SCHEMA.empty_table()
         df = df.sort_values(["user_id", "ts", "event_id"])
-        uid, vals, n_active = _rank_matrix(df, "value")
+        uid, flat, starts, n_active = _rank_flat(df, "value")
         bal = np.zeros(len(uid))
         clamps = np.zeros(len(uid), dtype=np.int64)
-        for r in range(vals.shape[1]):
+        for r in range(len(n_active)):
             m = n_active[r]
-            raw = bal[:m] + (vals[:m, r] - _CAP_DRAIN)
+            raw = bal[:m] + (flat[starts[:m] + r] - _CAP_DRAIN)
             clamps[:m] += (raw < 0.0) | (raw > _CAP_MAX)
             bal[:m] = np.minimum(np.maximum(raw, 0.0), _CAP_MAX)
         return pa.table(

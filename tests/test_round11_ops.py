@@ -81,6 +81,27 @@ def test_holt_linear_hand_derived(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_holt_linear_mega_user_skew(tmp_path):
+    """A 20k-event user next to tiny users: the flat-gather fold must
+    stay O(total events) and agree with a scalar reference fold."""
+    rng = np.random.RandomState(3)
+    rows = [(i, i * 1000, 1, float(rng.randint(1, 100))) for i in range(20_000)]
+    rows += [(100_000 + j, j, 2 + j // 2, 5.0) for j in range(10)]
+    _write_events(tmp_path, rows)
+    got = QUERIES["holt_linear"](str(tmp_path)).to_pandas().set_index("user_id")
+    # scalar reference for the mega user, identical op order
+    vals = [r[3] for r in rows if r[2] == 1]
+    l, t = vals[0], 0.0
+    for v in vals[1:]:
+        ln = 0.5 * v + 0.5 * (l + t)
+        t = 0.3 * (ln - l) + 0.7 * t
+        l = ln
+    assert abs(got.loc[1, "level"] - l) < 1e-6
+    assert abs(got.loc[1, "trend"] - t) < 1e-6
+    assert len(got) == 6
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_capped_running_sum_clamps(tmp_path):
     """Deltas are value-50: +250, +400 (clamps at 500), -50+... wait:
     values 300, 450, 0 → deltas +250, +400, -50: bal 250 → 500
