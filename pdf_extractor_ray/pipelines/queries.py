@@ -20965,17 +20965,32 @@ def q_heavy_hitters_exact(sf_dir: str):
             }
         )
 
-    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
-    merged = _sum_partials(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["user_id"],
-        sum_cols=["n_events"],
-        schema=schema,
-    )
-    total = int(pc.sum(merged.column("n_events")).as_py() or 0)
+    # pass 1: global total (streaming count — no materialization);
+    # pass 2: per-user sums filtered IN the bucket, so the driver only
+    # ever sees the hitters themselves (≤ _HH_DENOM rows by
+    # construction), never the O(users) count table.
+    total = int(ds.count())
     thresh = total // _HH_DENOM
-    mask = pc.greater_equal(merged.column("n_events"), pa.scalar(thresh))
-    return merged.filter(mask)
+    schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
+
+    def per_bucket(b: pd.DataFrame) -> pa.Table:
+        g = b.groupby("user_id", sort=False, as_index=False)["n_events"].sum()
+        g = g[g["n_events"] >= thresh]
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_events": pa.array(
+                    g["n_events"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=schema,
+    )
 
 
 SQL_HEAVY_HITTERS_EXACT = f"""
@@ -21051,6 +21066,16 @@ def q_topk_join(sf_dir: str):
             ["user_id", "cents", "day_us"], ascending=[True, False, True]
         )
         top3 = d.groupby("user_id", sort=False).head(3)
+        # bucket-local top-10 cut: users are bucket-disjoint, so the
+        # global top-10 is a subset of the per-bucket top-10s — the
+        # driver sees ≤ 40 rows per bucket, never O(users)
+        bt = (
+            top3[["user_id", "total_cents"]]
+            .drop_duplicates()
+            .sort_values(["total_cents", "user_id"], ascending=[False, True])
+            .head(10)
+        )
+        top3 = top3[top3["user_id"].isin(bt["user_id"])]
         return pa.table(
             {
                 "user_id": pa.array(top3["user_id"].to_numpy(), pa.int64()),
