@@ -21133,6 +21133,252 @@ QUALIFY row_number() OVER (PARTITION BY t.user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Pairwise event-type audience overlap (exact Jaccard, integer ppm) —
+# the per-user 5-bit type bitmask is the whole state: a per-batch
+# (user → OR-mask) combiner, one O(users) Max exchange, then a
+# 32-entry mask histogram from which every pair's |A|, |B|, |A∩B|
+# falls out in closed form on the driver.  jaccard_ppm uses integer
+# // so no float ever exists.
+# --------------------------------------------------------------------------
+
+
+def q_type_jaccard(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    types: list[str] = sorted(
+        _read_pq(_t(sf_dir, "events"), columns=["event_type"]).unique("event_type")
+        or []
+    )
+    out_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("n_both", pa.int64()),
+            ("jaccard_ppm", pa.int64()),
+        ]
+    )
+    if len(types) < 2:
+        return out_schema.empty_table()
+    t_idx = {t: i for i, t in enumerate(types)}
+
+    def _or_by_user(df: pd.DataFrame) -> np.ndarray:
+        """Vectorized per-user OR: expand the ≤|types|-bit mask into
+        boolean columns, groupby-max each, recombine — no Python
+        lambda per group."""
+        g = df.groupby("user_id", sort=False)
+        out = np.zeros(g.ngroups, dtype=np.int64)
+        mask = df["mask"].to_numpy()
+        for k in range(len(types)):
+            bit = (
+                pd.Series((mask >> k) & 1, index=df.index)
+                .groupby(df["user_id"], sort=False)
+                .max()
+                .to_numpy()
+            )
+            out |= bit.astype(np.int64) << k
+        return out
+
+    def partial(b: pa.Table) -> pa.Table:
+        codes = pd.Categorical(
+            b.column("event_type").to_numpy(zero_copy_only=False), categories=types
+        ).codes.astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "mask": np.int64(1) << codes,
+            }
+        )
+        uid = np.array(sorted(df["user_id"].unique()))
+        df = df.sort_values("user_id", kind="stable")
+        return pa.table(
+            {
+                "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+                "mask": pa.array(_or_by_user(df), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.schema(
+                [("mask", pa.int64()), ("n_users", pa.int64())]
+            ).empty_table()
+        df = df.sort_values("user_id", kind="stable")
+        m = _or_by_user(df)
+        u, c = np.unique(m, return_counts=True)
+        return pa.table(
+            {
+                "mask": pa.array(u.astype(np.int64), pa.int64()),
+                "n_users": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=pa.schema([("user_id", pa.int64()), ("mask", pa.int64())]),
+    )
+    # the bucketed path emits one histogram per bucket — fold them
+    hd = hist.to_pandas().groupby("mask", as_index=False)["n_users"].sum()
+    masks = hd["mask"].to_numpy()
+    counts = hd["n_users"].to_numpy()
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            ba, bb = 1 << t_idx[a], 1 << t_idx[b]
+            n_a = int(counts[(masks & ba) > 0].sum())
+            n_b = int(counts[(masks & bb) > 0].sum())
+            n_both = int(counts[((masks & ba) > 0) & ((masks & bb) > 0)].sum())
+            union = n_a + n_b - n_both
+            rows.append(
+                (a, b, n_a, n_b, n_both, (1_000_000 * n_both) // union if union else 0)
+            )
+    return pa.table(
+        {
+            "type_a": pa.array([r[0] for r in rows], pa.string()),
+            "type_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_a": pa.array([r[2] for r in rows], pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], pa.int64()),
+            "n_both": pa.array([r[4] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_TYPE_JACCARD = """
+WITH u AS (SELECT user_id, event_type FROM events GROUP BY user_id, event_type),
+t AS (SELECT DISTINCT event_type FROM events),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+          FROM t a JOIN t b ON a.event_type < b.event_type),
+j AS (SELECT p.type_a, p.type_b,
+             (SELECT count(*) FROM u WHERE u.event_type = p.type_a) AS n_a,
+             (SELECT count(*) FROM u WHERE u.event_type = p.type_b) AS n_b,
+             (SELECT count(*) FROM u ua JOIN u ub
+               ON ua.user_id = ub.user_id
+              WHERE ua.event_type = p.type_a AND ub.event_type = p.type_b) AS n_both
+      FROM pairs p)
+SELECT type_a, type_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       CAST(CASE WHEN n_a + n_b - n_both > 0
+                 THEN (1000000 * n_both) // (n_a + n_b - n_both)
+                 ELSE 0 END AS BIGINT) AS jaccard_ppm
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-language character-trigram profile — top-20 [a-z]³ trigrams.
+# Kernel: per batch, docs concat into ONE byte buffer with NUL
+# separators; the three window views are stride slices, the
+# all-lowercase mask one vectorized compare, and the counting a
+# single bincount over base-26 codes per language segment — no
+# Python loop over characters.  The exchange moves (lang, tri, cnt)
+# partials (≤ 17,576 rows per lang per batch).
+# --------------------------------------------------------------------------
+
+_TRI_TOPK = 20
+
+
+def q_char_trigrams(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        texts = b.column("text").to_numpy(zero_copy_only=False)
+        order = np.argsort(langs, kind="stable")
+        out_l, out_t, out_c = [], [], []
+        # one buffer per language segment (languages are few)
+        for lg in np.unique(langs):
+            docs = texts[order][langs[order] == lg]
+            buf = np.frombuffer(
+                ("\x00".join(d.lower() for d in docs)).encode(
+                    "utf-8", errors="replace"
+                ),
+                dtype=np.uint8,
+            )
+            if len(buf) < 3:
+                continue
+            c0, c1, c2 = buf[:-2], buf[1:-1], buf[2:]
+            lo, hi = np.uint8(ord("a")), np.uint8(ord("z"))
+            m = (
+                (c0 >= lo) & (c0 <= hi)
+                & (c1 >= lo) & (c1 <= hi)
+                & (c2 >= lo) & (c2 <= hi)
+            )
+            code = (
+                (c0[m].astype(np.int32) - lo) * 676
+                + (c1[m].astype(np.int32) - lo) * 26
+                + (c2[m].astype(np.int32) - lo)
+            )
+            cnt = np.bincount(code, minlength=17576)
+            nz = np.flatnonzero(cnt)
+            out_l.append(np.full(len(nz), lg, dtype=object))
+            out_t.append(nz)
+            out_c.append(cnt[nz])
+        if not out_t:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tri": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "lang": pa.array(np.concatenate(out_l), pa.string()),
+                "tri": pa.array(np.concatenate(out_t).astype(np.int64), pa.int64()),
+                "cnt": pa.array(np.concatenate(out_c).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [("lang", pa.string()), ("trigram", pa.string()), ("cnt", pa.int64())]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        g = df.groupby(["lang", "tri"], sort=False, as_index=False)["cnt"].sum()
+        g = g.sort_values(["lang", "cnt", "tri"], ascending=[True, False, True])
+        g = g.groupby("lang", sort=False).head(_TRI_TOPK)
+        tri = g["tri"].to_numpy().astype(np.int64)
+        chars = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        names = [
+            "".join((chars[t // 676], chars[(t // 26) % 26], chars[t % 26]))
+            for t in tri
+        ]
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "trigram": pa.array(names, pa.string()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="lang",
+        per_bucket=per_bucket,
+        input_schema=pa.schema(
+            [("lang", pa.string()), ("tri", pa.int64()), ("cnt", pa.int64())]
+        ),
+    )
+
+
+SQL_CHAR_TRIGRAMS = f"""
+WITH ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+tg AS (SELECT lang, substr(lower(text), i, 3) AS trigram
+       FROM documents JOIN ser ON i <= length(lower(text)) - 2),
+c AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS cnt FROM tg
+      WHERE regexp_full_match(trigram, '[a-z]{{3}}')
+      GROUP BY lang, trigram)
+SELECT lang, trigram, cnt FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, trigram)
+        <= {_TRI_TOPK}
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -21242,6 +21488,8 @@ QUERIES = {
     "multitouch_attribution": q_multitouch_attribution,
     "heavy_hitters_exact": q_heavy_hitters_exact,
     "topk_join": q_topk_join,
+    "type_jaccard": q_type_jaccard,
+    "char_trigrams": q_char_trigrams,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -21608,4 +21856,6 @@ ORACLES = {
     "multitouch_attribution": SQL_MULTITOUCH_ATTRIBUTION,
     "heavy_hitters_exact": SQL_HEAVY_HITTERS_EXACT,
     "topk_join": SQL_TOPK_JOIN,
+    "type_jaccard": SQL_TYPE_JACCARD,
+    "char_trigrams": SQL_CHAR_TRIGRAMS,
 }

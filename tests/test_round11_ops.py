@@ -308,6 +308,39 @@ def test_topk_join_hierarchy(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_type_jaccard_planted_overlap(tmp_path):
+    """Users 1,2 do both a and b; user 3 only a; user 4 only b →
+    J(a,b) = 2/4 = 500000 ppm."""
+    rows = [
+        (1, 0, 1, "a"), (2, 1, 1, "b"),
+        (3, 0, 2, "a"), (4, 1, 2, "b"),
+        (5, 0, 3, "a"), (6, 0, 4, "b"),
+    ]
+    _write_event_rows(tmp_path, rows)
+    got = QUERIES["type_jaccard"](str(tmp_path)).to_pandas()
+    r = got[(got["type_a"] == "a") & (got["type_b"] == "b")].iloc[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3 and r["n_both"] == 2
+    assert r["jaccard_ppm"] == 500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_char_trigrams_planted(tmp_path):
+    """'aaaa' yields trigram 'aaa' twice; doc boundaries must not
+    create cross-doc trigrams ('xyz'+'zyx' share no window)."""
+    rows = [
+        (1, "aaaa", "en", "s"),
+        (2, "xyz", "en", "s"),
+        (3, "zyx", "en", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["char_trigrams"](str(tmp_path)).to_pandas()
+    en = got[got["lang"] == "en"].set_index("trigram")["cnt"]
+    assert en["aaa"] == 2
+    assert en["xyz"] == 1 and en["zyx"] == 1
+    assert "yzz" not in en.index and "zzy" not in en.index  # no cross-doc windows
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
