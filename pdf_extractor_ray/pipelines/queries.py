@@ -19938,6 +19938,45 @@ def q_sssp_weighted(
             }
         )
 
+    # Per round: exchange 1 builds frontier messages (frontier ∪ edges
+    # keyed on source node); exchange 2 FUSES the min-merge with the
+    # improved flag (prev dist tagged vs messages) so the frontier
+    # costs no third exchange — 2 exchanges/round, the BFS shape.
+    def prev_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "d": t.column("dist"),
+                "_src": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def msg_keyed(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_k": t.column("node"),
+                "d": t.column("dist"),
+                "_src": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def min_merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("_k", sort=False)
+        best = g["d"].min()
+        old = df[df["_src"] == 0].groupby("_k", sort=False)["d"].min()
+        out = best.reset_index().rename(columns={"_k": "node", "d": "dist"})
+        old_al = old.reindex(out["node"])
+        improved = (
+            old_al.isna().to_numpy() | (out["dist"].to_numpy() < old_al.to_numpy())
+        )
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy().astype(np.int64), pa.int64()),
+                "dist": pa.array(out["dist"].to_numpy().astype(np.int64), pa.int64()),
+                "improved": pa.array(improved, pa.bool_()),
+            }
+        )
+
     for _ in range(rounds):
         msgs = _bucketed(
             frontier.map_batches(front_keyed, batch_format="pyarrow").union(
@@ -19946,57 +19985,17 @@ def q_sssp_weighted(
             "_k",
             relax,
         )
-        prev = dist
-        dist = (
-            prev.union(msgs)
-            .groupby("node")
-            .min("dist")
-            .map_batches(
-                lambda t: pa.table(
-                    {"node": t.column("node"), "dist": t.column("min(dist)")}
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        # frontier = nodes whose best dist improved this round (anti-join
-        # against the previous dist on (node, dist) via a bucketed merge)
-        def improved(df: pd.DataFrame) -> pa.Table:
-            new = df[df["_src"] == 0][["_k", "d"]]
-            old = df[df["_src"] == 1][["_k", "d"]]
-            m = new.merge(old, on=["_k", "d"], how="left", indicator=True)
-            m = m[m["_merge"] == "left_only"]
-            return pa.table(
-                {
-                    "node": pa.array(m["_k"].to_numpy().astype(np.int64), pa.int64()),
-                    "dist": pa.array(m["d"].to_numpy().astype(np.int64), pa.int64()),
-                }
-            )
-
-        def new_keyed(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "_k": t.column("node"),
-                    "d": t.column("dist"),
-                    "_src": pa.array(np.zeros(t.num_rows, np.int8)),
-                }
-            )
-
-        def old_keyed(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "_k": t.column("node"),
-                    "d": t.column("dist"),
-                    "_src": pa.array(np.ones(t.num_rows, np.int8)),
-                }
-            )
-
-        frontier = _bucketed(
-            dist.map_batches(new_keyed, batch_format="pyarrow").union(
-                prev.map_batches(old_keyed, batch_format="pyarrow")
+        merged = _bucketed(
+            dist.map_batches(prev_keyed, batch_format="pyarrow").union(
+                msgs.map_batches(msg_keyed, batch_format="pyarrow")
             ),
             "_k",
-            improved,
+            min_merge,
+        ).materialize()
+        dist = merged.select_columns(["node", "dist"]).materialize()
+        frontier = merged.map_batches(
+            lambda t: t.filter(t.column("improved")).select(["node", "dist"]),
+            batch_format="pyarrow",
         ).materialize()
         if frontier.count() == 0:
             break
