@@ -21378,6 +21378,122 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, trigram)
 """
 
 
+# --------------------------------------------------------------------------
+# Weekly cohort LTV — revenue (exact cents) and active users by
+# (first-seen week, week age).  Weeks are plain epoch_us // 7d floor
+# on BOTH engines (no ISO-week/date_trunc subtleties).  Per-batch
+# (user, week)→cents combiner; the user-keyed exchange resolves each
+# user's cohort anchor in its bucket and collapses to (cohort, age)
+# partials — the driver sums O(weeks²) rows, never users.
+# --------------------------------------------------------------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+_LTV_PART_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("wk", pa.int64()), ("cents", pa.int64())]
+)
+
+
+def q_cohort_ltv(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        wk = ts.astype(np.int64) // _WEEK_US
+        cents = np.rint(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                    "wk": wk,
+                    "cents": cents,
+                }
+            )
+            .groupby(["user_id", "wk"], sort=False, as_index=False)["cents"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "wk": pa.array(g["wk"].to_numpy(), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("cohort_week", pa.int64()),
+                ("age", pa.int64()),
+                ("cents", pa.int64()),
+                ("n_users", pa.int64()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        d = df.groupby(["user_id", "wk"], sort=False, as_index=False)["cents"].sum()
+        first = d.groupby("user_id", sort=False)["wk"].min().rename("cw")
+        d = d.merge(first, on="user_id")
+        d["age"] = d["wk"] - d["cw"]
+        g = d.groupby(["cw", "age"], sort=False).agg(
+            cents=("cents", "sum"), n_users=("user_id", "nunique")
+        )
+        g = g.reset_index()
+        return pa.table(
+            {
+                "cohort_week": pa.array(g["cw"].to_numpy().astype(np.int64), pa.int64()),
+                "age": pa.array(g["age"].to_numpy().astype(np.int64), pa.int64()),
+                "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+                "n_users": pa.array(
+                    g["n_users"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=_LTV_PART_SCHEMA,
+    )
+    # users are bucket-disjoint → cents and n_users are both additive
+    pdf = parts.to_pandas()
+    out_schema = pa.schema(
+        [
+            ("cohort_week", pa.int64()),
+            ("age", pa.int64()),
+            ("cents", pa.int64()),
+            ("n_users", pa.int64()),
+        ]
+    )
+    if pdf.empty:
+        return out_schema.empty_table()
+    g = pdf.groupby(["cohort_week", "age"], as_index=False)[["cents", "n_users"]].sum()
+    return pa.table(
+        {
+            "cohort_week": pa.array(g["cohort_week"].to_numpy(), pa.int64()),
+            "age": pa.array(g["age"].to_numpy(), pa.int64()),
+            "cents": pa.array(g["cents"].to_numpy().astype(np.int64), pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_COHORT_LTV = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+g AS (SELECT f.cw AS cohort_week, e.wk - f.cw AS age,
+             SUM(e.cents) AS cents, count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week, CAST(age AS BIGINT) AS age,
+       CAST(cents AS BIGINT) AS cents, CAST(n_users AS BIGINT) AS n_users
+FROM g
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -21489,6 +21605,7 @@ QUERIES = {
     "topk_join": q_topk_join,
     "type_jaccard": q_type_jaccard,
     "char_trigrams": q_char_trigrams,
+    "cohort_ltv": q_cohort_ltv,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -21857,4 +21974,5 @@ ORACLES = {
     "topk_join": SQL_TOPK_JOIN,
     "type_jaccard": SQL_TYPE_JACCARD,
     "char_trigrams": SQL_CHAR_TRIGRAMS,
+    "cohort_ltv": SQL_COHORT_LTV,
 }

@@ -341,6 +341,25 @@ def test_char_trigrams_planted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cohort_ltv_planted(tmp_path):
+    """User 1 first seen week 0, spends 100 then 200 a week later;
+    user 2 first seen week 1, spends 50 → cohorts (0, age0)=100,
+    (0, age1)=200, (1, age0)=50."""
+    wk = 7 * 24 * 3600 * 1_000_000
+    rows = [(1, 0, 1, 1.0), (2, wk, 1, 2.0), (3, wk, 2, 0.5)]
+    _write_events(tmp_path, rows)
+    got = (
+        QUERIES["cohort_ltv"](str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_week", "age"])
+    )
+    assert got.loc[(0, 0), "cents"] == 100 and got.loc[(0, 0), "n_users"] == 1
+    assert got.loc[(0, 1), "cents"] == 200
+    assert got.loc[(1, 0), "cents"] == 50
+    assert len(got) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
