@@ -21494,6 +21494,183 @@ FROM g
 """
 
 
+# --------------------------------------------------------------------------
+# Training-mixture apportionment — split a fixed per-epoch document
+# budget across languages proportionally to token mass with the
+# largest-remainder (Hamilton) method: floor shares first, the
+# leftover seats to the largest remainders (ties → lang ASC).  Pure
+# integer arithmetic on both engines (Python ints ≙ HUGEINT), so the
+# allocation is tie-exact; token counts come from one mergeable-sum
+# exchange and the apportionment itself touches k = |langs| rows.
+# --------------------------------------------------------------------------
+
+_APPORTION_BUDGET = 1_000_000
+
+
+def q_sample_apportion(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        wc = pc.list_value_length(pc.split_pattern(b.column("text"), " ")).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pd.DataFrame(
+                {"lang": b.column("lang").to_numpy(zero_copy_only=False), "toks": wc}
+            )
+            .groupby("lang", sort=False, as_index=False)["toks"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "toks": pa.array(g["toks"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    schema = pa.schema([("lang", pa.string()), ("toks", pa.int64())])
+    merged = _sum_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["lang"],
+        sum_cols=["toks"],
+        schema=schema,
+    )
+    out_schema = pa.schema([("lang", pa.string()), ("quota", pa.int64())])
+    langs = merged.column("lang").to_pylist()
+    toks = [int(v) for v in merged.column("toks").to_pylist()]
+    tot = sum(toks)
+    if not langs or tot == 0:
+        return out_schema.empty_table()
+    B = _APPORTION_BUDGET
+    floors = [(B * t) // tot for t in toks]
+    rems = [(B * t) % tot for t in toks]
+    left = B - sum(floors)
+    order = sorted(range(len(langs)), key=lambda i: (-rems[i], langs[i]))
+    quota = list(floors)
+    for i in order[:left]:
+        quota[i] += 1
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "quota": pa.array(quota, pa.int64()),
+        }
+    )
+
+
+SQL_SAMPLE_APPORTION = f"""
+WITH c AS (SELECT lang, SUM(CAST(len(str_split(text, ' ')) AS BIGINT)) AS toks
+           FROM documents GROUP BY lang),
+t AS (SELECT SUM(toks) AS tot FROM c HAVING SUM(toks) > 0),
+base AS (SELECT lang, ({_APPORTION_BUDGET} * toks) // t.tot AS fl,
+                ({_APPORTION_BUDGET} * toks) % t.tot AS rem
+         FROM c, t),
+lef AS (SELECT {_APPORTION_BUDGET} - SUM(fl) AS leftover FROM base),
+r AS (SELECT lang, fl, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM base)
+SELECT lang,
+       CAST(fl + CASE WHEN rk <= (SELECT leftover FROM lef) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Pairwise source-contamination matrix — for every source pair, how
+# many DISTINCT 8-word shingles they share (the curation diagnostic
+# behind cross-source syndication / benchmark leakage).  The shingle
+# itself is the join key on both engines (no hash to mirror);
+# per-batch combiner dedups (source, shingle), the shingle-keyed
+# exchange emits per-pair partials (≤ C(|sources|,2) rows per
+# bucket), the driver sums a ≤190-row table.
+# --------------------------------------------------------------------------
+
+_SHINGLE_K = 8
+
+_SSO_PART_SCHEMA = pa.schema([("sg", pa.string()), ("source", pa.string())])
+
+
+def q_source_shingle_overlap(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        texts = b.column("text").to_pylist()
+        seen = set()
+        for s, t in zip(srcs, texts):
+            w = t.split(" ")
+            for i in range(len(w) - _SHINGLE_K + 1):
+                seen.add((" ".join(w[i : i + _SHINGLE_K]), s))
+        if not seen:
+            return _SSO_PART_SCHEMA.empty_table()
+        return pa.table(
+            {
+                "sg": pa.array([x[0] for x in seen], pa.string()),
+                "source": pa.array([x[1] for x in seen], pa.string()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("source_a", pa.string()),
+                ("source_b", pa.string()),
+                ("n_shared", pa.int64()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        d = df.drop_duplicates(["sg", "source"])
+        counts: dict[tuple[str, str], int] = {}
+        for _, grp in d.groupby("sg", sort=False):
+            ss = sorted(grp["source"].unique())
+            for i, a in enumerate(ss):
+                for b2 in ss[i + 1 :]:
+                    counts[(a, b2)] = counts.get((a, b2), 0) + 1
+        if not counts:
+            return out_schema.empty_table()
+        keys = sorted(counts)
+        return pa.table(
+            {
+                "source_a": pa.array([k[0] for k in keys], pa.string()),
+                "source_b": pa.array([k[1] for k in keys], pa.string()),
+                "n_shared": pa.array([counts[k] for k in keys], pa.int64()),
+            }
+        )
+
+    parts = _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="sg",
+        per_bucket=per_bucket,
+        input_schema=_SSO_PART_SCHEMA,
+    )
+    out_schema = pa.schema(
+        [("source_a", pa.string()), ("source_b", pa.string()), ("n_shared", pa.int64())]
+    )
+    pdf = parts.to_pandas()
+    if pdf.empty:
+        return out_schema.empty_table()
+    g = pdf.groupby(["source_a", "source_b"], as_index=False)["n_shared"].sum()
+    return pa.table(
+        {
+            "source_a": pa.array(g["source_a"], pa.string()),
+            "source_b": pa.array(g["source_b"], pa.string()),
+            "n_shared": pa.array(g["n_shared"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_SOURCE_SHINGLE_OVERLAP = f"""
+WITH w AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
+ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+sh AS (SELECT DISTINCT source,
+              array_to_string(list_slice(ws, i, i + {_SHINGLE_K - 1}), ' ') AS sg
+       FROM w JOIN ser ON i <= len(ws) - {_SHINGLE_K - 1}),
+p AS (SELECT a.source AS source_a, b.source AS source_b
+      FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -21606,6 +21783,8 @@ QUERIES = {
     "type_jaccard": q_type_jaccard,
     "char_trigrams": q_char_trigrams,
     "cohort_ltv": q_cohort_ltv,
+    "sample_apportion": q_sample_apportion,
+    "source_shingle_overlap": q_source_shingle_overlap,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -21975,4 +22154,6 @@ ORACLES = {
     "type_jaccard": SQL_TYPE_JACCARD,
     "char_trigrams": SQL_CHAR_TRIGRAMS,
     "cohort_ltv": SQL_COHORT_LTV,
+    "sample_apportion": SQL_SAMPLE_APPORTION,
+    "source_shingle_overlap": SQL_SOURCE_SHINGLE_OVERLAP,
 }

@@ -360,6 +360,42 @@ def test_cohort_ltv_planted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_sample_apportion_largest_remainder(tmp_path):
+    """Token masses 1:1:1 over 3 langs with budget 1,000,000 →
+    333,333 each + 1 leftover seat to the lexicographically first
+    lang (all remainders tie)."""
+    rows = [
+        (1, "a b c d", "de", "s"),
+        (2, "a b c d", "en", "s"),
+        (3, "a b c d", "fr", "s"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["sample_apportion"](str(tmp_path)).to_pandas().set_index("lang")
+    assert got["quota"].sum() == 1_000_000
+    assert got.loc["de", "quota"] == 333_334  # tie → lang ASC gets the seat
+    assert got.loc["en", "quota"] == 333_333
+    assert got.loc["fr", "quota"] == 333_333
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_shingle_overlap_planted(tmp_path):
+    """Two sources share exactly one 8-word shingle; the third
+    source shares none."""
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail-a", "en", "srcA"),
+        (2, "head-b " + shared, "en", "srcB"),
+        (3, "totally different words that never overlap anything here", "en", "srcC"),
+    ]
+    _write_docs(tmp_path, rows)
+    got = QUERIES["source_shingle_overlap"](str(tmp_path)).to_pandas()
+    got = got.set_index(["source_a", "source_b"])
+    assert got.loc[("srcA", "srcB"), "n_shared"] == 1
+    assert ("srcA", "srcC") not in got.index
+    assert ("srcB", "srcC") not in got.index
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
