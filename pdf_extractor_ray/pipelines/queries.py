@@ -21671,6 +21671,101 @@ FROM p GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# Burstiness (Fano factor) of each user's hourly event counts over
+# their active span (zero hours included analytically): everything
+# derives from three INTEGER per-user quantities — N = Σ counts,
+# S2 = Σ counts², span = last_hour − first_hour + 1 — so the
+# exchange moves integer (user, hour)-count partials and the one
+# float expression is structurally identical on both engines.
+#   fano = (S2/span − (N/span)²) / (N/span)
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+_BURST_PART_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("hr", pa.int64()), ("cnt", pa.int64())]
+)
+
+
+def q_burstiness(sf_dir: str):
+    ds = _read_pq(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hr = ts.astype(np.int64) // _HOUR_US
+        g = (
+            pd.DataFrame(
+                {"user_id": b.column("user_id").to_numpy(zero_copy_only=False), "hr": hr}
+            )
+            .groupby(["user_id", "hr"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "hr": pa.array(g["hr"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_events", pa.int64()),
+                ("span_hours", pa.int64()),
+                ("fano", pa.float64()),
+            ]
+        )
+        if df.empty:
+            return out_schema.empty_table()
+        d = df.groupby(["user_id", "hr"], sort=False, as_index=False)["cnt"].sum()
+        d["c2"] = d["cnt"].to_numpy().astype(np.int64) ** 2
+        g = d.groupby("user_id", sort=False).agg(
+            n=("cnt", "sum"), s2=("c2", "sum"), h0=("hr", "min"), h1=("hr", "max")
+        )
+        g = g.reset_index()
+        n = g["n"].to_numpy().astype(np.float64)
+        s2 = g["s2"].to_numpy().astype(np.float64)
+        span = (g["h1"] - g["h0"] + 1).to_numpy().astype(np.float64)
+        mean = n / span
+        fano = (s2 / span - mean * mean) / mean
+        return pa.table(
+            {
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "n_events": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+                "span_hours": pa.array(span.astype(np.int64), pa.int64()),
+                "fano": pa.array(_round6_away(fano), pa.float64()),
+            }
+        )
+
+    return _merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        per_bucket=per_bucket,
+        input_schema=_BURST_PART_SCHEMA,
+    )
+
+
+SQL_BURSTINESS = f"""
+WITH h AS (SELECT user_id, epoch_us(ts) // {_HOUR_US} AS hr,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+g AS (SELECT user_id, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+             max(hr) - min(hr) + 1 AS span
+      FROM h GROUP BY user_id)
+SELECT user_id, n AS n_events, CAST(span AS BIGINT) AS span_hours,
+       round((CAST(s2 AS DOUBLE) / CAST(span AS DOUBLE)
+              - (CAST(n AS DOUBLE) / CAST(span AS DOUBLE))
+                * (CAST(n AS DOUBLE) / CAST(span AS DOUBLE)))
+             / (CAST(n AS DOUBLE) / CAST(span AS DOUBLE)), 6) AS fano
+FROM g
+"""
+
+
 QUERIES = {
     "extract_transcripts": q_extract_transcripts,
     "page_render": q_page_render,
@@ -21785,6 +21880,7 @@ QUERIES = {
     "cohort_ltv": q_cohort_ltv,
     "sample_apportion": q_sample_apportion,
     "source_shingle_overlap": q_source_shingle_overlap,
+    "burstiness": q_burstiness,
     "bm25_topk": q_bm25_topk,
     "join_salted": q_join_salted,
     "source_quota": q_source_quota,
@@ -22156,4 +22252,5 @@ ORACLES = {
     "cohort_ltv": SQL_COHORT_LTV,
     "sample_apportion": SQL_SAMPLE_APPORTION,
     "source_shingle_overlap": SQL_SOURCE_SHINGLE_OVERLAP,
+    "burstiness": SQL_BURSTINESS,
 }

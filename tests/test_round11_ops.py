@@ -396,6 +396,23 @@ def test_source_shingle_overlap_planted(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_burstiness_hand_derived(tmp_path):
+    """2 events in hour 0 and 2 in hour 2 (span 3): fano = 2/3.
+    A single-hour user has zero variance → fano 0."""
+    hr = 3600 * 1_000_000
+    rows = [
+        (1, 0, 1, "view"), (2, 1, 1, "view"),
+        (3, 2 * hr, 1, "view"), (4, 2 * hr + 1, 1, "view"),
+        (5, 0, 2, "view"), (6, 1, 2, "view"),
+    ]
+    _write_event_rows(tmp_path, rows)
+    got = QUERIES["burstiness"](str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1, "span_hours"] == 3
+    assert abs(got.loc[1, "fano"] - 2 / 3) < 1e-6
+    assert got.loc[2, "fano"] == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ols_multi_recovers_planted_law(tmp_path):
     """n_chars = 7 + 3·wc + 2·vowels exactly → betas recovered, r2=1."""
     rng = np.random.RandomState(11)
