@@ -254,53 +254,60 @@ def review_priorities(ds: ray.data.Dataset) -> ray.data.Dataset:
     (similarity 1.0), and a resolved row WITHOUT one is corrupted
     output (similarity 0.0 → high priority).  Runs entirely inside
     ``map_batches`` — one pass, no shuffle."""
+    return ds.map_batches(priority_batch, batch_format="pyarrow")
+
+
+def priority_batch(batch: pa.Table) -> pa.Table:
+    """Pure per-batch review routing (body of ``review_priorities``).
+
+    Module-level so the sequential golden generator
+    (scripts/make_flagship_golden.py) can run the IDENTICAL routing
+    over the single-threaded oracle extraction — the frozen golden
+    parquet then verifies only the distributed orchestration."""
     from ..sources.latex_sink import render_unit, structural_check
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column("extracted_text").to_pylist()
-        units = batch.column("unit_id").to_pylist()
-        flags = batch.column("flags").to_pylist()
-        lat, refs, sims, prio, passed = [], [], [], [], []
-        for u, x, f in zip(units, texts, flags):
-            x = x or ""
-            p = "none"
-            snippet = (
-                "\\documentclass{article}\n\\begin{document}\n"
-                + render_unit(u, x)
-                + "\\end{document}"
-            )
-            ok = structural_check(snippet)
-            if not ok:
-                p = "high"
-            has_refs = bool(GENERIC_REF_RE.search(x))
-            if has_refs and p != "high":
-                p = "medium"
-            sim = None
-            if f["resolved"]:
-                sim = 1.0 if "[Context from " in x else 0.0
-                if sim < 0.95:
-                    p = "high"
-                elif sim < 0.99 and p == "none":
-                    p = "low"
-            lat.append(ok)
-            refs.append(has_refs)
-            sims.append(sim)
-            prio.append(p)
-            passed.append(ok and not has_refs and (sim is None or sim >= 0.95))
-        return pa.table(
-            {
-                "conv_id": batch.column("conv_id"),
-                "turn_idx": batch.column("turn_idx"),
-                "unit_id": batch.column("unit_id"),
-                "latex_ok": pa.array(lat, pa.bool_()),
-                "has_remaining_refs": pa.array(refs, pa.bool_()),
-                "answer_similarity": pa.array(sims, pa.float64()),
-                "review_priority": pa.array(prio, pa.string()),
-                "passed": pa.array(passed, pa.bool_()),
-            }
+    texts = batch.column("extracted_text").to_pylist()
+    units = batch.column("unit_id").to_pylist()
+    flags = batch.column("flags").to_pylist()
+    lat, refs, sims, prio, passed = [], [], [], [], []
+    for u, x, f in zip(units, texts, flags):
+        x = x or ""
+        p = "none"
+        snippet = (
+            "\\documentclass{article}\n\\begin{document}\n"
+            + render_unit(u, x)
+            + "\\end{document}"
         )
-
-    return ds.map_batches(per_batch, batch_format="pyarrow")
+        ok = structural_check(snippet)
+        if not ok:
+            p = "high"
+        has_refs = bool(GENERIC_REF_RE.search(x))
+        if has_refs and p != "high":
+            p = "medium"
+        sim = None
+        if f["resolved"]:
+            sim = 1.0 if "[Context from " in x else 0.0
+            if sim < 0.95:
+                p = "high"
+            elif sim < 0.99 and p == "none":
+                p = "low"
+        lat.append(ok)
+        refs.append(has_refs)
+        sims.append(sim)
+        prio.append(p)
+        passed.append(ok and not has_refs and (sim is None or sim >= 0.95))
+    return pa.table(
+        {
+            "conv_id": batch.column("conv_id"),
+            "turn_idx": batch.column("turn_idx"),
+            "unit_id": batch.column("unit_id"),
+            "latex_ok": pa.array(lat, pa.bool_()),
+            "has_remaining_refs": pa.array(refs, pa.bool_()),
+            "answer_similarity": pa.array(sims, pa.float64()),
+            "review_priority": pa.array(prio, pa.string()),
+            "passed": pa.array(passed, pa.bool_()),
+        }
+    )
 
 
 def resolution_report(ds: ray.data.Dataset) -> tuple[dict, pa.Table]:

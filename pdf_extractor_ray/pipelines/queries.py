@@ -22254,3 +22254,54 @@ ORACLES = {
     "source_shingle_overlap": SQL_SOURCE_SHINGLE_OVERLAP,
     "burstiness": SQL_BURSTINESS,
 }
+
+
+def _sql_flagship_golden(filename: str, cols: str) -> str:
+    """Oracle over a frozen flagship golden parquet.
+
+    The flagship trio runs over the deterministic seed-42 transcript
+    lake, so its output is a pure function of the scale factor.  The
+    goldens are computed SEQUENTIALLY (single-threaded
+    ``oracle.oracle_extract`` + the pure per-batch kernels — see
+    scripts/make_flagship_golden.py), never by the Ray engine, so the
+    driver's hash-compare against them verifies the distributed
+    orchestration.  The ``_sf`` slice is picked by sniffing the row
+    count of the driver-registered ``orders`` view (1.5k / 15k / 150k
+    at sf0.001 / sf0.01 / sf0.1)."""
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests",
+        "golden",
+        filename,
+    )
+    return f"""
+    SELECT {cols}
+    FROM read_parquet('{path}')
+    WHERE _sf = (
+        SELECT CASE WHEN count(*) < 5000 THEN 'sf0.001'
+                    WHEN count(*) < 50000 THEN 'sf0.01'
+                    ELSE 'sf0.1' END
+        FROM orders)
+    """
+
+
+ORACLES["extract_transcripts"] = _sql_flagship_golden(
+    "flagship_extracted.parquet", "conv_id, turn_idx, unit_id, extracted_text"
+)
+ORACLES["review_priority"] = _sql_flagship_golden(
+    "flagship_review_priority.parquet", "review_priority, n"
+)
+ORACLES["page_render"] = _sql_flagship_golden(
+    "flagship_page_render.parquet", "conv_id, n_pages, png_bytes"
+)
+
+# The driver's correctness gate checks the FIRST 50 ``queries()``
+# entries; keep every oracled operator ahead of the sketch/iterative
+# ops (HLL, LSH pairs, k-means, PCA, ...) whose contracts are
+# approximation properties pinned by pytest, not SQL-expressible
+# equalities.  Stable partition: relative order unchanged within each
+# class, flagship trio (now golden-oracled) stays on top.
+QUERIES = {
+    **{n: QUERIES[n] for n in QUERIES if n in ORACLES},
+    **{n: QUERIES[n] for n in QUERIES if n not in ORACLES},
+}
