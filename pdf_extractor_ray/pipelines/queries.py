@@ -20233,6 +20233,7 @@ _ANAGRAM_SCHEMA = pa.schema(
 # vocabulary is bounded, so after the first few batches every word is
 # a dict hit and no sorting happens at all
 _ANAGRAM_SIG_CACHE: dict[str, str] = {}
+_ANAGRAM_CACHE_MAX = 4_000_000
 
 
 def _anagram_sigs(words: np.ndarray) -> list[str]:
@@ -20246,9 +20247,10 @@ def _anagram_sigs(words: np.ndarray) -> list[str]:
         mat = np.sort(arr.view(np.uint8).reshape(len(miss), -1), axis=1)
         for w, row in zip(miss, mat.view(f"S{mat.shape[1]}").ravel()):
             cache[w] = row.lstrip(b"\0").decode()
-        if len(cache) > 4_000_000:  # bound worker memory on hostile vocab
-            cache.clear()
-    return [cache[w] for w in words]
+    out = [cache[w] for w in words]
+    if len(cache) > _ANAGRAM_CACHE_MAX:  # bound worker memory on hostile vocab
+        cache.clear()
+    return out
 
 
 def q_anagram_groups(sf_dir: str):
@@ -20422,10 +20424,17 @@ def q_ols_multi(sf_dir: str):
     d0 = _det3(sy, sx, sz, sxy, sxx, sxz, szy, sxz, szz)
     d1 = _det3(n, sy, sz, sx, sxy, sxz, sz, szy, szz)
     d2 = _det3(n, sx, sy, sx, sxx, sxy, sz, sxz, szy)
-    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    # degenerate-but-valid lakes (singular normal matrix / zero y
+    # variance) must DIVERGE GRACEFULLY like the oracle: DuckDB double
+    # x/0 is NULL, which pandas reads as NaN — mirror that, don't raise
+    nan = float("nan")
+    if det != 0.0:
+        b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    else:
+        b0 = b1 = b2 = nan
     sse = syy - (b0 * sy + b1 * sxy + b2 * szy)
     sst = syy - sy * sy / n
-    r2 = 1.0 - sse / sst
+    r2 = 1.0 - sse / sst if sst != 0.0 else nan
     return pa.table(
         {
             "n_docs": pa.array([int(n)], pa.int64()),
@@ -20627,7 +20636,8 @@ def q_group_lcp(sf_dir: str):
 
 SQL_GROUP_LCP = """
 WITH mm AS (SELECT lang, min(text) AS a, max(text) AS b FROM documents GROUP BY lang),
-ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+ser AS (SELECT CAST(unnest(generate_series(1, m)) AS INT) AS i
+        FROM (SELECT coalesce(max(length(text)), 0) AS m FROM documents)),
 hit AS (SELECT mm.lang AS lang, max(i) AS lcp FROM mm JOIN ser
         ON i <= least(length(a), length(b))
         AND substr(a, 1, i) = substr(b, 1, i) GROUP BY mm.lang)
@@ -21366,7 +21376,8 @@ def q_char_trigrams(sf_dir: str):
 
 
 SQL_CHAR_TRIGRAMS = f"""
-WITH ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+WITH ser AS (SELECT CAST(unnest(generate_series(1, m)) AS INT) AS i
+             FROM (SELECT coalesce(max(length(text)), 0) AS m FROM documents)),
 tg AS (SELECT lang, substr(lower(text), i, 3) AS trigram
        FROM documents JOIN ser ON i <= length(lower(text)) - 2),
 c AS (SELECT lang, trigram, CAST(count(*) AS BIGINT) AS cnt FROM tg
@@ -21660,7 +21671,9 @@ def q_source_shingle_overlap(sf_dir: str):
 
 SQL_SOURCE_SHINGLE_OVERLAP = f"""
 WITH w AS (SELECT source, str_split(text, ' ') AS ws FROM documents),
-ser AS (SELECT CAST(i AS INT) AS i FROM range(1, 100001) t(i)),
+ser AS (SELECT CAST(unnest(generate_series(1, m)) AS INT) AS i
+        FROM (SELECT coalesce(max(len(str_split(text, ' '))), 0) AS m
+              FROM documents)),
 sh AS (SELECT DISTINCT source,
               array_to_string(list_slice(ws, i, i + {_SHINGLE_K - 1}), ' ') AS sg
        FROM w JOIN ser ON i <= len(ws) - {_SHINGLE_K - 1}),
