@@ -2150,11 +2150,17 @@ def _grouped_order_stats(ds_factory, key: str, value_of, ranks_for):
     return out
 
 
-def _lang_nchars_order_stats(sf_dir: str, ranks_for):
+def _lang_nchars_order_stats(sf_dir: str, ranks_for, ds_factory=None):
     """Per-language exact order statistics of ``n_chars`` (the
-    documents-table specialization of ``_grouped_order_stats``)."""
+    documents-table specialization of ``_grouped_order_stats``).
+
+    ``ds_factory`` lets a multi-pass caller (q_ntile) hand in ONE
+    pinned materialized scan shared by every pass instead of
+    launching a fresh read pipeline per pass — at bench scale each
+    extra pipeline launch costs ~0.5 s of pure scheduling."""
     return _grouped_order_stats(
-        lambda: _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"]),
+        ds_factory
+        or (lambda: _read_pq(_t(sf_dir, "documents"), columns=["lang", "n_chars"])),
         "lang",
         lambda b: b.column("n_chars").to_numpy(zero_copy_only=False),
         ranks_for,
@@ -4095,7 +4101,14 @@ def q_ntile(sf_dir: str):
         c = np.cumsum(sizes)
         return {f"b{j}": int(c[j - 1]) for j in (1, 2, 3)}
 
-    stats = _lang_nchars_order_stats(sf_dir, ranks_for)
+    # up to 5 bounded passes share ONE pinned scan (r3 lesson: the
+    # de-skew rebuild paid a fresh read-pipeline launch per pass —
+    # 2.97 s for quartiles over 212k rows, all scheduling)
+    path = _t(sf_dir, "documents")
+    pinned = _compact_pin(
+        _read_pq(path, columns=["lang", "n_chars", "doc_id"]), os.path.getsize(path)
+    )
+    stats = _lang_nchars_order_stats(sf_dir, ranks_for, ds_factory=lambda: pinned)
 
     # boundary doc_id resolution: only ties straddling a boundary need it
     needs = []  # (lang, j, v, k)
@@ -4106,7 +4119,6 @@ def q_ntile(sf_dir: str):
     dstar: dict[tuple[str, int], int] = {}
     if needs:
         need_df = pd.DataFrame(needs, columns=["lang", "j", "val", "k"])
-        cols = ["lang", "n_chars", "doc_id"]
 
         def c1_partial(b: pd.DataFrame) -> pa.Table:
             t = pd.DataFrame(
@@ -4128,9 +4140,7 @@ def q_ntile(sf_dir: str):
 
         c1 = (
             _sum_partials(
-                _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
-                    c1_partial, batch_format="pandas"
-                ),
+                pinned.map_batches(c1_partial, batch_format="pandas"),
                 keys=["lang", "j", "dbin"],
                 sum_cols=["cnt"],
                 schema=pa.schema(
@@ -4176,11 +4186,7 @@ def q_ntile(sf_dir: str):
 
         # ≤ _NTILE_DBIN unique doc_ids per (lang, j) — tiny by bound
         c2 = (
-            _to_table(
-                _read_pq(_t(sf_dir, "documents"), columns=cols).map_batches(
-                    c2_partial, batch_format="pandas"
-                )
-            )
+            _to_table(pinned.map_batches(c2_partial, batch_format="pandas"))
             .to_pandas()
             .sort_values(["lang", "j", "doc_id"])
         )
@@ -4224,8 +4230,9 @@ def q_ntile(sf_dir: str):
             }
         )
 
-    ds = _read_pq(_t(sf_dir, "documents"), columns=["doc_id", "lang", "n_chars"])
-    return _to_table(ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True))
+    return _to_table(
+        pinned.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    )
 
 
 SQL_NTILE = """
