@@ -19,11 +19,11 @@ import os
 import time
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
 from ..config import DEFAULT_CONFIG, DEFAULT_RUN, ExtractorConfig, RunConfig
-from ..functions.ids import parse_unit_id
 from ..sources.transcripts import lake_files, read_transcripts
 from ..stages.conversation import stitch_conversations
 from ..stages.turn_extract import TurnExtractor
@@ -43,13 +43,25 @@ def _default_concurrency() -> int:
 def add_sort_keys(batch: pa.Table) -> pa.Table:
     """Derived numeric sort-key columns from unit_id (reference
     parse_qa_id, /root/reference/src/pipeline.py:92-127) so the global
-    sort orders 2.9 < 2.10 and 2.18 < 2.18a."""
-    ids = batch.column("unit_id").to_pylist()
-    keys = [parse_unit_id(u) for u in ids]
+    sort orders 2.9 < 2.10 and 2.18 < 2.18a.
+
+    Arrow-native twin of ``functions.ids.parse_unit_id`` ("2.18a" →
+    (2, 18, "a"); non-matching ids → (0, 0, raw)) — one
+    ``extract_regex`` kernel call instead of a Python loop per row."""
+    ids = batch.column("unit_id")
+    ex = pc.extract_regex(
+        pc.utf8_trim_whitespace(ids),
+        r"^(?P<ch>\d+)\.(?P<q>\d+)(?P<sfx>[a-z]*)$",
+    )
+    valid = ex.is_valid()
+    zero = pa.scalar(0, pa.int32())
+    chapter = pc.if_else(valid, pc.struct_field(ex, "ch").cast(pa.int32()), zero)
+    qnum = pc.if_else(valid, pc.struct_field(ex, "q").cast(pa.int32()), zero)
+    suffix = pc.if_else(valid, pc.struct_field(ex, "sfx"), ids)
     return (
-        batch.append_column("_chapter", pa.array([k[0] for k in keys], pa.int32()))
-        .append_column("_qnum", pa.array([k[1] for k in keys], pa.int32()))
-        .append_column("_suffix", pa.array([k[2] for k in keys], pa.string()))
+        batch.append_column("_chapter", chapter)
+        .append_column("_qnum", qnum)
+        .append_column("_suffix", suffix)
     )
 
 
@@ -60,8 +72,6 @@ def max_conversation_turns(source: str | list[str] | ray.data.Dataset) -> int:
     the shuffle to ~one row per (conversation, batch) — the
     pre-aggregation pattern — so this costs a tiny fraction of the
     extraction run even at lake scale."""
-    import collections
-
     from ray.data.aggregate import Sum
 
     if isinstance(source, ray.data.Dataset):
@@ -70,11 +80,11 @@ def max_conversation_turns(source: str | list[str] | ray.data.Dataset) -> int:
         ds = read_transcripts(source, columns=("conv_id",))
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = collections.Counter(batch.column("conv_id").to_pylist())
+        vc = pc.value_counts(batch.column("conv_id"))
         return pa.table(
             {
-                "conv_id": pa.array(list(c.keys()), pa.string()),
-                "n": pa.array(list(c.values()), pa.int64()),
+                "conv_id": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
             }
         )
 

@@ -674,29 +674,32 @@ def minhash_dedup(
         return ds
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
-        ta = batch.column("text_a").to_pylist()
+        a_ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b_ids = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()  # strings: kernel input
         tb = batch.column("text_b").to_pylist()
-        keep_a, keep_b = [], []
         # per-batch shingle cache: a hot cluster of m docs appears in
-        # ~m²/2 pairs — shingle each candidate once, not once per pair
+        # ~m²/2 pairs — the vectorized shingles kernel runs once per
+        # UNIQUE candidate, never once per pair
         sh: dict[int, object] = {}
-
-        def sh_of(i, t):
-            s = sh.get(i)
-            if s is None:
-                s = sh[i] = shingles(t or "", k)
-            return s
-
-        for ia, ib, x, y in zip(a_ids, b_ids, ta, tb):
-            if jaccard(sh_of(ia, x), sh_of(ib, y)) >= jaccard_threshold:
-                keep_a.append(ia)
-                keep_b.append(ib)
+        for i, t in zip(a_ids, ta):
+            if i not in sh:
+                sh[i] = shingles(t or "", k)
+        for i, t in zip(b_ids, tb):
+            if i not in sh:
+                sh[i] = shingles(t or "", k)
+        keep = np.fromiter(
+            (
+                jaccard(sh[ia], sh[ib]) >= jaccard_threshold
+                for ia, ib in zip(a_ids, b_ids)
+            ),
+            dtype=bool,
+            count=len(a_ids),
+        )
         return pa.table(
             {
-                "id_a": pa.array(keep_a, pa.int64()),
-                "id_b": pa.array(keep_b, pa.int64()),
+                "id_a": pa.array(a_ids[keep], pa.int64()),
+                "id_b": pa.array(b_ids[keep], pa.int64()),
             }
         )
 
