@@ -21594,78 +21594,187 @@ FROM r
 # --------------------------------------------------------------------------
 # Pairwise source-contamination matrix — for every source pair, how
 # many DISTINCT 8-word shingles they share (the curation diagnostic
-# behind cross-source syndication / benchmark leakage).  The shingle
-# itself is the join key on both engines (no hash to mirror);
-# per-batch combiner dedups (source, shingle), the shingle-keyed
-# exchange emits per-pair partials (≤ C(|sources|,2) rows per
-# bucket), the driver sums a ≤190-row table.
+# behind cross-source syndication / benchmark leakage).
+#
+# Scale path (r3 lesson: the literal 8-word shingle STRING as the
+# exchange key measured 456 s vs the 81 s oracle at 1M docs — ~50
+# bytes of text per exchanged row): the exchange now carries TWO
+# independent 64-bit shingle hashes (polynomial roll over two
+# independently-keyed word-hash streams) — 16 bytes/row, computed
+# fully vectorized.  Exactness is preserved by a collision AUDIT:
+# within each h1-keyed bucket, an h1 carrying >1 distinct h2 is a
+# detected collision and is routed to a string-keyed audit pass (the
+# original exact path) restricted to just those shingles; clean h1s
+# count hash-side.  A collision escapes only if two DIFFERENT
+# shingles collide in BOTH independent 64-bit hashes simultaneously
+# (≈2⁻¹²⁸ per pair — below any physical error rate).
 # --------------------------------------------------------------------------
 
 _SHINGLE_K = 8
 
-_SSO_PART_SCHEMA = pa.schema([("sg", pa.string()), ("source", pa.string())])
+_SSO_PART_SCHEMA = pa.schema(
+    [("h1", pa.uint64()), ("h2", pa.uint64()), ("source", pa.string())]
+)
+_SSO_OUT_SCHEMA = pa.schema(
+    [("source_a", pa.string()), ("source_b", pa.string()), ("n_shared", pa.int64())]
+)
+_SSO_KEY2 = "graftsso2ndkey!!"  # 16-char pandas hash_key for stream 2
+_SSO_B1 = np.uint64(1099511628211)  # FNV-1a prime, odd
+_SSO_B2 = np.uint64(2862933555777941757)  # LCG multiplier, odd
+_SSO_SUSPECT = "\x00__sso_suspect__"  # per-bucket suspect marker row
+
+
+def _sso_windows(srcs: list, texts: list):
+    """Vectorized per-batch shingle hashing: every doc's ``split(' ')``
+    words hashed once per stream, then k shifted multiply-adds build
+    all window hashes at once.  Returns (src_codes np.object win rows,
+    h1, h2, doc_idx, win_start_within_doc, words_per_doc)."""
+    words_per_doc = [t.split(" ") for t in texts]
+    lens = np.fromiter(
+        (len(w) for w in words_per_doc), dtype=np.int64, count=len(words_per_doc)
+    )
+    m = np.maximum(lens - _SHINGLE_K + 1, 0)
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return (
+            np.empty(0, dtype=object), e, e,
+            np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+            words_per_doc,
+        )
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words_per_doc])
+    wh1 = pd.util.hash_array(flat)
+    wh2 = pd.util.hash_array(flat, hash_key=_SSO_KEY2)
+    starts = np.cumsum(lens) - lens
+    doc_idx = np.repeat(np.arange(len(lens)), m)
+    within = np.arange(total) - np.repeat(np.cumsum(m) - m, m)
+    w0 = starts[doc_idx] + within
+    h1 = np.zeros(total, dtype=np.uint64)
+    h2 = np.zeros(total, dtype=np.uint64)
+    for j in range(_SHINGLE_K):  # uint64 wraparound = mod 2^64
+        h1 = h1 * _SSO_B1 + wh1[w0 + j]
+        h2 = h2 * _SSO_B2 + wh2[w0 + j]
+    src_arr = np.asarray(srcs, dtype=object)[doc_idx]
+    return src_arr, h1, h2, doc_idx, within, words_per_doc
+
+
+def _sso_pair_counts(d: pd.DataFrame, key: str) -> pd.DataFrame:
+    """Distinct-``key`` shared-shingle counts per source pair via a
+    vectorized self-merge (no per-group Python)."""
+    dd = d[[key, "source"]].drop_duplicates()
+    multi = dd[key].map(dd[key].value_counts()) >= 2
+    dd = dd[multi]
+    if dd.empty:
+        return pd.DataFrame(columns=["source_a", "source_b", "n_shared"])
+    mm = dd.merge(dd, on=key)
+    mm = mm[mm["source_x"] < mm["source_y"]]
+    g = mm.groupby(["source_x", "source_y"], as_index=False).size()
+    g.columns = ["source_a", "source_b", "n_shared"]
+    return g
 
 
 def q_source_shingle_overlap(sf_dir: str):
-    ds = _read_pq(_t(sf_dir, "documents"), columns=["source", "text"])
+    path = _t(sf_dir, "documents")
+    ds = _read_pq(path, columns=["source", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        srcs = b.column("source").to_pylist()
-        texts = b.column("text").to_pylist()
-        seen = set()
-        for s, t in zip(srcs, texts):
-            w = t.split(" ")
-            for i in range(len(w) - _SHINGLE_K + 1):
-                seen.add((" ".join(w[i : i + _SHINGLE_K]), s))
-        if not seen:
+        src_arr, h1, h2, _, _, _ = _sso_windows(
+            b.column("source").to_pylist(), b.column("text").to_pylist()
+        )
+        if len(h1) == 0:
             return _SSO_PART_SCHEMA.empty_table()
+        d = pd.DataFrame({"h1": h1, "h2": h2, "source": src_arr}).drop_duplicates()
         return pa.table(
             {
-                "sg": pa.array([x[0] for x in seen], pa.string()),
-                "source": pa.array([x[1] for x in seen], pa.string()),
+                "h1": pa.array(d["h1"].to_numpy(), pa.uint64()),
+                "h2": pa.array(d["h2"].to_numpy(), pa.uint64()),
+                "source": pa.array(d["source"], pa.string()),
             }
         )
 
     def per_bucket(df: pd.DataFrame) -> pa.Table:
-        out_schema = pa.schema(
-            [
-                ("source_a", pa.string()),
-                ("source_b", pa.string()),
-                ("n_shared", pa.int64()),
-            ]
-        )
         if df.empty:
-            return out_schema.empty_table()
-        d = df.drop_duplicates(["sg", "source"])
-        counts: dict[tuple[str, str], int] = {}
-        for _, grp in d.groupby("sg", sort=False):
-            ss = sorted(grp["source"].unique())
-            for i, a in enumerate(ss):
-                for b2 in ss[i + 1 :]:
-                    counts[(a, b2)] = counts.get((a, b2), 0) + 1
-        if not counts:
-            return out_schema.empty_table()
-        keys = sorted(counts)
-        return pa.table(
+            return _SSO_OUT_SCHEMA.empty_table()
+        d = df.drop_duplicates(["h1", "h2", "source"])
+        # detected collisions: one h1, >1 distinct underlying shingle
+        nh2 = d.groupby("h1")["h2"].transform("nunique")
+        suspects = d.loc[nh2 > 1, "h1"].unique()
+        clean = d[nh2 <= 1]
+        g = _sso_pair_counts(clean, "h1")
+        out = pa.table(
             {
-                "source_a": pa.array([k[0] for k in keys], pa.string()),
-                "source_b": pa.array([k[1] for k in keys], pa.string()),
-                "n_shared": pa.array([counts[k] for k in keys], pa.int64()),
+                "source_a": pa.array(g["source_a"], pa.string()),
+                "source_b": pa.array(g["source_b"], pa.string()),
+                "n_shared": pa.array(
+                    g["n_shared"].to_numpy().astype(np.int64), pa.int64()
+                ),
             }
         )
+        if len(suspects):
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "source_a": pa.array(
+                                [_SSO_SUSPECT] * len(suspects), pa.string()
+                            ),
+                            "source_b": pa.array(
+                                [str(int(s)) for s in suspects], pa.string()
+                            ),
+                            "n_shared": pa.array([0] * len(suspects), pa.int64()),
+                        }
+                    ),
+                ]
+            )
+        return out
 
     parts = _merge_partials(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
-        key="sg",
+        key="h1",
         per_bucket=per_bucket,
         input_schema=_SSO_PART_SCHEMA,
     )
-    out_schema = pa.schema(
-        [("source_a", pa.string()), ("source_b", pa.string()), ("n_shared", pa.int64())]
-    )
     pdf = parts.to_pandas()
     if pdf.empty:
-        return out_schema.empty_table()
+        return _SSO_OUT_SCHEMA.empty_table()
+
+    suspect_rows = pdf[pdf["source_a"] == _SSO_SUSPECT]
+    pdf = pdf[pdf["source_a"] != _SSO_SUSPECT]
+    if len(suspect_rows):
+        # string-keyed audit pass, restricted to the detected-collision
+        # shingles only — the original exact path as the audit twin
+        suspect_set = set(
+            np.asarray(suspect_rows["source_b"], dtype="U").astype(np.uint64).tolist()
+        )
+
+        def audit_partial(b: pa.Table) -> pa.Table:
+            srcs = b.column("source").to_pylist()
+            texts = b.column("text").to_pylist()
+            src_arr, h1, _, doc_idx, within, words = _sso_windows(srcs, texts)
+            mask = np.isin(h1, np.fromiter(suspect_set, dtype=np.uint64))
+            sg = [
+                " ".join(words[di][w : w + _SHINGLE_K])
+                for di, w in zip(doc_idx[mask], within[mask])
+            ]
+            return pa.table(
+                {
+                    "sg": pa.array(sg, pa.string()),
+                    "source": pa.array(src_arr[mask], pa.string()),
+                }
+            )
+
+        audit = (
+            _to_table(
+                _read_pq(path, columns=["source", "text"]).map_batches(
+                    audit_partial, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .to_pandas()
+            .drop_duplicates()
+        )
+        pdf = pd.concat([pdf, _sso_pair_counts(audit, "sg")], ignore_index=True)
+
     g = pdf.groupby(["source_a", "source_b"], as_index=False)["n_shared"].sum()
     return pa.table(
         {
