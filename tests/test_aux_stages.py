@@ -899,7 +899,8 @@ def test_pack_sequences_multi_range(ray_session, tmp_path, monkeypatch):
         ),
         str(tmp_path / "documents.parquet"),
     )
-    monkeypatch.setattr(Q, "_PACK_RANGE", 1024)  # ~98 ranges
+    from pdf_extractor_ray.pipelines.queries import prep as Qprep
+    monkeypatch.setattr(Qprep, "_PACK_RANGE", 1024)  # ~98 ranges
     got = Q.q_pack_sequences(str(tmp_path)).to_pandas()
     con = duckdb.connect()
     con.execute(

@@ -41,14 +41,16 @@ def test_anagram_sig_cache_clear_returns_before_losing_entries(monkeypatch):
     """Tripping the hostile-vocab memory bound must still return the
     signatures for THIS call (ADVICE r3: clear-then-index raised
     KeyError on the exact case the guard protects)."""
-    monkeypatch.setattr(Q, "_ANAGRAM_CACHE_MAX", 2)
-    Q._ANAGRAM_SIG_CACHE.clear()
+    from pdf_extractor_ray.pipelines.queries import textops as T
+
+    monkeypatch.setattr(T, "_ANAGRAM_CACHE_MAX", 2)
+    T._ANAGRAM_SIG_CACHE.clear()
     words = np.array(["listen", "silent", "stone", "notes"])
-    sigs = Q._anagram_sigs(words)
+    sigs = T._anagram_sigs(words)
     assert sigs == ["eilnst", "eilnst", "enost", "enost"]
-    assert len(Q._ANAGRAM_SIG_CACHE) == 0  # bound enforced after return
+    assert len(T._ANAGRAM_SIG_CACHE) == 0  # bound enforced after return
     # and the next batch rebuilds cleanly
-    assert Q._anagram_sigs(np.array(["tones"])) == ["enost"]
+    assert T._anagram_sigs(np.array(["tones"])) == ["enost"]
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -718,7 +718,8 @@ def test_contained_dedup_edge_cases(tmp_path, monkeypatch):
         ),
         str(tmp_path / "documents.parquet"),
     )
-    monkeypatch.setattr(q, "_CONTAIN_CHUNK", 1)  # force multi-pass
+    from pdf_extractor_ray.pipelines.queries import dedup_diag as qdd
+    monkeypatch.setattr(qdd, "_CONTAIN_CHUNK", 1)  # force multi-pass
     got = q.q_contained_dedup(str(tmp_path)).to_pandas()
     con = duckdb.connect()
     con.execute(

@@ -282,6 +282,7 @@ def test_fuzzy_join_distributed_matches_local(tmp_path, monkeypatch):
     _write_docs(tmp_path, rows)
     local = q.q_fuzzy_join(str(tmp_path)).to_pandas()
     assert local[["id_a", "id_b"]].values.tolist() == [[1, 2]]
-    monkeypatch.setattr(q, "_DRIVER_MERGE_MAX_ROWS", 0)  # force the exchange
+    from pdf_extractor_ray.pipelines.queries import _common as qc
+    monkeypatch.setattr(qc, "_DRIVER_MERGE_MAX_ROWS", 0)  # force the exchange
     dist = q.q_fuzzy_join(str(tmp_path)).to_pandas()
     assert dist.values.tolist() == local.values.tolist()
