@@ -29,10 +29,20 @@ def _offset(table: pa.Table, col: str, r: int) -> pa.Table:
 def main() -> None:
     out, n = sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 10
     os.makedirs(out, exist_ok=True)
+    # nation/region are dimension constants: copy once, keys unshifted
+    # (customer/supplier nationkeys keep referencing them)
+    for name in ("nation", "region"):
+        pq.write_table(
+            pq.read_table(os.path.join(SRC, f"{name}.parquet")),
+            os.path.join(out, f"{name}.parquet"),
+        )
+        print(name, "copied")
     for name, keys in (
         ("orders", ["o_orderkey", "o_custkey"]),
         ("customer", ["c_custkey"]),
-        ("lineitem", ["l_orderkey"]),
+        ("part", ["p_partkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]),
     ):
         src = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         reps = []
