@@ -101,6 +101,232 @@ _FP_MASK = (1 << 64) - 1
 
 
 # --------------------------------------------------------------------------
+# Vectorized array twins (Arrow/RE2 kernels + numpy) of the scalar
+# functions above.  The scalars remain the spec (and the per-row
+# oracle); these are the hot-path forms used by TextAnalyzer and the
+# langid/quality/token_count queries — semantics pinned to the SQL
+# mirrors in pipelines/queries/textops.py (both sides are RE2, so the
+# engine matches the DuckDB oracle by construction).  Corpus
+# assumption, shared with the SQL mirrors and verified by the driver's
+# strict hashes: document text is ASCII + CJK; exotic Unicode
+# whitespace or letters would diverge from the Unicode-aware scalars.
+# --------------------------------------------------------------------------
+
+_CJK_RE = r"[\x{4E00}-\x{9FFF}]"
+_LANG_WORD_SPLIT_RE = r"[^a-z\x{4E00}-\x{9FFF}]+"
+_SORTED_LANGS = tuple(sorted(_STOPWORDS))
+
+
+def _as_array(col):
+    """ChunkedArray/Array → single null-free large_utf8 Array."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.fill_null(col, "").cast(pa.large_utf8())
+
+
+def token_count_array(col):
+    """Vectorized :func:`token_count`: one RE2 count kernel.  RE2's
+    ``\\s`` excludes ``\\v`` (unlike Python's ASCII ``\\s``) — matching
+    the DuckDB oracle (queries.TOKEN_SQL_RE) exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    return pc.count_substring_regex(
+        _as_array(col), pattern=r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+    ).cast(pa.int64())
+
+
+def _str_buffers(arr):
+    """(bytes buffer, starts, lens) views of a large_utf8 Array."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return buf, offs[:-1], (offs[1:] - offs[:-1])
+
+
+# Above this row length the position-wise numpy FNV pays more in
+# per-position dispatch than the plain byte loop costs — the rare
+# mega-document falls back to the scalar.
+_FNV_VEC_CAP = 1 << 14
+
+
+def _fnv1a_buffers(buf, starts, lens):
+    """FNV-1a 64 over each [start, start+len) byte slice, vectorized
+    ACROSS rows (the per-byte chain is sequential, the row dimension
+    is not): rows are length-sorted so each position step updates a
+    contiguous suffix."""
+    n = len(lens)
+    out = np.full(n, np.uint64(_FP_OFFSET), dtype=np.uint64)
+    if n == 0:
+        return out
+    base = np.uint64(_FP_BASE)
+    order = np.argsort(lens, kind="stable")
+    s_starts = starts[order]
+    s_lens = lens[order]
+    # scalar fallback for the long tail (cheaper than maxlen tiny-array steps)
+    cut = int(np.searchsorted(s_lens, _FNV_VEC_CAP, side="right"))
+    hs = np.full(n, np.uint64(_FP_OFFSET), dtype=np.uint64)
+    maxlen = int(s_lens[cut - 1]) if cut else 0
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            k = int(np.searchsorted(s_lens[:cut], i, side="right"))
+            idx = s_starts[k:cut] + i
+            hs[k:cut] = (hs[k:cut] ^ buf[idx].astype(np.uint64)) * base
+    for j in range(cut, n):
+        h = _FP_OFFSET
+        s = int(s_starts[j])
+        for b in buf[s : s + int(s_lens[j])].tobytes():
+            h = ((h ^ b) * _FP_BASE) & _FP_MASK
+        hs[j] = h
+    out[order] = hs
+    return out
+
+
+def fingerprint_exact_array(col):
+    """Vectorized :func:`fingerprint_exact` (FNV-1a 64 over raw utf-8
+    bytes), returned as a signed-int64 numpy array."""
+    arr = _as_array(col)
+    return _fnv1a_buffers(*_str_buffers(arr)).view(np.int64)
+
+
+def fingerprint_array(col):
+    """Vectorized :func:`fingerprint`: whitespace normalization via
+    Arrow's Unicode trim + split_whitespace + join (the exact
+    ``' '.join(t.split())`` twin for Unicode-whitespace text), then
+    the row-vectorized FNV."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _as_array(col)
+    norm = pc.binary_join(
+        pc.utf8_split_whitespace(pc.utf8_trim_whitespace(arr)),
+        pa.scalar(" ", pa.large_utf8()),
+    ).cast(pa.large_utf8())
+    return _fnv1a_buffers(*_str_buffers(norm)).view(np.int64)
+
+
+def _word_hits(flat_ne, parents_ne, value_set, n_rows):
+    """Per-row count of tokens that are members of ``value_set``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    member = pc.is_in(flat_ne, value_set=pa.array(sorted(value_set))).to_numpy(
+        zero_copy_only=False
+    )
+    return np.bincount(parents_ne[member], minlength=n_rows)
+
+
+def _split_tokens(lower, pattern, n_rows):
+    """Split each row on ``pattern``; return (non-empty flat tokens,
+    their parent row indices, per-row non-empty counts)."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(lower, pattern=pattern)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    ne = pc.not_equal(flat, "")
+    flat_ne = flat.filter(ne)
+    parents_ne = parents[ne.to_numpy(zero_copy_only=False)]
+    counts = np.bincount(parents_ne, minlength=n_rows)
+    return flat_ne, parents_ne, counts
+
+
+def detect_language_array(col):
+    """Vectorized :func:`detect_language`, pinned to the SQL_LANGID
+    mirror: CJK-share short-circuit on the first 400 codepoints, then
+    a stopword vote over the first 300 ``[a-z|CJK]+`` tokens of the
+    lowered text with sorted-language tie-break and a
+    ``max(2, nw // 50)`` confidence floor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = _as_array(col)
+    n_rows = len(arr)
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    cjk = (
+        pc.count_substring_regex(
+            pc.utf8_slice_codeunits(arr, 0, 400), pattern=_CJK_RE
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    lower = pc.utf8_lower(arr)
+    flat_ne, parents_ne, _ = _split_tokens(lower, _LANG_WORD_SPLIT_RE, n_rows)
+    # rank of each token within its row (parents_ne is nondecreasing)
+    m = len(parents_ne)
+    if m:
+        pos = np.arange(m, dtype=np.int64)
+        first = np.zeros(m, dtype=np.int64)
+        new_row = np.empty(m, dtype=bool)
+        new_row[0] = True
+        new_row[1:] = parents_ne[1:] != parents_ne[:-1]
+        first[new_row] = pos[new_row]
+        first = np.maximum.accumulate(first)
+        keep = (pos - first) < 300  # first 300 words per row
+        flat_c = flat_ne.filter(pa.array(keep))
+        parents_c = parents_ne[keep]
+    else:
+        flat_c, parents_c = flat_ne, parents_ne
+    nw = np.bincount(parents_c, minlength=n_rows)
+    hits = np.stack(
+        [_word_hits(flat_c, parents_c, _STOPWORDS[lang], n_rows) for lang in _SORTED_LANGS]
+    )
+    best = hits.max(axis=0)
+    # argmax takes the FIRST max → sorted-language tie-break, as the scalar
+    pred = np.array(_SORTED_LANGS, dtype=object)[hits.argmax(axis=0)]
+    pred[(nw == 0) | (best < np.maximum(2, nw // 50))] = "und"
+    pred[cjk > np.minimum(n, 400) * 0.2] = "zh"
+    pred[n == 0] = "und"
+    return pa.array(pred, pa.string())
+
+
+def quality_features_array(col):
+    """Vectorized :func:`quality_score`, pinned to the SQL_QUALITY
+    mirror — returns a dict of float64 numpy arrays (stop_ratio,
+    punct_ratio, mean_word_len, quality).  Same integer counters, same
+    left-to-right double products of the frozen thresholds."""
+    import pyarrow.compute as pc
+
+    arr = _as_array(col)
+    n_rows = len(arr)
+    n = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    lower = pc.utf8_lower(arr)
+    punct = (
+        pc.count_substring_regex(arr, pattern="[^a-zA-Z0-9 \t\n\f\r\x0b]")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # nw == count of [a-z]+ matches == non-empty split segments, and
+    # word_chars == their total length — both fall out of the one split
+    flat_ne, parents_ne, nw = _split_tokens(lower, r"[^a-z]+", n_rows)
+    word_chars = np.bincount(
+        parents_ne,
+        weights=pc.utf8_length(flat_ne).to_numpy(zero_copy_only=False),
+        minlength=n_rows,
+    ).astype(np.int64)
+    stop_hits = _word_hits(flat_ne, parents_ne, _STOPWORDS["en"], n_rows)
+    nw_safe = np.where(nw > 0, nw, 1)
+    stop_ratio = np.where(nw > 0, stop_hits / nw_safe, 0.0)
+    mean_word_len = np.where(nw > 0, word_chars / nw_safe, 0.0)
+    punct_ratio = np.where(n > 0, punct / np.where(n > 0, n, 1), 0.0)
+    quality = np.where(n < 50, 0.5, 1.0)
+    quality = quality * np.where(stop_ratio < 0.05, 0.6, 1.0)
+    quality = quality * np.where(punct_ratio > 0.3, 0.4, 1.0)
+    quality = quality * np.where((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0, 0.7)
+    quality[n == 0] = 0.0
+    return {
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_word_len": mean_word_len,
+        "quality": quality,
+    }
+
+
+# --------------------------------------------------------------------------
 # PII redaction — RE2-compatible patterns applied in a FIXED order
 # (SSN before phone: the 3-4 tail of an SSN would otherwise be eaten
 # by the phone pattern).  Both pyarrow.compute and DuckDB use RE2, so

@@ -37,12 +37,29 @@ FEATURE_SCHEMA = pa.schema(
 )
 
 
-def real_decode(payload: bytes, kind: str):  # pragma: no cover
-    """The production decode path — requires PIL / soundfile / pyav,
-    none of which ship in this container."""
+def real_decode(payload: bytes, kind: str):  # pragma: no cover — needs codecs
+    """The production decode path.  Image decode uses PIL when it is
+    installed (returns the loaded ``PIL.Image``); audio/video need
+    soundfile / pyav.  Raises NotImplementedError when the codec
+    library is absent (this container); the importorskip module
+    tests/test_real_codec_seams.py drives the real path the day the
+    dependency appears."""
+    if kind == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "PIL not available in this environment; real_decode(image) "
+                "needs PIL.Image.open over the payload bytes"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        img.load()
+        return img
     raise NotImplementedError(
-        "media codecs not available in this environment; "
-        "swap in PIL.Image.open / av.open here in production"
+        "audio/video codecs not available in this environment; "
+        "swap in soundfile.read / av.open here in production"
     )
 
 

@@ -143,12 +143,36 @@ def _pix_dims(w_pt: float, h_pt: float, zoom: float) -> tuple[int, int]:
     return max(1, int(round(w_pt * zoom))), max(1, int(round(h_pt * zoom)))
 
 
-def real_render(raw: str, page_num: int, zoom: float):  # pragma: no cover
-    """Production rasterizer — requires PyMuPDF (fitz), absent here."""
-    raise NotImplementedError(
-        "PyMuPDF not available in this environment; swap in "
-        "fitz.open + page.get_pixmap(matrix=fitz.Matrix(zoom, zoom)) here"
-    )
+def real_render(
+    raw: str,
+    page_num: int,
+    zoom: float,
+    clip: tuple[float, float, float, float] | None = None,
+):  # pragma: no cover — exercised only where PyMuPDF is installed
+    """Production rasterizer: PyMuPDF ``get_pixmap`` at
+    ``Matrix(zoom, zoom)`` (the reference's 300-DPI path,
+    /root/reference/src/pdf_processor.py:35-61), grayscale to match
+    the stub's PNG container contract.  Raises NotImplementedError
+    when fitz is absent (this container); the importorskip module
+    tests/test_real_codec_seams.py drives this path the day the
+    dependency appears."""
+    try:
+        import fitz  # PyMuPDF
+    except ImportError as e:
+        raise NotImplementedError(
+            "PyMuPDF not available in this environment; real_render needs "
+            "fitz.open + page.get_pixmap(matrix=fitz.Matrix(zoom, zoom))"
+        ) from e
+    doc = fitz.open(stream=raw.encode("latin-1", errors="replace"), filetype="pdf")
+    try:
+        page = doc[page_num - 1]
+        kwargs = {"matrix": fitz.Matrix(zoom, zoom), "colorspace": fitz.csGRAY}
+        if clip is not None:
+            kwargs["clip"] = fitz.Rect(*clip)
+        pix = page.get_pixmap(**kwargs)
+        return pix.tobytes("png"), pix.width, pix.height
+    finally:
+        doc.close()
 
 
 def fake_raster(seed: bytes, w_px: int, h_px: int) -> np.ndarray:
@@ -172,7 +196,7 @@ def render_page(
     if not 1 <= page_num <= len(geom):
         raise IndexError(f"page {page_num} of {len(geom)}")
     if use_real:
-        real_render(raw, page_num, zoom)  # raises: documented stub
+        return real_render(raw, page_num, zoom)  # raises unless fitz present
     w_pt, h_pt = geom[page_num - 1]
     w_px, h_px = _pix_dims(w_pt, h_pt, zoom)
     seed = raw.encode("latin-1", errors="replace") + b"|page|%d" % page_num
@@ -191,9 +215,12 @@ def render_region(
     """S5: clip rect = bbox padded in PDF points, then zoomed — the
     reference's fitz.Rect(x0-p, y0-p, x1+p, y1+p) + Matrix(zoom, zoom)
     math (pdf_processor.py:229-241)."""
-    if use_real:
-        real_render(raw, page_num, zoom)
     x0, y0, x1, y1 = bbox
+    if use_real:
+        p = padding
+        return real_render(
+            raw, page_num, zoom, clip=(x0 - p, y0 - p, x1 + p, y1 + p)
+        )
     w_px, h_px = _pix_dims((x1 - x0) + 2 * padding, (y1 - y0) + 2 * padding, zoom)
     seed = raw.encode("latin-1", errors="replace") + (
         b"|region|%d|%.1f,%.1f,%.1f,%.1f" % (page_num, x0, y0, x1, y1)

@@ -90,6 +90,12 @@ def test_render_region_padding_math():
 
 
 def test_real_codec_is_honest_stub():
+    try:
+        import fitz  # noqa: F401
+
+        pytest.skip("fitz present — real path covered by test_real_codec_seams.py")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         render_page(PDF, 1, use_real=True)
 
