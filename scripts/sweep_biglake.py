@@ -30,6 +30,11 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+# The flagship trio's oracles compare against FIXED sf0.001 golden
+# parquet (pipelines/queries/__init__._sql_flagship_golden) — they are
+# only meaningful at sf0.001 and must not run against a big lake.
+GOLDEN_ONLY = {"extract_transcripts", "review_priority", "page_render"}
+
 
 def _duck(lake_dir: str):
     con = duckdb.connect()
@@ -120,7 +125,7 @@ def main() -> int:
     for name, sql in ORACLES.items():
         if only and name not in only:
             continue
-        if name in skip:
+        if name in skip or name in GOLDEN_ONLY:
             continue
         refs = _tables_in(sql)
         if not refs or not refs <= present:
@@ -159,8 +164,14 @@ def main() -> int:
             rec["at_s"] = round(time.time() - t0, 1)
         except Exception as e:  # noqa: BLE001 — record and continue the sweep
             signal.alarm(0)
-            rec["status"] = "ERROR"
-            rec["error"] = f"{type(e).__name__}: {e}"[:300]
+            if "interrupted" in str(e).lower():
+                # DuckDB turns the SIGALRM into RuntimeError("Query
+                # interrupted") before _Timeout can propagate
+                rec["status"] = "TIMEOUT"
+                rec["at_s"] = round(time.time() - t0, 1)
+            else:
+                rec["status"] = "ERROR"
+                rec["error"] = f"{type(e).__name__}: {e}"[:300]
         results[name] = rec
         tmp = args.results_json + ".tmp"
         json.dump(results, open(tmp, "w"), indent=1, sort_keys=True)
