@@ -94,3 +94,69 @@ def test_analyzer_hot_path_has_no_row_loop():
 
     src = inspect.getsource(TextAnalyzer.__call__)
     assert "to_pylist" not in src
+
+
+def test_winnow_batch_vectorized_parity():
+    """The round-5 across-documents winnow kernel must reproduce the
+    per-document reference construction exactly — including empty and
+    sub-window docs, duplicate-start runs, arbitrary doc order, and
+    CJK code points (the flat-array boundary cases)."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_ray.pipelines.queries.dedup_diag import (
+        _WIN_K,
+        _WIN_POW,
+        _WIN_W,
+        _winnow_batch,
+    )
+
+    def ref(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = []
+        for did, t in zip(ids, batch.column("text").to_pylist()):
+            t = t or ""
+            if len(t) < _WIN_K + _WIN_W - 1:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            h = np.lib.stride_tricks.sliding_window_view(codes, _WIN_K) @ _WIN_POW
+            sw = np.lib.stride_tricks.sliding_window_view(h, _WIN_W)
+            idx = _WIN_W - 1 - np.argmin(sw[:, ::-1], axis=1)
+            pos = np.unique(np.arange(sw.shape[0]) + idx)
+            rows += [(int(did), int(p + 1), int(h[p])) for p in pos]
+        return sorted(rows)
+
+    def got(batch):
+        o = _winnow_batch(batch)
+        return sorted(
+            zip(*(o.column(c).to_pylist() for c in ("doc_id", "pos", "fp")))
+        )
+
+    corpus = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    assert got(corpus) == ref(corpus)
+    edge = pa.table(
+        {
+            "doc_id": pa.array([5, 1, 2, 9, 3, 4], pa.int64()),
+            "text": [
+                "",
+                "abcdefghijkl",
+                "short",
+                None,
+                "the quick brown fox jumps over the lazy dog" * 3,
+                "的是在了和有我不这他也就人都" * 4,
+            ],
+        }
+    )
+    assert got(edge) == ref(edge)
+    rng = np.random.default_rng(7)
+    texts = [
+        "".join(chr(97 + int(x)) for x in rng.integers(0, 4, int(rng.integers(0, 40))))
+        for _ in range(500)
+    ]
+    stress = pa.table(
+        {"doc_id": pa.array(np.arange(500), pa.int64()), "text": texts}
+    )
+    assert got(stress) == ref(stress)
