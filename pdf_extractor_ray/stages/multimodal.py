@@ -63,6 +63,20 @@ def real_decode(payload: bytes, kind: str):  # pragma: no cover — needs codecs
     )
 
 
+def media_batch_size(
+    bytes_per_row: float,
+    target_bytes: int = 8 << 20,
+    lo: int = 4,
+    hi: int = 1024,
+) -> int:
+    """Size-aware media batch size: batch × payload bytes ≈ a fixed
+    in-flight budget, so a 4 MB-image column gets 4-row batches while
+    a 500-byte thumbnail column gets 1024-row batches (a static 32
+    scheduled 31k near-empty tasks over a 1M-row lake of small
+    payloads — measured as the dominant cost of multimodal_meta)."""
+    return max(lo, min(hi, int(target_bytes // max(bytes_per_row, 1.0))))
+
+
 def fake_feature(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector:
     8 floats derived from a blake2b digest.  Keeps the plumbing (batch

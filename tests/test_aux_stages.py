@@ -1231,3 +1231,14 @@ def test_jsonl_roundtrip(tmp_path):
     jsonl_to_parquet(out, pq_dir)
     t = pq.read_table(pq_dir)
     assert t.num_rows == 100
+
+
+def test_media_batch_size_is_size_aware():
+    """batch × payload ≈ the in-flight budget: wide rows get tiny
+    batches, thumbnail rows get capped-large ones."""
+    from pdf_extractor_ray.stages.multimodal import media_batch_size
+
+    assert media_batch_size(4 << 20) == 4  # 4 MB images → floor
+    assert media_batch_size(500) == 1024  # small payloads → cap
+    assert media_batch_size(64 << 10) == 128  # 64 KB → 8 MB / 64 KB
+    assert media_batch_size(0) == 1024  # degenerate guard
